@@ -1,0 +1,17 @@
+"""Test harness config: force an 8-device virtual CPU mesh.
+
+Must run before the first ``import jax`` anywhere in the test process so
+XLA picks up the host-platform device count; this is the TPU-world
+substitute for a fake multi-device backend (SURVEY.md section 4).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+# Parity tests compare against torch float32 on CPU: keep matmuls exact.
+os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "highest")
