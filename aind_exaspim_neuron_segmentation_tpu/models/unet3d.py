@@ -1,0 +1,223 @@
+"""Flax 3D U-Net with exact PyTorch-reference semantics.
+
+Architecture contract (reference: machine_learning/unet3d.py:37-105):
+
+* channel ladder ``(32, 64, 128, 256, 512) * width_multiplier``;
+* encoder = DoubleConv stem + 4 x (MaxPool3d(2) + DoubleConv);
+* ``trilinear=True`` (default): bottleneck and decoder DoubleConv output
+  channels are halved (``factor = 2``) and upsampling is trilinear with
+  ``align_corners=True``; otherwise ConvTranspose3d(k=2, s=2);
+* DoubleConv = [Conv3d(k=3, p=1) -> BatchNorm3d -> LeakyReLU(0.01)] x 2;
+* decoder Up pads ``x1`` before channel-concat ``[skip, x1]`` using the
+  reference's quirk: the pad amounts computed from the D/H size mismatch
+  are applied to the H/W axes (torch ``F.pad`` pads the *last two* dims
+  while ``diffY/diffX`` read ``size()[2]/size()[3]``; reference
+  unet3d.py:281-288). Zero for the even power-of-two shapes this model is
+  used with; replicated exactly for parity.
+* returns raw logits -- sigmoid is applied by callers.
+
+TPU-first: tensors are NDHWC (channels on the 128-wide lane dimension),
+convs lower to MXU contractions, activations optionally run in bfloat16
+while parameters and BatchNorm statistics stay float32. BatchNorm matches
+torch exactly (biased variance for normalization, unbiased for the
+running-variance update, momentum 0.1, eps 1e-5), so ``.pth`` checkpoints
+round-trip bit-for-bit through ``models.convert``.
+"""
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from aind_exaspim_neuron_segmentation_tpu.ops.upsample import (
+    trilinear_upsample_x2,
+)
+
+DEFAULT_CHANNELS = (32, 64, 128, 256, 512)
+
+
+class BatchNorm3d(nn.Module):
+    """Torch-semantics batch norm over (B, D, H, W) per channel."""
+
+    momentum: float = 0.1
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        features = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (features,))
+        bias = self.param("bias", nn.initializers.zeros, (features,))
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((features,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((features,), jnp.float32)
+        )
+
+        in_dtype = x.dtype
+        xf = x.astype(jnp.float32)
+        if train:
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(xf, axis=axes)
+            var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)
+            if not self.is_initializing():
+                n = 1
+                for a in axes:
+                    n *= x.shape[a]
+                unbiased = var * (n / max(n - 1, 1))
+                m = self.momentum
+                ra_mean.value = (1 - m) * ra_mean.value + m * mean
+                ra_var.value = (1 - m) * ra_var.value + m * unbiased
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        inv = jnp.reciprocal(jnp.sqrt(var + self.eps))
+        out = (xf - mean) * (inv * scale.astype(jnp.float32)) + bias.astype(
+            jnp.float32
+        )
+        return out.astype(in_dtype)
+
+
+class DoubleConv(nn.Module):
+    """Two (Conv3d k=3 p=1 -> BN -> LeakyReLU 0.01) blocks.
+
+    Reference: machine_learning/unet3d.py:108-165.
+    """
+
+    out_channels: int
+    mid_channels: Optional[int] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        mid = self.mid_channels or self.out_channels
+        x = nn.Conv(
+            mid, kernel_size=(3, 3, 3), padding=1, dtype=self.dtype,
+            name="conv1",
+        )(x)
+        x = BatchNorm3d(name="bn1")(x, train=train)
+        x = nn.leaky_relu(x, negative_slope=0.01)
+        x = nn.Conv(
+            self.out_channels, kernel_size=(3, 3, 3), padding=1,
+            dtype=self.dtype, name="conv2",
+        )(x)
+        x = BatchNorm3d(name="bn2")(x, train=train)
+        return nn.leaky_relu(x, negative_slope=0.01)
+
+
+class Down(nn.Module):
+    """MaxPool3d(2) then DoubleConv (reference unet3d.py:168-212)."""
+
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.max_pool(x, (2, 2, 2), strides=(2, 2, 2))
+        return DoubleConv(self.out_channels, dtype=self.dtype, name="conv")(
+            x, train=train
+        )
+
+
+class Up(nn.Module):
+    """Upsample, pad-to-skip, concat [skip, x], DoubleConv.
+
+    Reference: machine_learning/unet3d.py:215-289, including the
+    D/H-to-H/W pad quirk documented at module level.
+    """
+
+    out_channels: int
+    trilinear: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x1, x2, train: bool = False):
+        if self.trilinear:
+            x1 = trilinear_upsample_x2(x1)
+            mid = (x1.shape[-1] + x2.shape[-1]) // 2
+        else:
+            x1 = nn.ConvTranspose(
+                x1.shape[-1] // 2, kernel_size=(2, 2, 2),
+                strides=(2, 2, 2), dtype=self.dtype, name="up",
+            )(x1)
+            mid = None
+
+        # Reference pad quirk: diffY from D-mismatch pads H, diffX from
+        # H-mismatch pads W; D itself is never padded (unet3d.py:281-288).
+        diff_y = x2.shape[1] - x1.shape[1]
+        diff_x = x2.shape[2] - x1.shape[2]
+        pad = (
+            (0, 0),
+            (0, 0),
+            (diff_y // 2, diff_y - diff_y // 2),
+            (diff_x // 2, diff_x - diff_x // 2),
+            (0, 0),
+        )
+        if diff_y or diff_x:
+            x1 = jnp.pad(x1, pad)
+        x = jnp.concatenate([x2, x1], axis=-1)
+        return DoubleConv(
+            self.out_channels, mid_channels=mid, dtype=self.dtype,
+            name="conv",
+        )(x, train=train)
+
+
+class UNet3D(nn.Module):
+    """4-level 3D U-Net over NDHWC volumes, logits out.
+
+    API mirrors reference unet3d.py:37 (``output_channels``, ``trilinear``,
+    ``width_multiplier``); ``dtype`` selects the activation compute dtype
+    (bfloat16 on TPU for MXU throughput, float32 for parity tests).
+    """
+
+    output_channels: int = 1
+    trilinear: bool = True
+    width_multiplier: float = 1
+    channels: Sequence[int] = DEFAULT_CHANNELS
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        ch = [int(c * self.width_multiplier) for c in self.channels]
+        factor = 2 if self.trilinear else 1
+        dt = self.dtype
+
+        in_dtype = x.dtype
+        x = x.astype(dt)
+        x1 = DoubleConv(ch[0], dtype=dt, name="inc")(x, train=train)
+        x2 = Down(ch[1], dtype=dt, name="down1")(x1, train=train)
+        x3 = Down(ch[2], dtype=dt, name="down2")(x2, train=train)
+        x4 = Down(ch[3], dtype=dt, name="down3")(x3, train=train)
+        x5 = Down(ch[4] // factor, dtype=dt, name="down4")(x4, train=train)
+
+        y = Up(ch[3] // factor, self.trilinear, dtype=dt, name="up1")(
+            x5, x4, train=train
+        )
+        y = Up(ch[2] // factor, self.trilinear, dtype=dt, name="up2")(
+            y, x3, train=train
+        )
+        y = Up(ch[1] // factor, self.trilinear, dtype=dt, name="up3")(
+            y, x2, train=train
+        )
+        y = Up(ch[0], self.trilinear, dtype=dt, name="up4")(
+            y, x1, train=train
+        )
+        logits = nn.Conv(
+            self.output_channels, kernel_size=(1, 1, 1), dtype=dt,
+            name="outc",
+        )(y)
+        return logits.astype(in_dtype)
+
+
+def init_unet3d(rng, output_channels=1, trilinear=True, width_multiplier=1,
+                patch_shape=(96, 96, 96), dtype=jnp.float32):
+    """Build the module and initialize variables on a dummy patch."""
+    model = UNet3D(
+        output_channels=output_channels,
+        trilinear=trilinear,
+        width_multiplier=width_multiplier,
+        dtype=dtype,
+    )
+    dummy = jnp.zeros((1, *patch_shape, 1), jnp.float32)
+    variables = model.init(rng, dummy, train=False)
+    return model, variables

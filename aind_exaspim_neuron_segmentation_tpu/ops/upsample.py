@@ -1,0 +1,56 @@
+"""Trilinear x2 upsampling with ``align_corners=True`` semantics.
+
+Matches ``torch.nn.Upsample(scale_factor=2, mode="trilinear",
+align_corners=True)`` (reference: machine_learning/unet3d.py:247-250)
+bit-for-bit in float32: output position ``i`` samples the input at
+``i * (n - 1) / (2n - 1)``.
+
+TPU-first design: instead of gathers, each spatial axis is resampled by a
+dense ``(2n, n)`` interpolation matrix contracted with ``jnp.einsum`` --
+three small matmuls that XLA places on the MXU and fuses with surrounding
+elementwise work, rather than VPU gather traffic.
+"""
+
+import functools
+
+import jax
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=64)
+def _interp_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """Dense (n_out, n_in) linear-interp matrix, align_corners=True."""
+    if n_in == 1:
+        return np.ones((n_out, 1), dtype=np.float32)
+    pos = np.arange(n_out, dtype=np.float64) * (n_in - 1) / (n_out - 1)
+    lo = np.floor(pos).astype(np.int64)
+    hi = np.minimum(lo + 1, n_in - 1)
+    frac = pos - lo
+    mat = np.zeros((n_out, n_in), dtype=np.float64)
+    mat[np.arange(n_out), lo] += 1.0 - frac
+    mat[np.arange(n_out), hi] += frac
+    return mat.astype(np.float32)
+
+
+def linear_resize_axis(x, axis: int, n_out: int):
+    """Resize one axis by dense-matrix contraction (align_corners=True)."""
+    n_in = x.shape[axis]
+    if n_in == n_out:
+        return x
+    mat = jnp.asarray(_interp_matrix(n_in, n_out), dtype=x.dtype)
+    moved = jnp.moveaxis(x, axis, -1)
+    # HIGHEST keeps float32 inputs exact vs torch (bf16 passthrough is
+    # unaffected); the matrices are tiny so the extra passes are free.
+    out = jnp.einsum(
+        "...i,oi->...o", moved, mat, precision=jax.lax.Precision.HIGHEST
+    )
+    return jnp.moveaxis(out, -1, axis)
+
+
+def trilinear_upsample_x2(x):
+    """x2 upsample of NDHWC input on the three spatial axes (1, 2, 3)."""
+    for axis in (1, 2, 3):
+        x = linear_resize_axis(x, axis, 2 * x.shape[axis])
+    return x

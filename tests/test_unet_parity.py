@@ -1,0 +1,135 @@
+"""UNet3D numerical parity vs the reference PyTorch model on CPU.
+
+Acceptance bar: <=1e-5 MAE on random weights (BASELINE.json config #1).
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from aind_exaspim_neuron_segmentation_tpu.models import (  # noqa: E402
+    UNet3D,
+    torch_state_dict_to_variables,
+    variables_to_torch_state_dict,
+)
+from aind_exaspim_neuron_segmentation_tpu.ops.upsample import (  # noqa: E402
+    trilinear_upsample_x2,
+)
+from tests.reference_oracle import load_reference_unet3d_module  # noqa: E402
+
+REF = load_reference_unet3d_module()
+needs_ref = pytest.mark.skipif(REF is None, reason="reference unavailable")
+
+
+def _torch_model(output_channels=3, trilinear=True, seed=0):
+    torch.manual_seed(seed)
+    model = REF.UNet3D(output_channels=output_channels, trilinear=trilinear)
+    model.eval()
+    return model
+
+
+def _run_both(output_channels, trilinear, shape=(1, 1, 32, 32, 32), seed=0,
+              train=False):
+    tm = _torch_model(output_channels, trilinear, seed)
+    if train:
+        tm.train()
+    variables = torch_state_dict_to_variables(
+        tm.state_dict(), trilinear=trilinear
+    )
+    variables = jax.tree.map(jnp.asarray, variables)
+
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal(shape).astype(np.float32)
+    with torch.no_grad():
+        ref_out = tm(torch.from_numpy(x)).numpy()
+
+    jm = UNet3D(output_channels=output_channels, trilinear=trilinear)
+    x_ndhwc = jnp.asarray(x.transpose(0, 2, 3, 4, 1))
+    if train:
+        out, _ = jm.apply(
+            variables, x_ndhwc, train=True, mutable=["batch_stats"]
+        )
+    else:
+        out = jm.apply(variables, x_ndhwc, train=False)
+    out = np.asarray(out).transpose(0, 4, 1, 2, 3)
+    return ref_out, out
+
+
+def test_trilinear_upsample_matches_torch():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 6, 7, 5, 3)).astype(np.float32)
+    ours = np.asarray(trilinear_upsample_x2(jnp.asarray(x)))
+    xt = torch.from_numpy(x.transpose(0, 4, 1, 2, 3))
+    ref = torch.nn.functional.interpolate(
+        xt, scale_factor=2, mode="trilinear", align_corners=True
+    ).numpy().transpose(0, 2, 3, 4, 1)
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+@needs_ref
+@pytest.mark.parametrize("out_ch,trilinear", [(3, True), (1, True), (3, False)])
+def test_forward_parity_eval(out_ch, trilinear):
+    ref_out, out = _run_both(out_ch, trilinear)
+    mae = np.abs(ref_out - out).mean()
+    assert mae <= 1e-5, f"MAE {mae} exceeds 1e-5 bar"
+    assert ref_out.shape == out.shape
+
+
+@needs_ref
+def test_forward_parity_train_mode():
+    # Batch statistics path (training forward) must also match.
+    ref_out, out = _run_both(3, True, train=True)
+    mae = np.abs(ref_out - out).mean()
+    assert mae <= 1e-5, f"train-mode MAE {mae}"
+
+
+@needs_ref
+def test_running_stats_update_matches_torch():
+    tm = _torch_model(3, True, seed=1)
+    tm.train()
+    variables = jax.tree.map(
+        jnp.asarray, torch_state_dict_to_variables(tm.state_dict())
+    )
+    x = np.random.default_rng(1).standard_normal(
+        (2, 1, 16, 16, 16)
+    ).astype(np.float32)
+    with torch.no_grad():
+        tm(torch.from_numpy(x))
+    jm = UNet3D(output_channels=3)
+    _, updates = jm.apply(
+        variables, jnp.asarray(x.transpose(0, 2, 3, 4, 1)), train=True,
+        mutable=["batch_stats"],
+    )
+    ref_sd = tm.state_dict()
+    ours_sd = variables_to_torch_state_dict(
+        {"params": variables["params"], **updates}
+    )
+    for key in ("inc.double_conv.1.running_mean",
+                "inc.double_conv.1.running_var",
+                "up4.conv.double_conv.4.running_var"):
+        np.testing.assert_allclose(
+            ours_sd[key], ref_sd[key].numpy(), atol=1e-5, err_msg=key
+        )
+
+
+@needs_ref
+def test_state_dict_round_trip():
+    tm = _torch_model(3, True, seed=2)
+    sd = tm.state_dict()
+    variables = torch_state_dict_to_variables(sd)
+    back = variables_to_torch_state_dict(variables)
+    for key, val in sd.items():
+        np.testing.assert_array_equal(back[key], val.numpy(), err_msg=key)
+
+
+@needs_ref
+def test_width_multiplier_channels():
+    torch.manual_seed(0)
+    tm = REF.UNet3D(output_channels=3, width_multiplier=0.5)
+    variables = torch_state_dict_to_variables(tm.state_dict())
+    k = variables["params"]["inc"]["conv1"]["kernel"]
+    assert k.shape[-1] == 16  # 32 * 0.5
