@@ -1,0 +1,340 @@
+"""Inference pipeline: predict -> segment -> skeletonize.
+
+Public surface mirrors the reference ``inference.py`` module:
+``predict`` (inference.py:29), ``affinities_to_segmentation``
+(inference.py:196), ``segmentation_to_zipped_swcs`` (inference.py:240),
+``skeletonize`` (inference.py:257), ``skeletons_to_zipped_swcs``
+(inference.py:294), ``voxelize_skeletons`` (inference.py:313),
+``count_patches`` (inference.py:340), ``generate_patch_starts``
+(inference.py:368), ``load_model`` (inference.py:400), ``to_tensor``
+(inference.py:427).
+
+TPU-native internals: the sliding window runs entirely on device
+(``ops.stitch``), streaming the volume in Z slabs when it exceeds the
+device memory budget; slab boundaries recompute one overlapping patch row
+so every output voxel is final without host-side blending -- the same
+decomposition the multi-chip path shards over a mesh.
+"""
+
+import zipfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aind_exaspim_neuron_segmentation_tpu.core.normalize import (
+    DEFAULT_PERCENTILES,
+    normalize,
+)
+from aind_exaspim_neuron_segmentation_tpu.core.patches import (
+    count_patches,  # noqa: F401  (re-export, reference inference.py:340)
+    generate_patch_starts,  # noqa: F401  (reference inference.py:368)
+    patch_grid_ranges,
+)
+from aind_exaspim_neuron_segmentation_tpu.models.unet3d import UNet3D
+from aind_exaspim_neuron_segmentation_tpu.models.convert import (
+    load_pth_variables,
+)
+from aind_exaspim_neuron_segmentation_tpu.ops import stitch
+
+
+class ModelRunner:
+    """A UNet3D module + variables bound for inference.
+
+    Plays the role of the reference's ``torch.nn.Module`` handle returned
+    by ``load_model`` (inference.py:400-424).
+    """
+
+    def __init__(self, module, variables):
+        self.module = module
+        self.variables = variables
+
+    @property
+    def output_channels(self):
+        return self.module.output_channels
+
+    def __call__(self, x):
+        """Forward logits for a (N, 1, D, H, W) or (N, D, H, W, 1) batch."""
+        x = jnp.asarray(x)
+        channels_first = x.shape[1] == 1 and x.shape[-1] != 1
+        if channels_first:
+            x = jnp.moveaxis(x, 1, -1)
+        out = self.module.apply(self.variables, x, train=False)
+        if channels_first:
+            out = jnp.moveaxis(out, -1, 1)
+        return out
+
+
+def load_model(path=None, affinity_mode=True, device=None, dtype=None,
+               width_multiplier=1, trilinear=True):
+    """Build a UNet3D runner, optionally restoring a ``.pth`` checkpoint.
+
+    Mirrors reference inference.py:400-424 (3 output channels for affinity
+    mode, 1 for foreground/background; eval mode). ``dtype`` selects the
+    activation compute dtype -- defaults to bfloat16 on TPU backends and
+    float32 elsewhere. ``path=None`` initializes random weights (useful
+    for benchmarks and smoke tests; the reference requires a checkpoint).
+    """
+    if dtype is None:
+        dtype = (
+            jnp.bfloat16
+            if jax.default_backend() not in ("cpu",)
+            else jnp.float32
+        )
+    out_channels = 3 if affinity_mode else 1
+    module = UNet3D(
+        output_channels=out_channels,
+        trilinear=trilinear,
+        width_multiplier=width_multiplier,
+        dtype=dtype,
+    )
+    if path is not None:
+        variables = jax.tree.map(
+            jnp.asarray, load_pth_variables(path, trilinear=trilinear)
+        )
+    else:
+        dummy = jnp.zeros((1, 16, 16, 16, 1), jnp.float32)
+        variables = module.init(jax.random.PRNGKey(0), dummy, train=False)
+    if device is not None:
+        variables = jax.device_put(variables, device)
+    return ModelRunner(module, variables)
+
+
+def to_tensor(arr, device=None):
+    """Expand to (1, 1, D, H, W) float32 on device (inference.py:427-446)."""
+    arr = jnp.asarray(arr, dtype=jnp.float32)
+    while arr.ndim < 5:
+        arr = arr[jnp.newaxis, ...]
+    if device is not None:
+        arr = jax.device_put(arr, device)
+    return arr
+
+
+def _slab_plan(z_starts, patch_z, trim, dim_z, max_rows):
+    """Split z-start rows into slabs of <= max_rows owned rows.
+
+    Each slab recomputes the previous slab's last row (its output tail
+    overlaps the owned region) and keeps only its owned output range
+    ``[own_lo, own_hi)``; the union of owned ranges covers ``[0, dim_z)``.
+    """
+    plans = []
+    n = len(z_starts)
+    for i0 in range(0, n, max_rows):
+        i1 = min(i0 + max_rows, n)
+        rows = list(range(max(i0 - 1, 0), i1))
+        own_lo = 0 if i0 == 0 else z_starts[i0] + trim
+        own_hi = dim_z if i1 == n else z_starts[i1] + trim
+        in_lo = z_starts[rows[0]]
+        in_hi = z_starts[rows[-1]] + patch_z
+        plans.append(
+            dict(rows=rows, own=(own_lo, own_hi), in_range=(in_lo, in_hi))
+        )
+    return plans
+
+
+def predict(
+    img,
+    model,
+    affinity_mode=True,
+    batch_size=16,
+    brightness_clip=1000,
+    normalization_percentiles=DEFAULT_PERCENTILES,
+    patch_shape=(96, 96, 96),
+    overlap=(32, 32, 32),
+    trim=8,
+    verbose=True,
+    max_slab_rows=None,
+):
+    """Sliding-window affinity / foreground prediction.
+
+    Numerically matches reference inference.py:29-126: brightness clip,
+    full-volume percentile normalization, overlapping patch grid, sigmoid,
+    ``trim``-voxel border trim, hit-count blend (zero where never covered).
+
+    ``img`` may be (D, H, W) or (1, 1, D, H, W). Returns float32
+    ``(3, D, H, W)`` in affinity mode else ``(D, H, W)``.
+
+    ``max_slab_rows`` caps how many Z patch-rows are resident on device at
+    once (default: chosen from a ~4 GiB accumulator budget); slabs beyond
+    the first recompute one boundary row instead of blending on host.
+    """
+    img = np.asarray(img)
+    if img.ndim == 5:
+        img = img[0, 0]
+    if img.ndim != 3:
+        raise ValueError(f"expected 3D or 5D input, got shape {img.shape}")
+
+    # Preprocess exactly like the reference (inference.py:79-80).
+    img = np.minimum(img, brightness_clip)
+    img = normalize(img, percentiles=normalization_percentiles)
+    img = np.ascontiguousarray(img, dtype=np.float32)
+
+    out_channels = 3 if affinity_mode else 1
+    runner = model if isinstance(model, ModelRunner) else ModelRunner(*model)
+    if runner.output_channels != out_channels:
+        raise ValueError(
+            f"model has {runner.output_channels} output channels, "
+            f"affinity_mode={affinity_mode} needs {out_channels}"
+        )
+
+    dim = img.shape
+    ranges = patch_grid_ranges(dim, patch_shape, overlap)
+    z_starts = list(ranges[0])
+    wz, wy, wx = stitch.separable_weights(dim, patch_shape, overlap, trim)
+
+    if max_slab_rows is None:
+        # ~4 GiB f32 accumulator budget per slab: rows such that
+        # out_channels * (rows*stride + patch) * H * W * 4 <= budget.
+        stride_z = patch_shape[0] - overlap[0]
+        budget = 4 * 1024**3
+        per_z = out_channels * dim[1] * dim[2] * 4
+        max_slab_rows = max((budget // per_z - patch_shape[0]) // stride_z, 1)
+
+    plans = _slab_plan(z_starts, patch_shape[0], trim, dim[0], max_slab_rows)
+    out = np.zeros((out_channels,) + dim, dtype=np.float32)
+    pbar = None
+    if verbose:
+        from tqdm import tqdm
+
+        pbar = tqdm(
+            total=count_patches(dim, patch_shape, overlap), desc="Predict"
+        )
+
+    for plan in plans:
+        in_lo, in_hi = plan["in_range"]
+        slab = img[in_lo:min(in_hi, dim[0])]
+        slab, _ = stitch.reflect_pad_to_grid(
+            slab, (in_hi - in_lo, *patch_shape[1:]), (0, *overlap[1:])
+        )
+        # Grid starts inside the slab: plan rows x (y, x) ranges, padded in
+        # Y/X like the full volume so every patch is full-size.
+        starts = [
+            (z_starts[r] - in_lo, y, x)
+            for r in plan["rows"]
+            for y in ranges[1]
+            for x in ranges[2]
+        ]
+        n_real = len(starts)
+        pad_n = (-n_real) % batch_size
+        starts += [starts[0]] * pad_n
+        starts_arr = jnp.asarray(np.asarray(starts, dtype=np.int32))
+        valid = jnp.asarray(
+            np.concatenate(
+                [np.ones(n_real, np.float32), np.zeros(pad_n, np.float32)]
+            )
+        )
+        acc = stitch.accumulate_predictions(
+            runner.variables,
+            jnp.asarray(slab),
+            starts_arr,
+            valid,
+            module=runner.module,
+            patch_shape=tuple(patch_shape),
+            trim=trim,
+            batch_size=batch_size,
+            out_channels=out_channels,
+        )
+        own_lo, own_hi = plan["own"]
+        blended = stitch.divide_by_weights(
+            acc[:, own_lo - in_lo: own_hi - in_lo, : dim[1], : dim[2]],
+            jnp.asarray(wz[own_lo:own_hi]),
+            jnp.asarray(wy),
+            jnp.asarray(wx),
+        )
+        out[:, own_lo:own_hi] = np.asarray(blended)
+        if pbar is not None:
+            n_owned = len(
+                [r for r in plan["rows"]]
+            ) * len(ranges[1]) * len(ranges[2])
+            pbar.update(min(n_owned, pbar.total - pbar.n))
+    if pbar is not None:
+        pbar.close()
+
+    return out if affinity_mode else out[0]
+
+
+# --- Segmentation and skeletonization (native C++ engines) ---
+
+
+def affinities_to_segmentation(
+    affinities,
+    agglomeration_thresholds=(0.6, 0.8, 0.9),
+    min_segment_size=100,
+    aff_threshold_low=0.1,
+    aff_threshold_high=0.9999,
+):
+    """Affinity map -> instance segmentation.
+
+    Mirrors reference inference.py:196-237: seeded watershed + hierarchical
+    supervoxel agglomeration over the requested thresholds, keeping only
+    the final threshold's segmentation, then dropping segments of
+    ``<= min_segment_size`` voxels and renumbering contiguously.
+    """
+    from aind_exaspim_neuron_segmentation_tpu import postprocess
+
+    affinities = np.ascontiguousarray(affinities, dtype=np.float32)
+    seg = None
+    for seg in postprocess.agglomerate(
+        affinities,
+        thresholds=list(agglomeration_thresholds),
+        aff_threshold_low=aff_threshold_low,
+        aff_threshold_high=aff_threshold_high,
+    ):
+        pass  # keep only the last threshold (reference deque maxlen=1)
+    return postprocess.remove_small_segments(seg, min_segment_size)
+
+
+def skeletonize(segmentation, anisotropy=(1.0, 1.0, 1.0)):
+    """Segmentation -> {segment_id: Skeleton} via TEASAR.
+
+    Parameter set mirrors reference inference.py:272-290 (kimimaro):
+    scale=1.25, const=450, pdrf_exponent=4, pdrf_scale=100000, soma
+    detection/acceptance 1000/3500, fix_borders, fill_holes, parallel=1.
+    """
+    from aind_exaspim_neuron_segmentation_tpu import postprocess
+
+    return postprocess.skeletonize(
+        segmentation,
+        scale=1.25,
+        const=450,
+        pdrf_exponent=4,
+        pdrf_scale=100000,
+        soma_detection_threshold=1000,
+        soma_acceptance_threshold=3500,
+        soma_invalidation_scale=1.0,
+        soma_invalidation_const=300,
+        anisotropy=anisotropy,
+        fix_borders=True,
+        fill_holes=True,
+    )
+
+
+def skeletons_to_zipped_swcs(skeletons, zip_path):
+    """Write ``{id}.swc`` entries into a ZIP (reference inference.py:294-310)."""
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for seg_id, skel in skeletons.items():
+            zf.writestr(f"{seg_id}.swc", skel.to_swc())
+
+
+def segmentation_to_zipped_swcs(segmentation, zip_path, anisotropy=(1, 1, 1)):
+    """Segmentation -> TEASAR skeletons -> zipped SWC archive.
+
+    Reference: inference.py:240-254.
+    """
+    skeletons = skeletonize(segmentation, anisotropy=anisotropy)
+    skeletons_to_zipped_swcs(skeletons, zip_path)
+    return skeletons
+
+
+def voxelize_skeletons(skeletons, shape):
+    """Rasterize skeleton vertices back into a label volume.
+
+    Reference: inference.py:313-336 (inverse op / round-trip oracle).
+    """
+    out = np.zeros(shape, dtype=np.uint32)
+    for seg_id, skel in skeletons.items():
+        verts = np.round(np.asarray(skel.vertices)).astype(np.int64)
+        keep = np.all((verts >= 0) & (verts < np.asarray(shape)), axis=1)
+        v = verts[keep]
+        out[v[:, 0], v[:, 1], v[:, 2]] = seg_id
+    return out

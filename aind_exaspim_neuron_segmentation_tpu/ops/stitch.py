@@ -1,0 +1,144 @@
+"""Device-side sliding-window inference with overlap-blend stitching.
+
+TPU-first redesign of the reference hot loop (inference.py:93-126): the
+reference gathers patches on host, runs torch on device, copies results
+back, and scatter-adds in NumPy -- crossing the host<->device boundary
+twice per batch. Here the *entire* loop runs on device under one jit:
+
+* the (reflect-padded) volume lives in HBM;
+* a ``lax.scan`` walks batches of patch starts, gathering 96^3 blocks with
+  ``dynamic_slice`` (no host traffic);
+* the UNet forward runs in the caller's chosen activation dtype (bfloat16
+  on TPU -> MXU);
+* sigmoid + border-trim + accumulate fuse into the scan body; the
+  scatter-add is a read-add-write ``dynamic_update_slice`` per patch;
+* the per-voxel blend weight is not accumulated at all: it is the
+  *separable* outer product of per-axis hit counts
+  (``core.patches.blend_weight_map``), computed analytically and divided
+  out on device. Voxels with zero weight stay exactly 0.0, matching the
+  reference's ``np.divide(..., where=wgt != 0)``.
+
+Numerical contract: identical to the reference for any grid -- each
+patch's trimmed sigmoid output is accumulated over ``[start + trim,
+start + patch - trim)`` clipped to the volume, then divided by hit count.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aind_exaspim_neuron_segmentation_tpu.core.patches import (
+    patch_grid_ranges,
+)
+
+
+def axis_hit_counts(dim, patch, overlap, trim):
+    """1D hit counts of the trimmed blend along one axis (host, numpy)."""
+    counts = np.zeros(dim, dtype=np.float32)
+    stride = patch - overlap
+    for s in range(0, dim - patch + stride, stride):
+        counts[min(s + trim, dim): min(s + patch - trim, dim)] += 1
+    return counts
+
+
+def separable_weights(img_shape, patch_shape, overlap, trim):
+    """Per-axis hit-count vectors whose outer product is the weight map."""
+    return tuple(
+        axis_hit_counts(d, p, o, trim)
+        for d, p, o in zip(img_shape, patch_shape, overlap)
+    )
+
+
+def reflect_pad_to_grid(img, patch_shape, overlap):
+    """Reflect-pad a 3D volume so every grid patch is full-size.
+
+    Equivalent to the reference's per-patch clip + ``add_padding`` reflect
+    (img_util.py:362-428): the pad width per axis is < stride < dim, so
+    volume-level reflection about the last sample produces the same values
+    as patch-level reflection.
+    """
+    ranges = patch_grid_ranges(img.shape, patch_shape, overlap)
+    pads = []
+    for r, p, d in zip(ranges, patch_shape, img.shape):
+        pads.append((0, max(r[-1] + p - d, 0)))
+    if any(hi for _, hi in pads):
+        img = np.pad(img, pads, mode="reflect")
+    return img, tuple(hi for _, hi in pads)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "module", "patch_shape", "trim", "batch_size", "out_channels",
+    ),
+)
+def accumulate_predictions(
+    variables,
+    volume,
+    starts,
+    valid,
+    *,
+    module,
+    patch_shape,
+    trim,
+    batch_size,
+    out_channels,
+):
+    """Run the model over all patches and blend on device.
+
+    Parameters
+    ----------
+    volume : (D, H, W) float32 array, already normalized + grid-padded.
+    starts : (N, 3) int32 patch starts into ``volume``; N must be a
+        multiple of ``batch_size`` (pad with any in-bounds start).
+    valid : (N,) float32 mask, 0.0 for padded starts.
+
+    Returns
+    -------
+    (out_channels, D, H, W) float32 accumulated (unweighted) predictions.
+    """
+    n = starts.shape[0]
+    assert n % batch_size == 0
+    ps = patch_shape
+    core = tuple(p - 2 * trim for p in ps)
+    acc = jnp.zeros((out_channels,) + volume.shape, jnp.float32)
+
+    def gather(start):
+        return jax.lax.dynamic_slice(volume, start, ps)
+
+    def batch_step(acc, batch):
+        b_starts, b_valid = batch
+        patches = jax.vmap(gather)(b_starts)  # (B, d, h, w)
+        logits = module.apply(
+            variables, patches[..., None], train=False
+        )  # (B, d, h, w, C)
+        probs = jax.nn.sigmoid(logits.astype(jnp.float32))
+        if trim > 0:
+            probs = probs[:, trim:-trim, trim:-trim, trim:-trim, :]
+        probs = probs * b_valid[:, None, None, None, None]
+        probs = jnp.moveaxis(probs, -1, 1)  # (B, C, d', h', w')
+
+        def add_one(i, acc):
+            st = b_starts[i] + trim
+            idx = (jnp.int32(0), st[0], st[1], st[2])
+            cur = jax.lax.dynamic_slice(
+                acc, idx, (out_channels,) + core
+            )
+            return jax.lax.dynamic_update_slice(acc, cur + probs[i], idx)
+
+        acc = jax.lax.fori_loop(0, batch_size, add_one, acc)
+        return acc, None
+
+    starts = starts.reshape(-1, batch_size, 3)
+    valid = valid.reshape(-1, batch_size)
+    acc, _ = jax.lax.scan(batch_step, acc, (starts, valid))
+    return acc
+
+
+@functools.partial(jax.jit, static_argnames=())
+def divide_by_weights(acc, wz, wy, wx):
+    """acc / (wz x wy x wx) where the weight is nonzero, else 0."""
+    w = wz[:, None, None] * wy[None, :, None] * wx[None, None, :]
+    return jnp.where(w > 0, acc / jnp.maximum(w, 1.0), 0.0)

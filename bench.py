@@ -1,0 +1,113 @@
+"""Benchmark: affinity inference throughput (Mvox/s/chip) at 96^3 patches.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Measures the real device inference path (patch gather -> UNet3D bf16
+forward -> sigmoid -> trim -> overlap-blend accumulate, all under one jit
+via ops.stitch.accumulate_predictions) over a 256^3 synthetic volume --
+BASELINE.json config #2. Completion is forced with a scalar fetch; the
+full-volume device->host fetch is excluded because the dev-tunnel link
+(~16 MB/s, measured 2026-08-16) is not part of the per-chip compute
+metric.
+
+vs_baseline divides by the reference PyTorch-CPU forward throughput
+measured in this environment (0.152 Mvox/s, see BASELINE.md). Re-measure
+with --measure-torch.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+TORCH_CPU_BASELINE_MVOX_S = 0.152  # measured 2026-08-16, see BASELINE.md
+
+
+def measure_torch_baseline():
+    import importlib.util
+
+    import torch
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_unet",
+        "/root/reference/src/aind_exaspim_neuron_segmentation/"
+        "machine_learning/unet3d.py",
+    )
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+    model = ref.UNet3D(output_channels=3).eval()
+    x = torch.randn(1, 1, 96, 96, 96)
+    with torch.no_grad():
+        model(x)
+        t0 = time.time()
+        for _ in range(2):
+            torch.sigmoid(model(x))
+        t1 = time.time()
+    return 96**3 / ((t1 - t0) / 2) / 1e6
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from aind_exaspim_neuron_segmentation_tpu import inference
+    from aind_exaspim_neuron_segmentation_tpu.core.patches import (
+        patch_starts_array,
+    )
+    from aind_exaspim_neuron_segmentation_tpu.ops import stitch
+
+    baseline = TORCH_CPU_BASELINE_MVOX_S
+    if "--measure-torch" in sys.argv:
+        baseline = measure_torch_baseline()
+
+    dim = (256, 256, 256)
+    patch, overlap, trim, batch = (96, 96, 96), (32, 32, 32), 8, 8
+
+    runner = inference.load_model(affinity_mode=True)
+    rng = np.random.default_rng(0)
+    vol = rng.uniform(0, 1, size=dim).astype(np.float32)
+    vol_padded, _ = stitch.reflect_pad_to_grid(vol, patch, overlap)
+    starts = patch_starts_array(dim, patch, overlap)
+    n_real = len(starts)
+    pad_n = (-n_real) % batch
+    starts = np.concatenate([starts, np.repeat(starts[:1], pad_n, 0)])
+    valid = np.concatenate(
+        [np.ones(n_real, np.float32), np.zeros(pad_n, np.float32)]
+    )
+
+    dvol = jnp.asarray(vol_padded)
+    dstarts = jnp.asarray(starts)
+    dvalid = jnp.asarray(valid)
+
+    def run():
+        acc = stitch.accumulate_predictions(
+            runner.variables, dvol, dstarts, dvalid,
+            module=runner.module, patch_shape=patch, trim=trim,
+            batch_size=batch, out_channels=3,
+        )
+        return acc
+
+    # Warm up (compile) then force completion via scalar fetch.
+    float(run()[0, 50, 50, 50])
+    iters = 3
+    t0 = time.time()
+    acc = None
+    for _ in range(iters):
+        acc = run()
+    checksum = float(acc[0, 50, 50, 50])
+    t1 = time.time()
+
+    voxels = n_real * np.prod(patch) * iters
+    mvox_s = voxels / (t1 - t0) / 1e6
+    del checksum
+    print(json.dumps({
+        "metric": "affinity_inference_throughput",
+        "value": round(mvox_s, 2),
+        "unit": "Mvox/s/chip",
+        "vs_baseline": round(mvox_s / baseline, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()
