@@ -1,0 +1,128 @@
+"""ctypes bindings over the in-tree C++ engine.
+
+Provides the native capability the reference imports from waterz,
+kimimaro, and fastremap (SURVEY.md section 2.2), compiled lazily by
+:mod:`.build`.
+"""
+
+import ctypes
+
+import numpy as np
+
+from aind_exaspim_neuron_segmentation_tpu.native import build
+
+
+def _lib():
+    lib = build.load()
+    if not getattr(lib, "_exa_bound", False):
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        lib.exa_unique_counts.restype = ctypes.c_int64
+        lib.exa_unique_counts.argtypes = [
+            u32p, ctypes.c_int64, u32p, i64p, ctypes.c_int64,
+        ]
+        lib.exa_mask_except.restype = None
+        lib.exa_mask_except.argtypes = [
+            u32p, ctypes.c_int64, u32p, ctypes.c_int64,
+        ]
+        lib.exa_renumber.restype = ctypes.c_int64
+        lib.exa_renumber.argtypes = [u32p, ctypes.c_int64, ctypes.c_int32]
+        lib.exa_watershed.restype = ctypes.c_int64
+        lib.exa_watershed.argtypes = [
+            f32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_float, ctypes.c_float, u32p,
+        ]
+        lib.exa_agglomerate.restype = ctypes.c_int64
+        lib.exa_agglomerate.argtypes = [
+            f32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            f32p, ctypes.c_int64, ctypes.c_float, ctypes.c_float,
+            ctypes.c_int32, u32p,
+        ]
+        lib._exa_bound = True
+    return lib
+
+
+def _u32(arr):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
+
+
+def _f32(arr):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def _i64(arr):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def unique(labels, return_counts=False):
+    """Sorted distinct labels (and counts) -- fastremap.unique parity."""
+    lab = np.ascontiguousarray(labels, dtype=np.uint32).ravel()
+    lib = _lib()
+    n = lib.exa_unique_counts(_u32(lab), lab.size, None, None, 0)
+    ids = np.empty(n, np.uint32)
+    counts = np.empty(n, np.int64)
+    lib.exa_unique_counts(_u32(lab), lab.size, _u32(ids), _i64(counts), n)
+    if return_counts:
+        return ids, counts
+    return ids
+
+
+def mask_except(labels, keep_ids):
+    """Zero all labels not in keep_ids (fastremap.mask_except parity).
+
+    Returns a new uint32 array shaped like ``labels``.
+    """
+    out = np.ascontiguousarray(labels, dtype=np.uint32).copy()
+    keep = np.ascontiguousarray(keep_ids, dtype=np.uint32).ravel()
+    _lib().exa_mask_except(_u32(out.ravel()), out.size, _u32(keep), keep.size)
+    return out
+
+
+def renumber(labels, preserve_zero=True, in_place=False):
+    """Relabel to contiguous ids by first appearance (fastremap parity).
+
+    Returns ``(labels, n_labels)``.
+    """
+    out = np.ascontiguousarray(labels, dtype=np.uint32)
+    if not in_place or out is not labels:
+        out = out.copy() if not in_place else out
+    n = _lib().exa_renumber(_u32(out.ravel()), out.size,
+                            1 if preserve_zero else 0)
+    return out, int(n)
+
+
+def watershed(affinities, aff_threshold_low=0.1, aff_threshold_high=0.9999):
+    """Steepest-ascent affinity watershed fragments (uint32, 0=background)."""
+    affs = np.ascontiguousarray(affinities, dtype=np.float32)
+    if affs.ndim != 4 or affs.shape[0] != 3:
+        raise ValueError(f"expected (3, D, H, W) affinities, got {affs.shape}")
+    out = np.empty(affs.shape[1:], np.uint32)
+    k = _lib().exa_watershed(
+        _f32(affs), *affs.shape[1:],
+        ctypes.c_float(aff_threshold_low), ctypes.c_float(aff_threshold_high),
+        _u32(out.ravel()),
+    )
+    if k < 0:
+        raise RuntimeError("watershed failed")
+    return out
+
+
+def agglomerate_all(affinities, thresholds, aff_threshold_low=0.1,
+                    aff_threshold_high=0.9999, quantile_pct=85):
+    """All per-threshold segmentations at once as (T, D, H, W) uint32."""
+    affs = np.ascontiguousarray(affinities, dtype=np.float32)
+    if affs.ndim != 4 or affs.shape[0] != 3:
+        raise ValueError(f"expected (3, D, H, W) affinities, got {affs.shape}")
+    th = np.ascontiguousarray(thresholds, dtype=np.float32)
+    if len(th) == 0 or np.any(np.diff(th) < 0):
+        raise ValueError("thresholds must be non-empty and ascending")
+    out = np.empty((len(th),) + affs.shape[1:], np.uint32)
+    k = _lib().exa_agglomerate(
+        _f32(affs), *affs.shape[1:], _f32(th), len(th),
+        ctypes.c_float(aff_threshold_low), ctypes.c_float(aff_threshold_high),
+        quantile_pct, _u32(out.ravel()),
+    )
+    if k < 0:
+        raise RuntimeError("agglomeration failed")
+    return out

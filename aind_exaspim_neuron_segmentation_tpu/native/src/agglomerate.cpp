@@ -1,0 +1,305 @@
+// Affinity watershed + hierarchical supervoxel agglomeration.
+//
+// Native equivalent of the reference's waterz dependency, matching the
+// call-site contract at reference inference.py:224-233:
+//   agglomerate(affs float32 (3, D, H, W), thresholds,
+//               aff_threshold_low=0.1, aff_threshold_high=0.9999)
+// yielding one label volume per threshold (ascending), of which the
+// reference keeps only the last.
+//
+// Affinity convention (matches core.affinities): aff[c][z][y][x] is the
+// edge weight between voxel v=(z,y,x) and v + e_c, where e_0=(1,0,0),
+// e_1=(0,1,0), e_2=(0,0,1); entries in the last plane along axis c are
+// out-of-range and ignored.
+//
+// Algorithm:
+//  1. Fragments: steepest-ascent affinity watershed. Every edge with
+//     aff >= high is unioned outright (seeding); every voxel whose max
+//     incident affinity m(v) >= low is unioned with its steepest
+//     neighbor (deterministic tie-break by edge enumeration order).
+//     Voxels with m(v) < low are background (0). This follows the
+//     watershed construction of Zlateski & Seung (zwatershed), which
+//     waterz embeds.
+//  2. Region adjacency graph with a 256-bin affinity histogram per edge.
+//  3. Hierarchical agglomeration: edges are merged in order of
+//     increasing score = 1 - quantile(affinities, q) (q = 85th
+//     percentile by default, waterz's default scoring function
+//     OneMinus<QuantileAffinity<85>>), with lazy-deletion priority
+//     queue and histogram merging. After exhausting scores <= t for
+//     each requested threshold t (ascending), the current labeling is
+//     snapshotted.
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <queue>
+#include <unordered_map>
+#include <vector>
+
+#include "common.hpp"
+
+namespace {
+
+constexpr int kBins = 256;
+
+struct EdgeKey {
+  uint32_t a, b;  // a < b (fragment root ids at creation time)
+  bool operator==(const EdgeKey& o) const { return a == o.a && b == o.b; }
+};
+
+struct EdgeKeyHash {
+  size_t operator()(const EdgeKey& k) const {
+    return (static_cast<size_t>(k.a) << 32) ^ k.b;
+  }
+};
+
+struct Edge {
+  uint32_t a, b;
+  std::vector<uint32_t> hist;  // affinity histogram, kBins bins over [0,1]
+  uint64_t count = 0;
+  bool alive = true;
+
+  Edge(uint32_t a_, uint32_t b_) : a(a_), b(b_), hist(kBins, 0) {}
+
+  void add(float aff) {
+    int bin = static_cast<int>(aff * kBins);
+    if (bin < 0) bin = 0;
+    if (bin >= kBins) bin = kBins - 1;
+    ++hist[bin];
+    ++count;
+  }
+
+  void absorb(const Edge& o) {
+    for (int i = 0; i < kBins; ++i) hist[i] += o.hist[i];
+    count += o.count;
+  }
+
+  // score = 1 - q-quantile of the affinities (bin midpoint).
+  float score(int quantile_pct) const {
+    if (count == 0) return 1.0f;
+    uint64_t target = (count - 1) * quantile_pct / 100;
+    uint64_t seen = 0;
+    for (int i = 0; i < kBins; ++i) {
+      seen += hist[i];
+      if (seen > target) return 1.0f - (i + 0.5f) / kBins;
+    }
+    return 1.0f - (kBins - 0.5f) / kBins;
+  }
+};
+
+struct QItem {
+  float score;
+  uint32_t edge_idx;
+  bool operator>(const QItem& o) const {
+    if (score != o.score) return score > o.score;
+    return edge_idx > o.edge_idx;  // deterministic order
+  }
+};
+
+inline int64_t vox(int64_t z, int64_t y, int64_t x, int64_t H, int64_t W) {
+  return (z * H + y) * W + x;
+}
+
+}  // namespace
+
+// Watershed fragments only (exposed for testing / reuse).
+// out: uint32 (D*H*W), 0 = background, fragments renumbered 1..K.
+// Returns K.
+EXA_API int64_t exa_watershed(const float* affs, int64_t D, int64_t H,
+                              int64_t W, float low, float high,
+                              uint32_t* out) {
+  const int64_t N = D * H * W;
+  const int64_t strides[3] = {H * W, W, 1};
+  const float* aff_c[3] = {affs, affs + N, affs + 2 * N};
+
+  exa::UnionFind uf(static_cast<size_t>(N));
+  std::vector<uint8_t> foreground(N, 0);
+
+  // Pass 1: force-merge high edges; find steepest neighbor per voxel.
+  for (int64_t z = 0; z < D; ++z) {
+    for (int64_t y = 0; y < H; ++y) {
+      for (int64_t x = 0; x < W; ++x) {
+        const int64_t v = vox(z, y, x, H, W);
+        float best = -1.0f;
+        int64_t best_u = -1;
+        const int64_t coord[3] = {z, y, x};
+        const int64_t dims[3] = {D, H, W};
+        // outgoing edges (v, v+e_c) stored at v; incoming stored at v-e_c
+        for (int c = 0; c < 3; ++c) {
+          if (coord[c] + 1 < dims[c]) {
+            float a = aff_c[c][v];
+            if (a >= high) uf.unite(static_cast<uint32_t>(v),
+                                    static_cast<uint32_t>(v + strides[c]));
+            if (a >= low && a > best) {
+              best = a;
+              best_u = v + strides[c];
+            }
+          }
+          if (coord[c] - 1 >= 0) {
+            float a = aff_c[c][v - strides[c]];
+            if (a >= low && a > best) {
+              best = a;
+              best_u = v - strides[c];
+            }
+          }
+        }
+        if (best_u >= 0) {
+          foreground[v] = 1;
+          uf.unite(static_cast<uint32_t>(v), static_cast<uint32_t>(best_u));
+        }
+      }
+    }
+  }
+
+  // Renumber fragment roots (foreground only) to 1..K in scan order.
+  std::unordered_map<uint32_t, uint32_t> root_to_id;
+  root_to_id.reserve(1024);
+  uint32_t next = 1;
+  for (int64_t v = 0; v < N; ++v) {
+    if (!foreground[v]) {
+      out[v] = 0;
+      continue;
+    }
+    uint32_t r = uf.find(static_cast<uint32_t>(v));
+    auto it = root_to_id.find(r);
+    if (it == root_to_id.end()) it = root_to_id.emplace(r, next++).first;
+    out[v] = it->second;
+  }
+  return static_cast<int64_t>(next - 1);
+}
+
+// Full pipeline: watershed + agglomeration snapshots.
+// out: uint32 (n_thresholds * D*H*W), one labeling per threshold
+// (thresholds must be ascending). Returns the fragment count K (>=0) or
+// -1 on error.
+EXA_API int64_t exa_agglomerate(const float* affs, int64_t D, int64_t H,
+                                int64_t W, const float* thresholds,
+                                int64_t n_thresholds, float low, float high,
+                                int32_t quantile_pct, uint32_t* out) {
+  const int64_t N = D * H * W;
+  std::vector<uint32_t> frag(N);
+  const int64_t K = exa_watershed(affs, D, H, W, low, high, frag.data());
+  if (K < 0) return -1;
+
+  // Build the RAG over fragments.
+  const int64_t strides[3] = {H * W, W, 1};
+  const float* aff_c[3] = {affs, affs + N, affs + 2 * N};
+  std::unordered_map<EdgeKey, uint32_t, EdgeKeyHash> edge_index;
+  std::vector<Edge> edges;
+  for (int64_t z = 0; z < D; ++z) {
+    for (int64_t y = 0; y < H; ++y) {
+      for (int64_t x = 0; x < W; ++x) {
+        const int64_t v = vox(z, y, x, H, W);
+        const uint32_t fa = frag[v];
+        if (fa == 0) continue;
+        const int64_t coord[3] = {z, y, x};
+        const int64_t dims[3] = {D, H, W};
+        for (int c = 0; c < 3; ++c) {
+          if (coord[c] + 1 >= dims[c]) continue;
+          const uint32_t fb = frag[v + strides[c]];
+          if (fb == 0 || fb == fa) continue;
+          EdgeKey key{std::min(fa, fb), std::max(fa, fb)};
+          auto it = edge_index.find(key);
+          if (it == edge_index.end()) {
+            it = edge_index.emplace(key, edges.size()).first;
+            edges.emplace_back(key.a, key.b);
+          }
+          edges[it->second].add(aff_c[c][v]);
+        }
+      }
+    }
+  }
+
+  // Adjacency: fragment root -> incident edge indices.
+  exa::UnionFind uf(static_cast<size_t>(K) + 1);
+  std::vector<std::vector<uint32_t>> incident(K + 1);
+  for (uint32_t ei = 0; ei < edges.size(); ++ei) {
+    incident[edges[ei].a].push_back(ei);
+    incident[edges[ei].b].push_back(ei);
+  }
+
+  std::priority_queue<QItem, std::vector<QItem>, std::greater<QItem>> pq;
+  for (uint32_t ei = 0; ei < edges.size(); ++ei) {
+    pq.push({edges[ei].score(quantile_pct), ei});
+  }
+
+  auto snapshot = [&](uint32_t* dst) {
+    for (int64_t v = 0; v < N; ++v) {
+      dst[v] = frag[v] ? uf.find(frag[v]) : 0;
+    }
+  };
+
+  int64_t t_idx = 0;
+  auto flush_thresholds = [&](float next_score) {
+    while (t_idx < n_thresholds && next_score > thresholds[t_idx]) {
+      snapshot(out + t_idx * N);
+      ++t_idx;
+    }
+  };
+
+  while (!pq.empty() && t_idx < n_thresholds) {
+    QItem item = pq.top();
+    pq.pop();
+    Edge& e = edges[item.edge_idx];
+    if (!e.alive) continue;
+    const uint32_t ra = uf.find(e.a);
+    const uint32_t rb = uf.find(e.b);
+    if (ra == rb) {
+      e.alive = false;
+      continue;
+    }
+    const float current = e.score(quantile_pct);
+    if (current != item.score) {  // stale entry: re-queue with new score
+      pq.push({current, item.edge_idx});
+      continue;
+    }
+    flush_thresholds(current);
+    if (t_idx >= n_thresholds) break;
+
+    // Merge rb into ra (or vice versa, by adjacency degree).
+    uint32_t keep = ra, drop = rb;
+    if (incident[keep].size() < incident[drop].size()) std::swap(keep, drop);
+    const uint32_t root = uf.unite(keep, drop);
+    e.alive = false;
+
+    // Re-point dropped side's edges; combine parallel edges.
+    std::unordered_map<uint32_t, uint32_t> peer_edge;  // peer root -> edge
+    peer_edge.reserve(incident[keep].size() + incident[drop].size());
+    std::vector<uint32_t> merged;
+    merged.reserve(incident[keep].size() + incident[drop].size());
+    for (int side = 0; side < 2; ++side) {
+      auto& list = side == 0 ? incident[keep] : incident[drop];
+      for (uint32_t ei : list) {
+        Edge& f = edges[ei];
+        if (!f.alive) continue;
+        const uint32_t fa = uf.find(f.a);
+        const uint32_t fb = uf.find(f.b);
+        if (fa == fb) {
+          f.alive = false;
+          continue;
+        }
+        const uint32_t peer = (fa == root) ? fb : fa;
+        auto it = peer_edge.find(peer);
+        if (it == peer_edge.end()) {
+          peer_edge.emplace(peer, ei);
+          merged.push_back(ei);
+        } else {
+          Edge& g = edges[it->second];
+          g.absorb(f);
+          f.alive = false;
+          pq.push({g.score(quantile_pct), it->second});
+        }
+      }
+    }
+    incident[keep].clear();
+    incident[drop].clear();
+    incident[root] = std::move(merged);
+  }
+  flush_thresholds(2.0f);  // emit any remaining snapshots
+  while (t_idx < n_thresholds) {
+    snapshot(out + t_idx * N);
+    ++t_idx;
+  }
+  return K;
+}
