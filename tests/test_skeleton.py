@@ -1,0 +1,123 @@
+"""TEASAR skeletonization + SWC round-trip tests.
+
+``voxelize_skeletons`` (reference inference.py:313-336) is the natural
+round-trip oracle per SURVEY.md section 4.
+"""
+
+import io
+import zipfile
+
+import numpy as np
+import pytest
+
+from aind_exaspim_neuron_segmentation_tpu import inference
+from aind_exaspim_neuron_segmentation_tpu.postprocess.skeleton import (
+    Skeleton,
+    skeletonize,
+)
+
+
+def tube(shape=(9, 40, 9), axis=1):
+    seg = np.zeros(shape, np.uint32)
+    sl = [slice(3, 6)] * 3
+    sl[axis] = slice(2, shape[axis] - 2)
+    seg[tuple(sl)] = 1
+    return seg
+
+
+class TestTeasar:
+    def test_straight_tube_centerline(self):
+        sk = skeletonize(tube(), const=2, scale=1.0, fix_borders=False)
+        s = sk[1]
+        assert len(s.radii) >= 20
+        assert s.vertices[:, 1].max() - s.vertices[:, 1].min() >= 30
+        # centerline stays near the tube axis (z=x=4 +- 1)
+        assert np.abs(s.vertices[:, 0] - 4).max() <= 1.5
+        assert np.abs(s.vertices[:, 2] - 4).max() <= 1.5
+        # connected path: E = V - 1
+        assert len(s.edges) == len(s.radii) - 1
+
+    def test_two_segments_two_skeletons(self):
+        seg = tube()
+        seg2 = np.zeros_like(seg)
+        seg2[3:6, 2:38, 3:6] = 5
+        combined = np.concatenate([seg, np.zeros_like(seg), seg2], axis=2)
+        sk = skeletonize(combined, const=2, scale=1.0, fix_borders=False)
+        assert set(sk.keys()) == {1, 5}
+
+    def test_l_shaped_branch(self):
+        seg = np.zeros((30, 30, 9), np.uint32)
+        seg[2:28, 13:16, 3:6] = 1  # vertical bar
+        seg[13:16, 2:28, 3:6] = 1  # horizontal bar (crosses it)
+        sk = skeletonize(seg, const=2, scale=1.0, fix_borders=False)
+        s = sk[1]
+        # spans both arms
+        assert s.vertices[:, 0].max() - s.vertices[:, 0].min() >= 20
+        assert s.vertices[:, 1].max() - s.vertices[:, 1].min() >= 20
+
+    def test_anisotropy_scales_vertices(self):
+        sk = skeletonize(
+            tube(), const=2, scale=1.0, anisotropy=(2.0, 1.0, 1.0),
+            fix_borders=False,
+        )
+        assert sk[1].vertices[:, 0].max() >= 6  # z indices ~4 scaled by 2
+
+    def test_fill_holes(self):
+        seg = np.zeros((12, 12, 12), np.uint32)
+        seg[2:10, 2:10, 2:10] = 1
+        seg[5:7, 5:7, 5:7] = 0  # interior cavity
+        sk_filled = skeletonize(seg, const=2, scale=1.0, fill_holes=True,
+                                fix_borders=False)
+        assert 1 in sk_filled  # does not crash / still one skeleton
+
+    def test_radii_reflect_thickness(self):
+        sk = skeletonize(tube(), const=2, scale=1.0, fix_borders=False)
+        r = sk[1].radii
+        assert r.max() <= 4.0 and r.min() > 0
+
+    def test_empty_segmentation(self):
+        assert skeletonize(np.zeros((5, 5, 5), np.uint32)) == {}
+
+
+class TestSwc:
+    def test_round_trip(self):
+        sk = skeletonize(tube(), const=2, scale=1.0, fix_borders=False)[1]
+        rt = Skeleton.from_swc(sk.to_swc())
+        assert len(rt.radii) == len(sk.radii)
+        assert len(rt.edges) == len(sk.edges)
+        # same vertex set (order may differ)
+        a = set(map(tuple, np.round(sk.vertices, 3)))
+        b = set(map(tuple, np.round(rt.vertices, 3)))
+        assert a == b
+
+    def test_swc_parent_structure(self):
+        sk = skeletonize(tube(), const=2, scale=1.0, fix_borders=False)[1]
+        lines = [ln.split() for ln in sk.to_swc().splitlines() if ln]
+        assert lines[0][6] == "-1"  # exactly one root, first row
+        seen = set()
+        for f in lines:
+            nid, parent = int(f[0]), int(f[6])
+            assert parent == -1 or parent in seen
+            seen.add(nid)
+
+
+class TestPipelineSurface:
+    def test_segmentation_to_zipped_swcs(self, tmp_path):
+        seg = tube((9, 30, 9))
+        zip_path = tmp_path / "skels.zip"
+        skels = inference.segmentation_to_zipped_swcs(seg, str(zip_path))
+        assert 1 in skels
+        with zipfile.ZipFile(zip_path) as zf:
+            names = zf.namelist()
+            assert names == ["1.swc"]
+            text = zf.read("1.swc").decode()
+        assert Skeleton.from_swc(text).vertices.shape[1] == 3
+
+    def test_voxelize_round_trip(self):
+        seg = tube((9, 30, 9))
+        skels = inference.skeletonize(seg)
+        vol = inference.voxelize_skeletons(skels, seg.shape)
+        # every rasterized skeleton voxel lies inside the segment
+        hit = vol > 0
+        assert hit.sum() > 0
+        assert (seg[hit] == 1).all()
