@@ -1,0 +1,288 @@
+"""Minimal Zarr v2 + N5 chunked-array IO (no zarr/numcodecs dependency).
+
+The reference reads volumes through zarr-python over DirectoryStore /
+gcsfs / s3fs and N5Store (reference img_util.py:53-97); this environment
+has neither zarr nor numcodecs, so the formats are implemented directly:
+
+* **Zarr v2**: ``.zarray`` JSON metadata; chunk keys ``i.j.k`` (or ``/``
+  per ``dimension_separator``); compressors: ``null``, ``zlib``, ``gzip``
+  (blosc is unavailable without numcodecs -- reading a blosc-compressed
+  store raises with a clear message). C order only.
+* **N5**: ``attributes.json`` with ``dimensions`` in XYZ (fastest-first)
+  order, chunk keys ``x/y/z``, big-endian block headers (mode 0), raw or
+  gzip compression, block payload in fortran order relative to the XYZ
+  dims (equals C order over ZYX) -- the zarr N5Store convention.
+
+Both expose :class:`LazyArray` -- shape/dtype/ndim plus numpy-style slice
+reads that touch only the chunks a patch needs, which is what the
+patch-sampling datasets index (reference data_handling.py:134-153).
+"""
+
+import gzip as _gzip
+import json
+import math
+import zlib
+
+import numpy as np
+
+from aind_exaspim_neuron_segmentation_tpu.io.stores import open_store
+
+
+def _decompress(data, compressor):
+    if compressor is None:
+        return data
+    cid = compressor.get("id")
+    if cid == "zlib":
+        return zlib.decompress(data)
+    if cid == "gzip":
+        return _gzip.decompress(data)
+    raise ValueError(
+        f"unsupported compressor {cid!r}: this build supports null/zlib/"
+        "gzip (numcodecs is not installed)"
+    )
+
+
+def _compress(data, compressor):
+    if compressor is None:
+        return data
+    cid = compressor.get("id")
+    if cid == "zlib":
+        return zlib.compress(data, compressor.get("level", 1))
+    if cid == "gzip":
+        return _gzip.compress(data, compressor.get("level", 1))
+    raise ValueError(f"unsupported compressor {cid!r}")
+
+
+class LazyArray:
+    """Chunked lazy reader; subclasses supply per-chunk decode."""
+
+    shape = ()
+    chunks = ()
+    dtype = None
+    fill_value = 0
+
+    @property
+    def ndim(self):
+        return len(self.shape)
+
+    def __len__(self):
+        return self.shape[0]
+
+    def _chunk(self, idx):
+        raise NotImplementedError
+
+    def __getitem__(self, key):
+        if not isinstance(key, tuple):
+            key = (key,)
+        key = key + (slice(None),) * (self.ndim - len(key))
+        squeeze = []
+        slices = []
+        for axis, k in enumerate(key):
+            if isinstance(k, (int, np.integer)):
+                k = int(k)
+                if k < 0:
+                    k += self.shape[axis]
+                slices.append(slice(k, k + 1))
+                squeeze.append(axis)
+            else:
+                slices.append(slice(*k.indices(self.shape[axis])))
+        out_shape = tuple(s.stop - s.start for s in slices)
+        out = np.full(out_shape, self.fill_value, dtype=self.dtype)
+        ranges = [
+            range(s.start // c, (max(s.stop - 1, s.start) // c) + 1)
+            if s.stop > s.start else range(0)
+            for s, c in zip(slices, self.chunks)
+        ]
+
+        def walk(axis, idx):
+            if axis == self.ndim:
+                chunk = self._chunk(tuple(idx))
+                src, dst = [], []
+                for a, (ci, s, c) in enumerate(zip(idx, slices, self.chunks)):
+                    lo = max(s.start, ci * c)
+                    hi = min(s.stop, (ci + 1) * c)
+                    src.append(slice(lo - ci * c, hi - ci * c))
+                    dst.append(slice(lo - s.start, hi - s.start))
+                out[tuple(dst)] = chunk[tuple(src)]
+                return
+            for ci in ranges[axis]:
+                walk(axis + 1, idx + [ci])
+
+        if all(len(r) for r in ranges):
+            walk(0, [])
+        if squeeze:
+            out = out.reshape(
+                tuple(
+                    n for a, n in enumerate(out_shape) if a not in squeeze
+                )
+            )
+        return out
+
+
+class ZarrArray(LazyArray):
+    """Read-only Zarr v2 array over a key-value store."""
+
+    def __init__(self, store, meta):
+        self.store = store
+        self.shape = tuple(meta["shape"])
+        self.chunks = tuple(meta["chunks"])
+        self.dtype = np.dtype(meta["dtype"])
+        self.compressor = meta.get("compressor")
+        self.fill_value = meta.get("fill_value", 0) or 0
+        self.order = meta.get("order", "C")
+        self.sep = meta.get("dimension_separator", ".")
+
+    def _chunk(self, idx):
+        key = self.sep.join(str(i) for i in idx)
+        data = self.store.get(key)
+        cshape = self.chunks
+        if data is None:
+            return np.full(cshape, self.fill_value, self.dtype)
+        raw = _decompress(data, self.compressor)
+        arr = np.frombuffer(raw, dtype=self.dtype)
+        return arr.reshape(cshape, order=self.order)
+
+
+class N5Array(LazyArray):
+    """Read-only N5 dataset over a key-value store.
+
+    ``attributes.json`` lists dimensions fastest-first (XYZ); exposed
+    shape is reversed to ZYX like zarr's N5 adapters.
+    """
+
+    _DTYPES = {
+        "uint8": ">u1", "uint16": ">u2", "uint32": ">u4", "uint64": ">u8",
+        "int8": ">i1", "int16": ">i2", "int32": ">i4", "int64": ">i8",
+        "float32": ">f4", "float64": ">f8",
+    }
+
+    def __init__(self, store, attrs):
+        self.store = store
+        dims_xyz = attrs["dimensions"]
+        block_xyz = attrs["blockSize"]
+        self.shape = tuple(reversed(dims_xyz))
+        self.chunks = tuple(reversed(block_xyz))
+        self.dtype = np.dtype(self._DTYPES[attrs["dataType"]])
+        self.compression = attrs.get("compression", {"type": "raw"})
+        self.fill_value = 0
+
+    def _chunk(self, idx):
+        # N5 chunk paths are fastest-dim first: reverse the zyx index.
+        key = "/".join(str(i) for i in reversed(idx))
+        data = self.store.get(key)
+        if data is None:
+            return np.zeros(self.chunks, self.dtype)
+        mode = int.from_bytes(data[0:2], "big")
+        ndim = int.from_bytes(data[2:4], "big")
+        dims = [
+            int.from_bytes(data[4 + i * 4: 8 + i * 4], "big")
+            for i in range(ndim)
+        ]
+        off = 4 + 4 * ndim
+        if mode == 1:
+            off += 4  # varlength: num elements (unused here)
+        payload = data[off:]
+        ctype = self.compression.get("type", "raw")
+        if ctype == "gzip":
+            payload = _gzip.decompress(payload)
+        elif ctype != "raw":
+            raise ValueError(f"unsupported N5 compression {ctype!r}")
+        block_zyx = tuple(reversed(dims))
+        arr = np.frombuffer(payload, dtype=self.dtype).reshape(block_zyx)
+        if block_zyx == tuple(self.chunks):
+            return arr
+        full = np.zeros(self.chunks, self.dtype)
+        full[tuple(slice(0, d) for d in block_zyx)] = arr
+        return full
+
+
+def open_zarr(path, mode="r"):
+    """Open a Zarr v2 array (the store root must hold ``.zarray``)."""
+    store = open_store(path)
+    meta = store.get(".zarray")
+    if meta is None:
+        raise FileNotFoundError(f"no .zarray at {path}")
+    arr = ZarrArray(store, json.loads(meta))
+    del mode
+    return arr
+
+
+def open_n5(path):
+    """Open an N5 dataset (the store root must hold ``attributes.json``)."""
+    store = open_store(path)
+    attrs = store.get("attributes.json")
+    if attrs is None:
+        raise FileNotFoundError(f"no attributes.json at {path}")
+    attrs = json.loads(attrs)
+    if "dimensions" not in attrs:
+        raise ValueError(
+            f"{path} is an N5 group, not a dataset (pass the dataset dir)"
+        )
+    return N5Array(store, attrs)
+
+
+def write_zarr(path, array, chunks=None, compressor={"id": "zlib", "level": 1}):
+    """Write a numpy array as a Zarr v2 store."""
+    array = np.asarray(array)
+    if chunks is None:
+        chunks = tuple(min(64, s) for s in array.shape)
+    store = open_store(path)
+    meta = {
+        "zarr_format": 2,
+        "shape": list(array.shape),
+        "chunks": list(chunks),
+        "dtype": array.dtype.str,
+        "compressor": compressor,
+        "fill_value": 0,
+        "order": "C",
+        "filters": None,
+        "dimension_separator": ".",
+    }
+    store.put(".zarray", json.dumps(meta).encode())
+    grid = [math.ceil(s / c) for s, c in zip(array.shape, chunks)]
+    for idx in np.ndindex(*grid):
+        sl = tuple(
+            slice(i * c, min((i + 1) * c, s))
+            for i, c, s in zip(idx, chunks, array.shape)
+        )
+        block = np.zeros(chunks, array.dtype)
+        block[tuple(slice(0, s.stop - s.start) for s in sl)] = array[sl]
+        key = ".".join(str(i) for i in idx)
+        store.put(key, _compress(block.tobytes(order="C"), compressor))
+    return path
+
+
+def write_n5(path, array, chunks=None, compression={"type": "gzip"}):
+    """Write a numpy array (zyx) as an N5 dataset."""
+    array = np.asarray(array)
+    if chunks is None:
+        chunks = tuple(min(64, s) for s in array.shape)
+    store = open_store(path)
+    dtype_name = array.dtype.name
+    if dtype_name not in N5Array._DTYPES:
+        raise ValueError(f"unsupported N5 dtype {dtype_name}")
+    attrs = {
+        "dimensions": list(reversed(array.shape)),
+        "blockSize": list(reversed(chunks)),
+        "dataType": dtype_name,
+        "compression": compression,
+    }
+    store.put("attributes.json", json.dumps(attrs).encode())
+    be = np.dtype(N5Array._DTYPES[dtype_name])
+    grid = [math.ceil(s / c) for s, c in zip(array.shape, chunks)]
+    for idx in np.ndindex(*grid):
+        sl = tuple(
+            slice(i * c, min((i + 1) * c, s))
+            for i, c, s in zip(idx, chunks, array.shape)
+        )
+        block = np.ascontiguousarray(array[sl], dtype=be)
+        dims_xyz = list(reversed(block.shape))
+        header = (0).to_bytes(2, "big") + len(dims_xyz).to_bytes(2, "big")
+        for d in dims_xyz:
+            header += int(d).to_bytes(4, "big")
+        payload = block.tobytes(order="C")
+        if compression.get("type") == "gzip":
+            payload = _gzip.compress(payload, 1)
+        key = "/".join(str(i) for i in reversed(idx))
+        store.put(key, header + payload)
+    return path

@@ -1,0 +1,118 @@
+"""Zarr/N5/TIFF IO round-trips and lazy-read behavior."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from aind_exaspim_neuron_segmentation_tpu import io as vio
+
+
+@pytest.fixture
+def vol():
+    return np.random.default_rng(0).integers(
+        0, 5000, size=(40, 33, 27)
+    ).astype(np.uint16)
+
+
+class TestZarr:
+    def test_round_trip(self, tmp_path, vol):
+        path = str(tmp_path / "v.zarr")
+        vio.write_zarr(path, vol, chunks=(16, 16, 16))
+        arr = vio.read(path)
+        assert arr.shape == vol.shape and arr.dtype == vol.dtype
+        np.testing.assert_array_equal(arr[:], vol)
+
+    def test_lazy_patch_read(self, tmp_path, vol):
+        path = str(tmp_path / "v.zarr")
+        vio.write_zarr(path, vol, chunks=(16, 16, 16))
+        arr = vio.read(path)
+        np.testing.assert_array_equal(
+            arr[5:21, 10:30, 3:27], vol[5:21, 10:30, 3:27]
+        )
+        np.testing.assert_array_equal(arr[7], vol[7])  # int index
+        np.testing.assert_array_equal(arr[-1], vol[-1])  # negative index
+
+    def test_uncompressed_and_gzip(self, tmp_path, vol):
+        for comp in (None, {"id": "gzip", "level": 1}):
+            path = str(tmp_path / f"v_{comp and comp['id']}.zarr")
+            vio.write_zarr(path, vol, chunks=(32, 32, 32), compressor=comp)
+            np.testing.assert_array_equal(vio.read(path)[:], vol)
+
+    def test_missing_chunk_reads_fill(self, tmp_path, vol):
+        path = str(tmp_path / "v.zarr")
+        vio.write_zarr(path, vol, chunks=(16, 16, 16))
+        os.remove(str(tmp_path / "v.zarr" / "0.0.0"))
+        arr = vio.read(path)
+        assert (arr[:16, :16, :16] == 0).all()
+
+    def test_blosc_raises_clearly(self, tmp_path, vol):
+        path = tmp_path / "v.zarr"
+        vio.write_zarr(str(path), vol)
+        meta = json.loads((path / ".zarray").read_text())
+        meta["compressor"] = {"id": "blosc", "cname": "lz4"}
+        (path / ".zarray").write_text(json.dumps(meta))
+        with pytest.raises(ValueError, match="blosc"):
+            vio.read(str(path))[:]
+
+    def test_float_dtype(self, tmp_path):
+        v = np.random.default_rng(1).standard_normal((10, 10, 10)).astype(
+            np.float32
+        )
+        path = str(tmp_path / "f.zarr")
+        vio.write_zarr(path, v)
+        np.testing.assert_array_equal(vio.read(path)[:], v)
+
+
+class TestN5:
+    def test_round_trip(self, tmp_path, vol):
+        path = str(tmp_path / "v.n5")
+        vio.write_n5(path, vol, chunks=(16, 16, 16))
+        arr = vio.read(path)
+        assert arr.shape == vol.shape
+        np.testing.assert_array_equal(arr[:], vol)
+
+    def test_attributes_are_xyz(self, tmp_path, vol):
+        path = tmp_path / "v.n5"
+        vio.write_n5(str(path), vol)
+        attrs = json.loads((path / "attributes.json").read_text())
+        assert attrs["dimensions"] == list(reversed(vol.shape))
+
+    def test_raw_compression(self, tmp_path, vol):
+        path = str(tmp_path / "r.n5")
+        vio.write_n5(path, vol, compression={"type": "raw"})
+        np.testing.assert_array_equal(vio.read(path)[:], vol)
+
+    def test_partial_edge_blocks(self, tmp_path):
+        v = np.arange(7 * 9 * 11, dtype=np.uint32).reshape(7, 9, 11)
+        path = str(tmp_path / "e.n5")
+        vio.write_n5(path, v, chunks=(4, 4, 4))
+        np.testing.assert_array_equal(vio.read(path)[:], v)
+
+
+class TestTiff:
+    def test_round_trip_3d(self, tmp_path, vol):
+        path = str(tmp_path / "v.tif")
+        vio.write_tiff(path, vol)
+        out = vio.read(path)
+        assert isinstance(out, np.ndarray)  # eager, like tifffile
+        np.testing.assert_array_equal(out, vol)
+
+    def test_round_trip_2d(self, tmp_path):
+        img = np.random.default_rng(2).integers(
+            0, 255, (20, 30)
+        ).astype(np.uint8)
+        path = str(tmp_path / "i.tiff")
+        vio.write_tiff(path, img)
+        np.testing.assert_array_equal(vio.read(path), img)
+
+
+class TestDispatch:
+    def test_unknown_extension(self):
+        with pytest.raises(ValueError, match="unsupported extension"):
+            vio.read("volume.hdf5")
+
+    def test_missing_zarr(self, tmp_path):
+        with pytest.raises(FileNotFoundError):
+            vio.read(str(tmp_path / "nope.zarr"))

@@ -1,0 +1,111 @@
+"""utils layer: fs helpers, GCS listing (mocked), viz smoke tests."""
+
+import os
+
+import numpy as np
+
+from aind_exaspim_neuron_segmentation_tpu.utils import img_util, util
+
+
+class FakeBlob:
+    def __init__(self, name):
+        self.name = name
+
+
+class FakeBlobIter:
+    def __init__(self, blobs, prefixes):
+        self._blobs = [FakeBlob(b) for b in blobs]
+        self.prefixes = prefixes
+
+    def __iter__(self):
+        return iter(self._blobs)
+
+
+class FakeClient:
+    """Stands in for google.cloud.storage.Client (offline harness)."""
+
+    def __init__(self, tree):
+        self.tree = tree  # prefix -> (blobs, prefixes)
+
+    def list_blobs(self, bucket, prefix="", delimiter=None):
+        blobs, prefixes = self.tree.get(prefix, ([], []))
+        if delimiter is None:
+            return FakeBlobIter(blobs, [])
+        return FakeBlobIter(blobs, prefixes)
+
+
+class TestFs:
+    def test_mkdir_rmdir(self, tmp_path):
+        p = str(tmp_path / "a" / "b")
+        util.mkdir(p)
+        assert os.path.isdir(p)
+        util.mkdir(p, delete=True)
+        assert os.path.isdir(p)
+        util.rmdir(p)
+        assert not os.path.exists(p)
+
+
+class TestGcs:
+    def make_client(self):
+        return FakeClient({
+            "data/": (
+                [],
+                ["data/block0/", "data/block1/"],
+            ),
+            "data/block0/": (
+                ["data/block0/readme.txt"],
+                ["data/block0/input.zarr/", "data/block0/Fill_Label_Mask.zarr/"],
+            ),
+            "data/block1/": (
+                [],
+                ["data/block1/input.tif/", "data/block1/Fill_Label_Mask.tif/"],
+            ),
+        })
+
+    def test_list_subprefixes(self):
+        c = self.make_client()
+        subs = util.list_gcs_subprefixes("b", "data/", client=c)
+        assert subs == ["data/block0/", "data/block1/"]
+
+    def test_find_subprefix_with_keyword(self):
+        c = self.make_client()
+        got = util.find_subprefix_with_keyword(
+            "b", "data/block0/", "input.", client=c
+        )
+        assert got == "data/block0/input.zarr/"
+
+    def test_find_keyword_missing_raises(self):
+        c = self.make_client()
+        try:
+            util.find_subprefix_with_keyword(
+                "b", "data/block0/", "nope", client=c
+            )
+            assert False
+        except LookupError:
+            pass
+
+    def test_list_block_paths(self):
+        c = self.make_client()
+        imgs, labs = img_util.list_block_paths("data/", client=c)
+        assert imgs[0] == "gs://allen-nd-goog/data/block0/input.zarr/"
+        assert labs[1] == "gs://allen-nd-goog/data/block1/Fill_Label_Mask.tif/"
+
+
+class TestViz:
+    def test_plot_mips(self, tmp_path):
+        img = np.random.default_rng(0).uniform(0, 100, (8, 8, 8))
+        out = str(tmp_path / "mips.png")
+        img_util.plot_mips(img, output_path=out)
+        assert os.path.getsize(out) > 0
+
+    def test_plot_segmentation_mips_5d(self, tmp_path):
+        seg = np.zeros((1, 1, 8, 8, 8), np.uint32)
+        seg[0, 0, 2:6, 2:6, 2:6] = 3
+        out = str(tmp_path / "seg.png")
+        img_util.plot_segmentation_mips(seg, output_path=out)
+        assert os.path.getsize(out) > 0
+
+    def test_img_util_reexports(self):
+        assert img_util.read is not None
+        assert img_util.normalize is not None
+        assert img_util.get_affinity_channels is not None
