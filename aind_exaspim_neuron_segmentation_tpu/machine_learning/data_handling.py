@@ -1,0 +1,268 @@
+"""Patch-sampling datasets for training and validation.
+
+Sampling semantics mirror reference machine_learning/data_handling.py:
+* BaseDataset loads all volumes up front via ``img_util.read``
+  (data_handling.py:67-89), extracts center-based patches, clips
+  brightness (default 300 -- the train-side default, vs 1000 in predict,
+  a deliberate reference inconsistency preserved here), percentile
+  min-max normalizes per patch;
+* TrainDataset draws volumes with probability proportional to their
+  foreground voxel counts, biases 85% of draws toward foreground
+  patches (> 10^3 foreground voxels) with <= 25 rejection-sampling
+  attempts, reports ``len = 4 * n_volumes``, and computes affinity
+  targets on the fly (data_handling.py:156-311);
+* ValidateDataset enumerates a deterministic non-overlapping grid of
+  patch centers, keeping every foreground example plus a random 25%
+  count of background examples (data_handling.py:314-458).
+
+Deliberate deviations (documented):
+* volumes may be given as in-memory arrays, not only paths;
+* ``normalization_percentiles`` is actually forwarded to the base class
+  (the reference accepts-but-drops it, data_handling.py:194-200);
+* ``transform`` accepts a callable and uses it (the reference's
+  truthiness check replaces any callable with the default
+  ImageTransforms, data_handling.py:203); ``transform=True`` selects the
+  default pipeline;
+* datasets accept a ``seed`` for reproducible sampling.
+"""
+
+import random as _random
+
+import numpy as np
+
+from aind_exaspim_neuron_segmentation_tpu.core.affinities import (
+    get_affinity_channels,
+)
+from aind_exaspim_neuron_segmentation_tpu.core.normalize import normalize
+from aind_exaspim_neuron_segmentation_tpu.core.patches import (
+    generate_patch_starts,
+    get_patch,
+    is_contained,
+)
+from aind_exaspim_neuron_segmentation_tpu.machine_learning.augmentation import (
+    ImageTransforms,
+)
+
+FOREGROUND_MIN_VOXELS = 10**3
+
+
+def _load(volume_or_path):
+    if isinstance(volume_or_path, str):
+        from aind_exaspim_neuron_segmentation_tpu.io import read
+
+        return read(volume_or_path)
+    return volume_or_path
+
+
+class BaseDataset:
+    """Shared volume loading + patch extraction (reference :22-153)."""
+
+    def __init__(
+        self,
+        input_img_paths,
+        label_mask_paths,
+        affinity_mode=True,
+        brightness_clip=300,
+        normalization_percentiles=(1, 99.9),
+        patch_shape=(96, 96, 96),
+    ):
+        self.affinity_mode = affinity_mode
+        self.brightness_clip = brightness_clip
+        self.normalization_percentiles = normalization_percentiles
+        self.patch_shape = tuple(patch_shape)
+        self.input_imgs = [_load(p) for p in input_img_paths]
+        self.label_masks = [_load(p) for p in label_mask_paths]
+        if len(self.input_imgs) != len(self.label_masks):
+            raise ValueError("input and label volume counts differ")
+
+    def get_patch(self, img, center):
+        """(1, D, H, W) center-based patch (reference :91-112)."""
+        return np.array(get_patch(img, center, self.patch_shape)[np.newaxis])
+
+    def get_input_patch(self, i, center):
+        """Clipped + per-patch-normalized input (reference :114-132)."""
+        patch = self.get_patch(self.input_imgs[i], center)
+        patch = np.minimum(patch, self.brightness_clip)
+        return normalize(
+            patch, percentiles=self.normalization_percentiles
+        ).astype(np.float32)
+
+    def get_label_patch(self, i, center):
+        """Label patch; binarized when not in affinity mode (ref :134-153)."""
+        patch = self.get_patch(self.label_masks[i], center)
+        if not self.affinity_mode:
+            patch = (patch > 0).astype(int)
+        return patch
+
+    def _volume_shape(self, i):
+        shape = self.label_masks[i].shape
+        return shape[2:] if len(shape) == 5 else shape
+
+    def _target(self, label_patch):
+        if self.affinity_mode:
+            return get_affinity_channels(label_patch[0]).astype(np.float32)
+        return label_patch.astype(np.float32)
+
+
+class TrainDataset(BaseDataset):
+    """Randomized foreground-biased patch sampler (reference :156-311)."""
+
+    def __init__(
+        self,
+        input_img_paths,
+        label_mask_paths,
+        affinity_mode=True,
+        brightness_clip=300,
+        normalization_percentiles=(1, 99.9),
+        patch_shape=(96, 96, 96),
+        transform=None,
+        seed=None,
+    ):
+        super().__init__(
+            input_img_paths,
+            label_mask_paths,
+            affinity_mode=affinity_mode,
+            brightness_clip=brightness_clip,
+            normalization_percentiles=normalization_percentiles,
+            patch_shape=patch_shape,
+        )
+        if transform is True:
+            self.transform = ImageTransforms()
+        elif callable(transform):
+            self.transform = transform
+        else:
+            self.transform = None
+        self.rng = _random.Random(seed)
+        self.np_rng = np.random.default_rng(seed)
+        self.wgts = self.compute_wgts()
+
+    def compute_wgts(self):
+        """Per-volume sampling weights ~ foreground voxel count (ref :206)."""
+        wgts = np.array(
+            [float((m[:] > 0).sum()) for m in self.label_masks]
+        )
+        total = wgts.sum()
+        if total == 0:
+            return np.full(len(wgts), 1.0 / max(len(wgts), 1))
+        return wgts / total
+
+    def __len__(self):
+        return 4 * len(self.label_masks)
+
+    def __getitem__(self, _ignored):
+        _, input_patch, label_patch = self.sample_patch()
+        if self.transform:
+            input_patch, label_patch = self.transform(
+                input_patch, label_patch
+            )
+            input_patch = np.ascontiguousarray(input_patch)
+            label_patch = np.ascontiguousarray(label_patch)
+        return input_patch.astype(np.float32), self._target(label_patch)
+
+    def sample_patch(self):
+        """85% foreground-biased rejection sampling (reference :259-292)."""
+        is_foreground = self.np_rng.random() > 0.15
+        i = int(
+            self.np_rng.choice(np.arange(len(self.input_imgs)), p=self.wgts)
+        )
+        center = None
+        label_patch = None
+        for _ in range(25):
+            center = self.sample_center(self._volume_shape(i))
+            label_patch = self.get_label_patch(i, center)
+            fg = (label_patch > 0).sum()
+            if (fg > FOREGROUND_MIN_VOXELS) == is_foreground:
+                break
+        return i, self.get_input_patch(i, center), label_patch
+
+    def sample_center(self, shape):
+        """Uniform center in the patch-fitting interior (reference :294)."""
+        lower = [s // 2 for s in self.patch_shape]
+        upper = [d - s // 2 for d, s in zip(shape, self.patch_shape)]
+        return np.array(
+            [self.rng.randint(lo, hi) for lo, hi in zip(lower, upper)]
+        )
+
+
+class ValidateDataset(BaseDataset):
+    """Deterministic grid-of-centers validation set (reference :314-458)."""
+
+    def __init__(
+        self,
+        input_img_paths,
+        label_mask_paths,
+        affinity_mode=True,
+        brightness_clip=300,
+        normalization_percentiles=(1, 99.9),
+        patch_shape=(96, 96, 96),
+        containment_buffer=64,
+        seed=0,
+    ):
+        super().__init__(
+            input_img_paths,
+            label_mask_paths,
+            affinity_mode=affinity_mode,
+            brightness_clip=brightness_clip,
+            normalization_percentiles=normalization_percentiles,
+            patch_shape=patch_shape,
+        )
+        self.containment_buffer = containment_buffer
+        self.rng = _random.Random(seed)
+        self.example_ids = self.generate_examples()
+
+    def generate_examples(self):
+        """All foreground examples + random 25%-count background sample."""
+        foreground, background = [], []
+        for i in range(len(self.input_imgs)):
+            fg, bg = self.generate_examples_from_img(i)
+            foreground.extend(fg)
+            background.extend(bg)
+        n_bg = min(int(len(foreground) * 0.25), len(background))
+        return foreground + self.rng.sample(background, n_bg)
+
+    def generate_examples_from_img(self, i):
+        """Non-overlapping grid, interior-contained centers (ref :400-430)."""
+        shape = self._volume_shape(i)
+        foreground, background = [], []
+        for start in generate_patch_starts(
+            shape, self.patch_shape, (0, 0, 0)
+        ):
+            center = [
+                s + p // 2 for s, p in zip(start, self.patch_shape)
+            ]
+            if not is_contained(
+                center, shape, buffer=self.containment_buffer
+            ):
+                continue
+            patch = self.get_patch(self.label_masks[i], center)
+            if (patch > 0).sum() > FOREGROUND_MIN_VOXELS:
+                foreground.append((i, center))
+            else:
+                background.append((i, center))
+        return foreground, background
+
+    def __len__(self):
+        return len(self.example_ids)
+
+    def __getitem__(self, idx):
+        i, center = self.example_ids[idx]
+        input_patch = self.get_input_patch(i, center)
+        label_patch = self.get_label_patch(i, center)
+        return input_patch, self._target(label_patch)
+
+
+def iterate_batches(dataset, batch_size, stacked=True):
+    """Yield (inputs, targets) numpy batches from an indexable dataset.
+
+    Replaces the reference's torch DataLoader (train.py:103-106: no
+    shuffle, no workers).
+    """
+    n = len(dataset)
+    for lo in range(0, n, batch_size):
+        items = [dataset[j] for j in range(lo, min(lo + batch_size, n))]
+        if not stacked:
+            yield items
+            continue
+        xs = np.stack([it[0] for it in items])
+        ys = np.stack([it[1] for it in items])
+        yield xs, ys

@@ -1,0 +1,261 @@
+"""Datasets, augmentation, and Trainer behavioral tests (tiny shapes)."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from aind_exaspim_neuron_segmentation_tpu.machine_learning import (
+    augmentation,
+    data_handling,
+)
+from aind_exaspim_neuron_segmentation_tpu.machine_learning.train import (
+    Trainer,
+    batch_precision_recall,
+    cosine_annealing_lr,
+)
+
+PATCH = (16, 16, 16)
+
+
+def make_volumes(n=2, shape=(48, 48, 48), seed=0):
+    rng = np.random.default_rng(seed)
+    imgs, labs = [], []
+    for k in range(n):
+        lab = np.zeros(shape, np.uint32)
+        lab[8:40, 8 + 4 * k: 24 + 4 * k, 8:40] = k + 1
+        img = rng.uniform(0, 80, shape).astype(np.float32)
+        img[lab > 0] += 400
+        imgs.append(img)
+        labs.append(lab)
+    return imgs, labs
+
+
+class TestDatasets:
+    def test_train_dataset_sampling(self):
+        imgs, labs = make_volumes()
+        ds = data_handling.TrainDataset(
+            imgs, labs, patch_shape=PATCH, seed=0
+        )
+        assert len(ds) == 8  # 4x volumes
+        x, y = ds[0]
+        assert x.shape == (1,) + PATCH and x.dtype == np.float32
+        assert y.shape == (3,) + PATCH  # affinity targets
+        assert 0 <= x.min() and x.max() <= 1
+        assert set(np.unique(y)).issubset({0.0, 1.0})
+
+    def test_foreground_bias(self):
+        imgs, labs = make_volumes()
+        ds = data_handling.TrainDataset(
+            imgs, labs, patch_shape=PATCH, seed=1
+        )
+        fg = 0
+        n = 40
+        for _ in range(n):
+            _, _, label_patch = ds.sample_patch()
+            if (label_patch > 0).sum() > data_handling.FOREGROUND_MIN_VOXELS:
+                fg += 1
+        assert fg >= n * 0.6  # 85% bias minus rejection-failure slack
+
+    def test_fg_bg_mode(self):
+        imgs, labs = make_volumes()
+        ds = data_handling.TrainDataset(
+            imgs, labs, affinity_mode=False, patch_shape=PATCH, seed=0
+        )
+        x, y = ds[0]
+        assert y.shape == (1,) + PATCH
+        assert set(np.unique(y)).issubset({0.0, 1.0})
+
+    def test_weights_proportional_to_foreground(self):
+        imgs, labs = make_volumes()
+        labs[1][:] = 0
+        labs[1][:4, :4, :4] = 1  # tiny foreground
+        ds = data_handling.TrainDataset(imgs, labs, patch_shape=PATCH)
+        assert ds.wgts[0] > 0.9
+
+    def test_validate_dataset_deterministic(self):
+        imgs, labs = make_volumes()
+        kwargs = dict(patch_shape=PATCH, containment_buffer=0, seed=3)
+        a = data_handling.ValidateDataset(imgs, labs, **kwargs)
+        b = data_handling.ValidateDataset(imgs, labs, **kwargs)
+        assert a.example_ids == b.example_ids
+        assert len(a) > 0
+        x, y = a[0]
+        assert x.shape == (1,) + PATCH and y.shape == (3,) + PATCH
+
+    def test_validate_background_fraction(self):
+        imgs, labs = make_volumes()
+        ds = data_handling.ValidateDataset(
+            imgs, labs, patch_shape=PATCH, containment_buffer=0
+        )
+        fg = sum(
+            1 for i, c in ds.example_ids
+            if (ds.get_patch(ds.label_masks[i], c) > 0).sum()
+            > data_handling.FOREGROUND_MIN_VOXELS
+        )
+        bg = len(ds) - fg
+        assert bg <= int(fg * 0.25)
+
+    def test_transform_callable_is_used(self):
+        imgs, labs = make_volumes()
+        calls = []
+
+        def my_transform(x, y):
+            calls.append(1)
+            return x, y
+
+        ds = data_handling.TrainDataset(
+            imgs, labs, patch_shape=PATCH, transform=my_transform, seed=0
+        )
+        ds[0]
+        assert calls  # reference would silently ignore the callable
+
+    def test_lazy_zarr_paths(self, tmp_path):
+        from aind_exaspim_neuron_segmentation_tpu import io as vio
+
+        imgs, labs = make_volumes(n=1)
+        ip = str(tmp_path / "img.zarr")
+        lp = str(tmp_path / "lab.zarr")
+        vio.write_zarr(ip, imgs[0])
+        vio.write_zarr(lp, labs[0])
+        ds = data_handling.TrainDataset([ip], [lp], patch_shape=PATCH, seed=0)
+        x, y = ds[0]
+        assert x.shape == (1,) + PATCH
+
+
+class TestAugmentation:
+    def test_shapes_preserved(self):
+        rng = np.random.default_rng(0)
+        img = rng.uniform(0, 1, (1, 12, 12, 12)).astype(np.float32)
+        lab = (rng.uniform(0, 1, (1, 12, 12, 12)) > 0.7).astype(np.uint32)
+        t = augmentation.ImageTransforms()
+        out_img, out_lab = t(img, lab)
+        assert out_img.shape == img.shape
+        assert out_lab.shape == lab.shape
+
+    def test_labels_stay_integral(self):
+        rng = np.random.default_rng(1)
+        img = rng.uniform(0, 1, (1, 12, 12, 12)).astype(np.float32)
+        lab = np.zeros((1, 12, 12, 12), np.uint32)
+        lab[0, 3:9, 3:9, 3:9] = 7
+        t = augmentation.ImageTransforms()
+        for _ in range(5):
+            _, out_lab = t(img, lab)
+            assert set(np.unique(out_lab)).issubset({0, 7})  # order-0 only
+
+    def test_flip_spatial_axes_only(self):
+        img = np.zeros((1, 4, 4, 4), np.float32)
+        img[0, 0, 0, 0] = 1.0
+
+        class AlwaysFlip:
+            def random(self):
+                return 0.9
+
+        flipped, _ = augmentation.RandomFlip3D()(img, img, rng=AlwaysFlip())
+        assert flipped[0, 3, 3, 3] == 1.0  # all three spatial axes flipped
+
+    def test_contrast_clips(self):
+        img = np.ones((4, 4, 4), np.float32)
+        out = augmentation.RandomContrast3D((1.5, 1.5))(img)
+        assert out.max() <= 1.0
+
+
+class TestMetrics:
+    def test_precision_recall_matches_sklearn(self):
+        import jax.numpy as jnp
+        from sklearn.metrics import precision_score, recall_score
+
+        rng = np.random.default_rng(0)
+        logits = rng.standard_normal((4, 8, 8, 8)).astype(np.float32)
+        labels = (rng.uniform(size=(4, 8, 8, 8)) > 0.5).astype(np.float32)
+        p, r = batch_precision_recall(jnp.asarray(logits), jnp.asarray(labels))
+        for i in range(4):
+            sp = precision_score(
+                labels[i].ravel() > 0, logits[i].ravel() > 0,
+                zero_division=np.nan,
+            )
+            sr = recall_score(
+                labels[i].ravel() > 0, logits[i].ravel() > 0,
+                zero_division=np.nan,
+            )
+            np.testing.assert_allclose(float(p[i]), sp, atol=1e-6)
+            np.testing.assert_allclose(float(r[i]), sr, atol=1e-6)
+
+    def test_nan_on_empty(self):
+        import jax.numpy as jnp
+
+        logits = -np.ones((1, 4, 4, 4), np.float32)  # no positives
+        labels = np.zeros((1, 4, 4, 4), np.float32)
+        p, r = batch_precision_recall(jnp.asarray(logits), jnp.asarray(labels))
+        assert np.isnan(float(p[0])) and np.isnan(float(r[0]))
+
+    def test_cosine_schedule_matches_torch(self):
+        import torch
+
+        m = torch.nn.Linear(1, 1)
+        opt = torch.optim.AdamW(m.parameters(), lr=1e-3)
+        sched = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=25)
+        ours = cosine_annealing_lr(1e-3, t_max=25)
+        for epoch in range(30):
+            np.testing.assert_allclose(
+                ours(epoch), opt.param_groups[0]["lr"], rtol=1e-6,
+                err_msg=f"epoch {epoch}",
+            )
+            sched.step()
+
+
+class TestTrainer:
+    @pytest.fixture(scope="class")
+    def trained(self, tmp_path_factory):
+        out = tmp_path_factory.mktemp("train")
+        imgs, labs = make_volumes()
+        train_ds = data_handling.TrainDataset(
+            imgs, labs, patch_shape=PATCH, seed=0
+        )
+        val_ds = data_handling.ValidateDataset(
+            imgs, labs, patch_shape=PATCH, containment_buffer=0
+        )
+        trainer = Trainer(
+            str(out), batch_size=4, max_epochs=2, width_multiplier=0.25,
+            use_amp=False,
+        )
+        trainer.run(train_ds, val_ds)
+        return trainer
+
+    def test_loss_finite_and_checkpoint_written(self, trained):
+        pths = glob.glob(os.path.join(trained.log_dir, "*.pth"))
+        assert pths, "no best-F1 .pth checkpoint written"
+        name = os.path.basename(pths[0])
+        assert name.startswith("UNet3d-") and name.endswith(".pth")
+
+    def test_pth_loads_in_torch_reference(self, trained):
+        import torch
+
+        from tests.reference_oracle import load_reference_unet3d_module
+
+        ref = load_reference_unet3d_module()
+        if ref is None:
+            pytest.skip("reference unavailable")
+        pth = glob.glob(os.path.join(trained.log_dir, "*.pth"))[0]
+        model = ref.UNet3D(output_channels=3, width_multiplier=0.25)
+        model.load_state_dict(torch.load(pth, map_location="cpu"))
+
+    def test_resume_round_trip(self, trained, tmp_path):
+        path = trained.save_train_state(str(tmp_path / "state"))
+        fresh = Trainer(
+            str(tmp_path), batch_size=4, max_epochs=2,
+            width_multiplier=0.25, use_amp=False,
+        )
+        fresh.restore_train_state(path)
+        assert fresh.epoch == trained.epoch + 1
+        assert fresh.best_f1 == trained.best_f1
+        a = np.asarray(
+            trained.params["inc"]["conv1"]["kernel"]
+        )
+        b = np.asarray(fresh.params["inc"]["conv1"]["kernel"])
+        np.testing.assert_array_equal(a, b)
+
+    def test_tensorboard_events_written(self, trained):
+        events = glob.glob(os.path.join(trained.log_dir, "events.*"))
+        assert events
