@@ -68,13 +68,7 @@ def reflect_pad_to_grid(img, patch_shape, overlap):
     return img, tuple(hi for _, hi in pads)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "module", "patch_shape", "trim", "batch_size", "out_channels",
-    ),
-)
-def accumulate_predictions(
+def accumulate_core(
     variables,
     volume,
     starts,
@@ -85,8 +79,13 @@ def accumulate_predictions(
     trim,
     batch_size,
     out_channels,
+    vma_axes=(),
 ):
-    """Run the model over all patches and blend on device.
+    """Traceable accumulate loop (shared by the jit and shard_map paths).
+
+    ``vma_axes``: mesh axis names to mark the accumulator as varying
+    over when tracing inside ``shard_map`` (JAX >= 0.8 varying-manual-
+    axes typing requires the scan carry to match its updates).
 
     Parameters
     ----------
@@ -104,6 +103,8 @@ def accumulate_predictions(
     ps = patch_shape
     core = tuple(p - 2 * trim for p in ps)
     acc = jnp.zeros((out_channels,) + volume.shape, jnp.float32)
+    if vma_axes:
+        acc = jax.lax.pvary(acc, tuple(vma_axes))
 
     def gather(start):
         return jax.lax.dynamic_slice(volume, start, ps)
@@ -135,6 +136,22 @@ def accumulate_predictions(
     valid = valid.reshape(-1, batch_size)
     acc, _ = jax.lax.scan(batch_step, acc, (starts, valid))
     return acc
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "module", "patch_shape", "trim", "batch_size", "out_channels",
+    ),
+)
+def accumulate_predictions(variables, volume, starts, valid, *, module,
+                           patch_shape, trim, batch_size, out_channels):
+    """Jitted single-device wrapper over :func:`accumulate_core`."""
+    return accumulate_core(
+        variables, volume, starts, valid, module=module,
+        patch_shape=patch_shape, trim=trim, batch_size=batch_size,
+        out_channels=out_channels,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=())

@@ -1,0 +1,122 @@
+"""Multi-chip tests on the 8-device virtual CPU mesh.
+
+Sharded vs single-device comparisons are the TPU-world substitute for
+the fake-backend infrastructure the reference lacks (SURVEY.md
+section 4).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from aind_exaspim_neuron_segmentation_tpu import inference, parallel
+
+PATCH = (32, 32, 32)
+OVERLAP = (8, 8, 8)
+TRIM = 4
+
+
+@pytest.fixture(scope="module")
+def runner():
+    return inference.load_model(
+        affinity_mode=True, width_multiplier=0.25, dtype=jnp.float32
+    )
+
+
+def test_eight_devices_available():
+    assert jax.device_count() >= 8
+
+
+class TestShardedPercentile:
+    def test_matches_numpy_across_mesh(self):
+        mesh = parallel.make_mesh(8)
+        rng = np.random.default_rng(0)
+        x = rng.uniform(-100, 5000, size=(8, 4096)).astype(np.float32)
+
+        def body(xl):
+            return parallel.percentile_sharded(
+                xl, (1.0, 99.9), x.size, "shard"
+            )
+
+        fn = jax.jit(shard_map(
+            body, mesh=mesh, in_specs=P("shard"), out_specs=P(),
+        ))
+        got = np.asarray(
+            fn(jax.device_put(x, NamedSharding(mesh, P("shard"))))
+        )
+        want = np.percentile(x, (1.0, 99.9))
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    def test_order_stat_exact(self):
+        x = jnp.asarray([5.0, -2.0, 7.5, 0.0, 7.5, -9.0])
+        for k, expect in enumerate([-9.0, -2.0, 0.0, 5.0, 7.5, 7.5]):
+            assert float(parallel.order_stat(x, k)) == expect
+
+
+class TestShardedPredict:
+    @pytest.fixture(scope="class")
+    def volume(self):
+        rng = np.random.default_rng(1)
+        return rng.uniform(0, 2000, size=(96, 56, 40)).astype(np.float32)
+
+    def test_matches_single_device(self, runner, volume):
+        want = inference.predict(
+            volume, runner, patch_shape=PATCH, overlap=OVERLAP, trim=TRIM,
+            batch_size=4, verbose=False,
+        )
+        mesh = parallel.make_mesh(4)
+        got = parallel.predict_sharded(
+            volume, runner, mesh=mesh, patch_shape=PATCH, overlap=OVERLAP,
+            trim=TRIM, batch_size=4,
+        )
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_more_devices_than_rows(self, runner, volume):
+        # 3 z-rows over 8 devices: some devices have no real rows
+        mesh = parallel.make_mesh(8)
+        want = inference.predict(
+            volume, runner, patch_shape=PATCH, overlap=OVERLAP, trim=TRIM,
+            batch_size=4, verbose=False,
+        )
+        got = parallel.predict_sharded(
+            volume, runner, mesh=mesh, patch_shape=PATCH, overlap=OVERLAP,
+            trim=TRIM, batch_size=4,
+        )
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_single_device_mesh(self, runner, volume):
+        mesh = parallel.make_mesh(1)
+        want = inference.predict(
+            volume, runner, patch_shape=PATCH, overlap=OVERLAP, trim=TRIM,
+            batch_size=4, verbose=False,
+        )
+        got = parallel.predict_sharded(
+            volume, runner, mesh=mesh, patch_shape=PATCH, overlap=OVERLAP,
+            trim=TRIM, batch_size=4,
+        )
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+class TestGraftEntry:
+    def test_dryrun_multichip(self):
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as g
+
+        g.dryrun_multichip(8)
+
+    def test_entry_compiles(self):
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as g
+
+        fn, args = g.entry()
+        out = jax.jit(fn)(*args)
+        assert out.shape == (1, 96, 96, 96, 3)
