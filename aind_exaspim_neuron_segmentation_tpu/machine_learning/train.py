@@ -93,6 +93,7 @@ class Trainer:
         width_multiplier=1,
         accumulate_grads_quirk=False,
         seed=0,
+        mesh=None,
     ):
         exp_name = "session-" + datetime.today().strftime("%Y%m%d_%H%M")
         self.log_dir = os.path.join(output_dir, exp_name)
@@ -105,6 +106,26 @@ class Trainer:
         self.best_f1 = 0.0
         self.epoch = 0
         self.accumulate_grads_quirk = accumulate_grads_quirk
+        # Optional data parallelism: batches shard over the mesh's first
+        # axis, parameters replicate, XLA inserts the gradient psum.
+        # New capability relative to the single-device reference.
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            axis = mesh.axis_names[0]
+            if batch_size % mesh.devices.size != 0:
+                raise ValueError(
+                    f"batch_size {batch_size} must divide evenly over "
+                    f"{mesh.devices.size} devices"
+                )
+            self._batch_sharding = NamedSharding(
+                mesh, P(axis, None, None, None, None)
+            )
+            self._replicated = NamedSharding(mesh, P())
+        else:
+            self._batch_sharding = None
+            self._replicated = None
 
         on_tpu = jax.default_backend() not in ("cpu",)
         dtype = jnp.bfloat16 if (use_amp and on_tpu) else jnp.float32
@@ -133,6 +154,17 @@ class Trainer:
             if accumulate_grads_quirk
             else None
         )
+
+        if mesh is not None:
+            self.params = jax.device_put(self.params, self._replicated)
+            self.batch_stats = jax.device_put(
+                self.batch_stats, self._replicated
+            )
+            self.opt_state = jax.device_put(self.opt_state, self._replicated)
+            if self.grad_accum is not None:
+                self.grad_accum = jax.device_put(
+                    self.grad_accum, self._replicated
+                )
 
         self.writer = self._make_writer()
         self._train_step = self._build_train_step()
@@ -220,11 +252,20 @@ class Trainer:
             lr, dtype=jnp.float32
         )
 
-    @staticmethod
-    def _to_device_batch(xs, ys):
-        x = jnp.asarray(np.moveaxis(xs, 1, -1), jnp.float32)  # NDHWC
-        y = jnp.asarray(np.moveaxis(ys, 1, -1), jnp.float32)
-        return x, y
+    def _to_device_batch(self, xs, ys):
+        xs = np.moveaxis(xs, 1, -1).astype(np.float32)  # NDHWC
+        ys = np.moveaxis(ys, 1, -1).astype(np.float32)
+        if self.mesh is None:
+            return jnp.asarray(xs), jnp.asarray(ys)
+        n_dev = self.mesh.devices.size
+        pad = (-xs.shape[0]) % n_dev
+        if pad:  # ragged final batch: repeat the tail to fill shards
+            xs = np.concatenate([xs, np.repeat(xs[-1:], pad, 0)])
+            ys = np.concatenate([ys, np.repeat(ys[-1:], pad, 0)])
+        return (
+            jax.device_put(xs, self._batch_sharding),
+            jax.device_put(ys, self._batch_sharding),
+        )
 
     def train_step(self, train_dataset, epoch):
         stats = {"f1": None, "precision": [], "recall": [], "loss": []}

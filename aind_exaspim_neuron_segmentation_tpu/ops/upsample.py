@@ -41,11 +41,15 @@ def linear_resize_axis(x, axis: int, n_out: int):
         return x
     mat = jnp.asarray(_interp_matrix(n_in, n_out), dtype=x.dtype)
     moved = jnp.moveaxis(x, axis, -1)
-    # HIGHEST keeps float32 inputs exact vs torch (bf16 passthrough is
-    # unaffected); the matrices are tiny so the extra passes are free.
-    out = jnp.einsum(
-        "...i,oi->...o", moved, mat, precision=jax.lax.Precision.HIGHEST
+    # float32 path: HIGHEST keeps parity with torch bit-for-bit. bfloat16
+    # path: native MXU precision -- HIGHEST there would force a multi-pass
+    # f32 emulation of an op whose inputs are already low-precision.
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if x.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
     )
+    out = jnp.einsum("...i,oi->...o", moved, mat, precision=precision)
     return jnp.moveaxis(out, -1, axis)
 
 

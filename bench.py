@@ -62,7 +62,7 @@ def main():
         baseline = measure_torch_baseline()
 
     dim = (256, 256, 256)
-    patch, overlap, trim, batch = (96, 96, 96), (32, 32, 32), 8, 8
+    patch, overlap, trim, batch = (96, 96, 96), (32, 32, 32), 8, 16
 
     runner = inference.load_model(affinity_mode=True)
     rng = np.random.default_rng(0)
@@ -80,21 +80,26 @@ def main():
     dstarts = jnp.asarray(starts)
     dvalid = jnp.asarray(valid)
 
-    def run():
+    def run(vol_in):
         acc = stitch.accumulate_predictions(
-            runner.variables, dvol, dstarts, dvalid,
+            runner.variables, vol_in, dstarts, dvalid,
             module=runner.module, patch_shape=patch, trim=trim,
             batch_size=batch, out_channels=3,
         )
         return acc
 
-    # Warm up (compile) then force completion via scalar fetch.
-    float(run()[0, 50, 50, 50])
+    # Warm up (compile) then force completion via scalar fetch. Timing
+    # iterations are data-chained (each input depends on the previous
+    # accumulator) so concurrent dispatch cannot overlap them; the final
+    # scalar fetch bounds total device time.
+    float(run(dvol)[0, 50, 50, 50])
     iters = 3
     t0 = time.time()
+    vol_iter = dvol
     acc = None
     for _ in range(iters):
-        acc = run()
+        acc = run(vol_iter)
+        vol_iter = dvol + acc[0, 0, 0, 0] * 0
     checksum = float(acc[0, 50, 50, 50])
     t1 = time.time()
 
