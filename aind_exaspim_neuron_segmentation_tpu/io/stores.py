@@ -34,17 +34,26 @@ class LocalStore:
 
 
 class FsspecStore:
-    """Store over an fsspec filesystem (gcsfs / s3fs)."""
+    """Store over an fsspec filesystem (gcsfs / s3fs).
+
+    Remote reads retry transient errors with exponential backoff (the
+    reference has none; SURVEY.md section 5).
+    """
 
     def __init__(self, fs, root):
         self.fs = fs
         self.root = root.rstrip("/")
 
+    def _read(self, path):
+        with self.fs.open(path, "rb") as f:
+            return f.read()
+
     def get(self, key):
+        from aind_exaspim_neuron_segmentation_tpu.utils.retry import retry
+
         path = f"{self.root}/{key}"
         try:
-            with self.fs.open(path, "rb") as f:
-                return f.read()
+            return retry(self._read, path)
         except FileNotFoundError:
             return None
 

@@ -109,3 +109,45 @@ class TestViz:
         assert img_util.read is not None
         assert img_util.normalize is not None
         assert img_util.get_affinity_channels is not None
+
+
+class TestRetry:
+    def test_retries_then_succeeds(self):
+        from aind_exaspim_neuron_segmentation_tpu.utils.retry import retry
+
+        calls = []
+
+        def flaky():
+            calls.append(1)
+            if len(calls) < 3:
+                raise ConnectionError("transient")
+            return "ok"
+
+        assert retry(flaky, base_delay=0.001) == "ok"
+        assert len(calls) == 3
+
+    def test_gives_up_after_attempts(self):
+        import pytest
+
+        from aind_exaspim_neuron_segmentation_tpu.utils.retry import retry
+
+        def always_fails():
+            raise TimeoutError("down")
+
+        with pytest.raises(TimeoutError):
+            retry(always_fails, attempts=2, base_delay=0.001)
+
+    def test_non_transient_propagates_immediately(self):
+        import pytest
+
+        from aind_exaspim_neuron_segmentation_tpu.utils.retry import retry
+
+        calls = []
+
+        def bad():
+            calls.append(1)
+            raise ValueError("permanent")
+
+        with pytest.raises(ValueError):
+            retry(bad, base_delay=0.001)
+        assert len(calls) == 1
