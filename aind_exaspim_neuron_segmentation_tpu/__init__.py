@@ -17,3 +17,15 @@ AllenNeuralDynamics/aind-exaspim-neuron-segmentation:
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy submodule access: keep `import aind_..._tpu` lightweight."""
+    import importlib
+
+    if name in (
+        "core", "inference", "io", "machine_learning", "models", "native",
+        "ops", "parallel", "postprocess", "utils",
+    ):
+        return importlib.import_module(f"{__name__}.{name}")
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -117,6 +117,7 @@ class TrainDataset(BaseDataset):
         patch_shape=(96, 96, 96),
         transform=None,
         seed=None,
+        return_label_patches=False,
     ):
         super().__init__(
             input_img_paths,
@@ -135,6 +136,11 @@ class TrainDataset(BaseDataset):
         self.rng = _random.Random(seed)
         self.np_rng = np.random.default_rng(seed)
         self.wgts = self.compute_wgts()
+        # Device-augmentation mode: hand back raw label patches so the
+        # jitted train step can flip jointly and compute affinity
+        # targets on device (flipping precomputed affinities would not
+        # preserve edge directions).
+        self.return_label_patches = return_label_patches
 
     def compute_wgts(self):
         """Per-volume sampling weights ~ foreground voxel count (ref :206)."""
@@ -151,6 +157,11 @@ class TrainDataset(BaseDataset):
 
     def __getitem__(self, _ignored):
         _, input_patch, label_patch = self.sample_patch()
+        if self.return_label_patches:
+            return (
+                input_patch.astype(np.float32),
+                label_patch.astype(np.int32),
+            )
         if self.transform:
             input_patch, label_patch = self.transform(
                 input_patch, label_patch

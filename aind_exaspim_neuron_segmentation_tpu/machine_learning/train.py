@@ -94,6 +94,7 @@ class Trainer:
         accumulate_grads_quirk=False,
         seed=0,
         mesh=None,
+        device_augment=False,
     ):
         exp_name = "session-" + datetime.today().strftime("%Y%m%d_%H%M")
         self.log_dir = os.path.join(output_dir, exp_name)
@@ -106,6 +107,13 @@ class Trainer:
         self.best_f1 = 0.0
         self.epoch = 0
         self.accumulate_grads_quirk = accumulate_grads_quirk
+        # Device-side augmentation: train batches arrive as raw label
+        # patches (TrainDataset(return_label_patches=True)); the jitted
+        # step flips image+label jointly, jitters intensity, and
+        # computes affinity targets on device -- zero host transform
+        # work (TPU-idiomatic counterpart of ImageTransforms).
+        self.device_augment = device_augment
+        self._augment_key = jax.random.PRNGKey(seed + 1)
         # Optional data parallelism: batches shard over the mesh's first
         # axis, parameters replicate, XLA inserts the gradient psum.
         # New capability relative to the single-device reference.
@@ -176,8 +184,27 @@ class Trainer:
         module = self.module
         tx = self.tx
         quirk = self.accumulate_grads_quirk
+        augment = self.device_augment
+        affinity = self.affinity_mode
 
-        def step(params, batch_stats, opt_state, grad_accum, x, y):
+        def step(params, batch_stats, opt_state, grad_accum, x, y, key):
+            if augment:
+                from aind_exaspim_neuron_segmentation_tpu.core.affinities import (
+                    affinity_channels_jax,
+                )
+                from aind_exaspim_neuron_segmentation_tpu.ops.augment_device import (
+                    augment_batch,
+                )
+
+                x, label = augment_batch(key, x, y)
+                if affinity:
+                    y = jax.vmap(
+                        lambda l: affinity_channels_jax(l[..., 0])
+                    )(label.astype(jnp.int32))
+                    y = jnp.moveaxis(y, 1, -1)
+                else:
+                    y = (label > 0).astype(jnp.float32)
+
             def loss_fn(p):
                 logits, updates = module.apply(
                     {"params": p, "batch_stats": batch_stats},
@@ -269,14 +296,19 @@ class Trainer:
 
     def train_step(self, train_dataset, epoch):
         stats = {"f1": None, "precision": [], "recall": [], "loss": []}
-        for xs, ys in iterate_batches(train_dataset, self.batch_size):
+        for step_idx, (xs, ys) in enumerate(
+            iterate_batches(train_dataset, self.batch_size)
+        ):
             x, y = self._to_device_batch(xs, ys)
+            key = jax.random.fold_in(
+                self._augment_key, epoch * 100003 + step_idx
+            )
             (
                 self.params, self.batch_stats, self.opt_state,
                 self.grad_accum, loss, precision, recall,
             ) = self._train_step(
                 self.params, self.batch_stats, self.opt_state,
-                self.grad_accum, x, y,
+                self.grad_accum, x, y, key,
             )
             stats["loss"].append(float(loss))
             stats["precision"].extend(np.asarray(precision).tolist())

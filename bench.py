@@ -51,6 +51,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from aind_exaspim_neuron_segmentation_tpu.utils.cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
+
     from aind_exaspim_neuron_segmentation_tpu import inference
     from aind_exaspim_neuron_segmentation_tpu.core.patches import (
         patch_starts_array,

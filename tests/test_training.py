@@ -259,3 +259,85 @@ class TestTrainer:
     def test_tensorboard_events_written(self, trained):
         events = glob.glob(os.path.join(trained.log_dir, "events.*"))
         assert events
+
+
+class TestDeviceAugment:
+    def test_augment_batch_properties(self):
+        import jax
+        import jax.numpy as jnp
+
+        from aind_exaspim_neuron_segmentation_tpu.ops.augment_device import (
+            augment_batch,
+        )
+
+        rng = np.random.default_rng(0)
+        img = rng.uniform(0, 1, (2, 12, 12, 12, 1)).astype(np.float32)
+        lab = np.zeros((2, 12, 12, 12, 1), np.int32)
+        lab[:, 3:9, 3:9, 3:9] = 7
+        out_img, out_lab = augment_batch(
+            jax.random.PRNGKey(0), jnp.asarray(img), jnp.asarray(lab)
+        )
+        out_img, out_lab = np.asarray(out_img), np.asarray(out_lab)
+        assert out_img.shape == img.shape and out_lab.shape == lab.shape
+        assert 0.0 <= out_img.min() and out_img.max() <= 1.0
+        assert set(np.unique(out_lab)) == {0, 7}  # geometric only
+        # flips preserve per-example foreground count
+        np.testing.assert_array_equal(
+            (out_lab > 0).sum(axis=(1, 2, 3, 4)),
+            (lab > 0).sum(axis=(1, 2, 3, 4)),
+        )
+
+    def test_smooth_matches_scipy(self):
+        import jax.numpy as jnp
+        from scipy.ndimage import gaussian_filter
+
+        from aind_exaspim_neuron_segmentation_tpu.ops.augment_device import (
+            _smooth_one,
+        )
+
+        rng = np.random.default_rng(1)
+        img = rng.uniform(0, 1, (10, 10, 10, 1)).astype(np.float32)
+        got = np.asarray(_smooth_one(jnp.asarray(img), jnp.float32(0.7)))
+        want = gaussian_filter(img[..., 0], sigma=0.7, radius=3)
+        np.testing.assert_allclose(got[..., 0], want, atol=1e-5)
+
+    def test_trainer_device_augment_runs(self, tmp_path):
+        from aind_exaspim_neuron_segmentation_tpu.machine_learning import (
+            TrainDataset, ValidateDataset,
+        )
+        imgs, labs = make_volumes()
+        tr = data_handling.TrainDataset(
+            imgs, labs, patch_shape=PATCH, seed=0, return_label_patches=True
+        )
+        x, y = tr[0]
+        assert y.dtype == np.int32 and y.shape == (1,) + PATCH
+        val = data_handling.ValidateDataset(
+            imgs, labs, patch_shape=PATCH, containment_buffer=0
+        )
+        t = Trainer(
+            str(tmp_path), batch_size=4, max_epochs=1,
+            width_multiplier=0.25, use_amp=False, device_augment=True,
+        )
+        t.run(tr, val)
+
+    def test_device_affinity_targets_match_host(self):
+        import jax
+        import jax.numpy as jnp
+
+        from aind_exaspim_neuron_segmentation_tpu.core.affinities import (
+            affinity_channels_jax, get_affinity_channels,
+        )
+        from aind_exaspim_neuron_segmentation_tpu.ops.augment_device import (
+            _flip_one,
+        )
+
+        rng = np.random.default_rng(2)
+        lab = rng.integers(0, 3, (8, 8, 8, 1)).astype(np.int32)
+        img = rng.uniform(0, 1, (8, 8, 8, 1)).astype(np.float32)
+        key = jax.random.PRNGKey(3)
+        fi, fl = _flip_one(key, jnp.asarray(img), jnp.asarray(lab))
+        # device affinity of the flipped label == host affinity of the
+        # same (flipped) label -- order of flip-then-affinity preserved
+        dev = np.asarray(affinity_channels_jax(np.asarray(fl)[..., 0]))
+        host = get_affinity_channels(np.asarray(fl)[..., 0])
+        np.testing.assert_array_equal(dev, host.astype(np.float32))
