@@ -144,6 +144,8 @@ def predict(
     trim=8,
     verbose=True,
     max_slab_rows=None,
+    blend_mode="uniform",
+    blend_sigma=None,
 ):
     """Sliding-window affinity / foreground prediction.
 
@@ -157,6 +159,12 @@ def predict(
     ``max_slab_rows`` caps how many Z patch-rows are resident on device at
     once (default: chosen from a ~4 GiB accumulator budget); slabs beyond
     the first recompute one boundary row instead of blending on host.
+
+    ``blend_mode``: 'uniform' reproduces the reference's hit-count
+    average; 'gaussian' fades overlapping patches into each other with a
+    separable gaussian window (sigma defaults to patch/6), removing seam
+    artifacts at patch borders. Both divide by the accumulated weight and
+    leave never-covered voxels at exactly 0.
     """
     img = np.asarray(img)
     if img.ndim == 5:
@@ -180,7 +188,24 @@ def predict(
     dim = img.shape
     ranges = patch_grid_ranges(dim, patch_shape, overlap)
     z_starts = list(ranges[0])
-    wz, wy, wx = stitch.separable_weights(dim, patch_shape, overlap, trim)
+    if blend_mode == "gaussian":
+        sigmas = [
+            (blend_sigma or p / 6.0) for p in patch_shape
+        ]
+        host_windows = tuple(
+            stitch.gaussian_window(p, trim, s)
+            for p, s in zip(patch_shape, sigmas)
+        )
+        windows = tuple(jnp.asarray(w) for w in host_windows)
+    elif blend_mode == "uniform":
+        host_windows = None
+        windows = None
+    else:
+        raise ValueError(f"unknown blend_mode {blend_mode!r}")
+    wz, wy, wx = stitch.separable_weights(
+        dim, patch_shape, overlap, trim,
+        windows=host_windows,
+    )
 
     if max_slab_rows is None:
         # ~4 GiB f32 accumulator budget per slab: rows such that
@@ -233,6 +258,7 @@ def predict(
             trim=trim,
             batch_size=batch_size,
             out_channels=out_channels,
+            windows=windows,
         )
         own_lo, own_hi = plan["own"]
         blended = stitch.divide_by_weights(

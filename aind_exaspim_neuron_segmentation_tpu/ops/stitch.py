@@ -34,20 +34,43 @@ from aind_exaspim_neuron_segmentation_tpu.core.patches import (
 )
 
 
-def axis_hit_counts(dim, patch, overlap, trim):
-    """1D hit counts of the trimmed blend along one axis (host, numpy)."""
+def gaussian_window(patch, trim, sigma):
+    """Per-axis window over the trimmed core (float32, length p - 2t).
+
+    Centered gaussian bump used by the optional 'gaussian' blend mode:
+    overlapping patches fade into each other instead of averaging with
+    uniform weight, removing seam artifacts at patch borders.
+    """
+    core = patch - 2 * trim
+    pos = np.arange(core, dtype=np.float32) + trim
+    center = (patch - 1) / 2.0
+    return np.exp(-0.5 * ((pos - center) / sigma) ** 2).astype(np.float32)
+
+
+def axis_hit_counts(dim, patch, overlap, trim, window=None):
+    """1D accumulated blend weight along one axis (host, numpy).
+
+    ``window=None`` gives the reference's uniform hit counts; otherwise
+    each patch contributes ``window`` over its trimmed core.
+    """
     counts = np.zeros(dim, dtype=np.float32)
     stride = patch - overlap
     for s in range(0, dim - patch + stride, stride):
-        counts[min(s + trim, dim): min(s + patch - trim, dim)] += 1
+        lo = min(s + trim, dim)
+        hi = min(s + patch - trim, dim)
+        if window is None:
+            counts[lo:hi] += 1
+        else:
+            counts[lo:hi] += window[: hi - lo]
     return counts
 
 
-def separable_weights(img_shape, patch_shape, overlap, trim):
-    """Per-axis hit-count vectors whose outer product is the weight map."""
+def separable_weights(img_shape, patch_shape, overlap, trim, windows=None):
+    """Per-axis weight vectors whose outer product is the weight map."""
+    windows = windows or (None, None, None)
     return tuple(
-        axis_hit_counts(d, p, o, trim)
-        for d, p, o in zip(img_shape, patch_shape, overlap)
+        axis_hit_counts(d, p, o, trim, window=w)
+        for d, p, o, w in zip(img_shape, patch_shape, overlap, windows)
     )
 
 
@@ -142,10 +165,12 @@ def accumulate_core(
     jax.jit, static_argnames=("module", "patch_shape", "trim")
 )
 def forward_batch(variables, volume, starts, valid, *, module, patch_shape,
-                  trim):
-    """Gather + model forward + sigmoid + trim + validity mask.
+                  trim, windows=None):
+    """Gather + model forward + sigmoid + trim + validity/window mask.
 
-    Returns (B, C, core, core, core) float32 trimmed probabilities.
+    ``windows``: optional per-axis 1-D float32 arrays multiplied into
+    each patch's trimmed core (gaussian blend mode). Returns
+    (B, C, core, core, core) float32 weighted probabilities.
     """
     def gather(start):
         return jax.lax.dynamic_slice(volume, start, patch_shape)
@@ -156,6 +181,13 @@ def forward_batch(variables, volume, starts, valid, *, module, patch_shape,
     if trim > 0:
         probs = probs[:, trim:-trim, trim:-trim, trim:-trim, :]
     probs = probs * valid[:, None, None, None, None]
+    if windows is not None:
+        wz, wy, wx = windows
+        probs = probs * (
+            wz[None, :, None, None, None]
+            * wy[None, None, :, None, None]
+            * wx[None, None, None, :, None]
+        )
     return jnp.moveaxis(probs, -1, 1)
 
 
@@ -176,7 +208,8 @@ def scatter_batch(acc, probs, starts, *, trim):
 
 
 def accumulate_predictions(variables, volume, starts, valid, *, module,
-                           patch_shape, trim, batch_size, out_channels):
+                           patch_shape, trim, batch_size, out_channels,
+                           windows=None):
     """Single-device accumulate: Python loop over per-batch jits.
 
     Functionally identical (bit-exact, verified on TPU) to running
@@ -193,7 +226,7 @@ def accumulate_predictions(variables, volume, starts, valid, *, module,
     for i in range(starts.shape[0]):
         probs = forward_batch(
             variables, volume, starts[i], valid[i], module=module,
-            patch_shape=tuple(patch_shape), trim=trim,
+            patch_shape=tuple(patch_shape), trim=trim, windows=windows,
         )
         acc = scatter_batch(acc, probs, starts[i], trim=trim)
     return acc
@@ -203,4 +236,4 @@ def accumulate_predictions(variables, volume, starts, valid, *, module,
 def divide_by_weights(acc, wz, wy, wx):
     """acc / (wz x wy x wx) where the weight is nonzero, else 0."""
     w = wz[:, None, None] * wy[None, :, None] * wx[None, None, :]
-    return jnp.where(w > 0, acc / jnp.maximum(w, 1.0), 0.0)
+    return jnp.where(w > 0, acc / jnp.where(w > 0, w, 1.0), 0.0)

@@ -143,7 +143,7 @@ def predict_sharded(
             )
             mine = mine.at[:, :spill].add(recv)
         w = wz_l[:, None, None] * wy_l[None, :, None] * wx_l[None, None, :]
-        blended = jnp.where(w > 0, mine / jnp.maximum(w, 1.0), 0.0)
+        blended = jnp.where(w > 0, mine / jnp.where(w > 0, w, 1.0), 0.0)
         return blended[None]
 
     spec_in = (

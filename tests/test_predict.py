@@ -110,3 +110,30 @@ def test_to_tensor():
     x = np.ones((4, 4, 4), np.uint16)
     t = inference.to_tensor(x)
     assert t.shape == (1, 1, 4, 4, 4) and t.dtype == jnp.float32
+
+
+def test_gaussian_blend(runner, volume):
+    uniform = inference.predict(
+        volume, runner, patch_shape=PATCH, overlap=OVERLAP, trim=TRIM,
+        batch_size=4, verbose=False,
+    )
+    gauss = inference.predict(
+        volume, runner, patch_shape=PATCH, overlap=OVERLAP, trim=TRIM,
+        batch_size=4, verbose=False, blend_mode="gaussian",
+    )
+    assert gauss.shape == uniform.shape
+    # still a weighted average of per-patch sigmoids: bounded in [0, 1],
+    # zero exactly where uniform blending is zero (same coverage)
+    assert gauss.min() >= 0 and gauss.max() <= 1
+    np.testing.assert_array_equal(gauss == 0, uniform == 0)
+    # interior values close to uniform average (same underlying patches)
+    interior = (slice(None), slice(8, -8), slice(8, -8), slice(8, -8))
+    assert np.abs(gauss[interior] - uniform[interior]).mean() < 0.05
+
+
+def test_unknown_blend_mode_raises(runner, volume):
+    with pytest.raises(ValueError, match="blend_mode"):
+        inference.predict(
+            volume, runner, patch_shape=PATCH, overlap=OVERLAP, trim=TRIM,
+            verbose=False, blend_mode="cosine",
+        )
