@@ -54,37 +54,97 @@ struct EdgeKeyHash {
   }
 };
 
+// Memory-compact affinity distribution per RAG edge. Fragment counts
+// reach millions on noisy affinities (SURVEY-scale volumes), so a dense
+// 256-bin uint32 histogram per edge (1 KiB) is prohibitive. Edges keep
+// raw u8-quantized samples inline while small and convert to a dense
+// histogram only when they grow past kInlineMax (merged supervoxel
+// boundaries) -- identical quantile results either way, since both
+// representations hold the same 256-level quantization.
 struct Edge {
+  static constexpr size_t kInlineMax = 48;
+
   uint32_t a, b;
-  std::vector<uint32_t> hist;  // affinity histogram, kBins bins over [0,1]
+  std::vector<uint8_t> samples;     // quantized affinities while small
+  std::vector<uint32_t> hist;       // dense histogram once large
   uint64_t count = 0;
+  float cached_score = -1.0f;  // invalidated on add/absorb
   bool alive = true;
 
-  Edge(uint32_t a_, uint32_t b_) : a(a_), b(b_), hist(kBins, 0) {}
+  Edge(uint32_t a_, uint32_t b_) : a(a_), b(b_) {}
 
-  void add(float aff) {
+  static uint8_t quantize(float aff) {
     int bin = static_cast<int>(aff * kBins);
     if (bin < 0) bin = 0;
     if (bin >= kBins) bin = kBins - 1;
-    ++hist[bin];
-    ++count;
+    return static_cast<uint8_t>(bin);
   }
 
-  void absorb(const Edge& o) {
-    for (int i = 0; i < kBins; ++i) hist[i] += o.hist[i];
-    count += o.count;
+  void to_hist() {
+    hist.assign(kBins, 0);
+    for (uint8_t s : samples) ++hist[s];
+    samples.clear();
+    samples.shrink_to_fit();
   }
 
-  // score = 1 - q-quantile of the affinities (bin midpoint).
-  float score(int quantile_pct) const {
-    if (count == 0) return 1.0f;
-    uint64_t target = (count - 1) * quantile_pct / 100;
-    uint64_t seen = 0;
-    for (int i = 0; i < kBins; ++i) {
-      seen += hist[i];
-      if (seen > target) return 1.0f - (i + 0.5f) / kBins;
+  void add(float aff) {
+    const uint8_t q = quantize(aff);
+    if (hist.empty()) {
+      samples.push_back(q);
+      if (samples.size() > kInlineMax) to_hist();
+    } else {
+      ++hist[q];
     }
-    return 1.0f - (kBins - 0.5f) / kBins;
+    ++count;
+    cached_score = -1.0f;
+  }
+
+  void absorb(Edge& o) {
+    if (hist.empty() && o.hist.empty() &&
+        samples.size() + o.samples.size() <= kInlineMax) {
+      samples.insert(samples.end(), o.samples.begin(), o.samples.end());
+    } else {
+      if (hist.empty()) to_hist();
+      if (!o.hist.empty()) {
+        for (int i = 0; i < kBins; ++i) hist[i] += o.hist[i];
+      } else {
+        for (uint8_t s : o.samples) ++hist[s];
+      }
+    }
+    count += o.count;
+    cached_score = -1.0f;
+    o.samples.clear();
+    o.samples.shrink_to_fit();
+    o.hist.clear();
+    o.hist.shrink_to_fit();
+  }
+
+  // score = 1 - q-quantile of the affinities (bin midpoint); cached
+  // until the distribution changes (pops re-check scores millions of
+  // times and must not rescan the histogram each time).
+  float score(int quantile_pct) {
+    if (cached_score >= 0.0f) return cached_score;
+    if (count == 0) return 1.0f;
+    const uint64_t target = (count - 1) * quantile_pct / 100;
+    int bin;
+    if (hist.empty()) {
+      // nth_element over the inline samples (tiny).
+      std::vector<uint8_t> tmp(samples);
+      std::nth_element(tmp.begin(), tmp.begin() + target, tmp.end());
+      bin = tmp[target];
+    } else {
+      uint64_t seen = 0;
+      bin = kBins - 1;
+      for (int i = 0; i < kBins; ++i) {
+        seen += hist[i];
+        if (seen > target) {
+          bin = i;
+          break;
+        }
+      }
+    }
+    cached_score = 1.0f - (bin + 0.5f) / kBins;
+    return cached_score;
   }
 };
 
@@ -257,44 +317,41 @@ EXA_API int64_t exa_agglomerate(const float* affs, int64_t D, int64_t H,
     flush_thresholds(current);
     if (t_idx >= n_thresholds) break;
 
-    // Merge rb into ra (or vice versa, by adjacency degree).
+    // Merge the side with the SMALLER adjacency list into the larger:
+    // only the small side's edges are re-keyed, so each edge endpoint
+    // moves O(log K) times total (near-linear agglomeration; rebuilding
+    // the large list per merge was quadratic in fragments).
     uint32_t keep = ra, drop = rb;
     if (incident[keep].size() < incident[drop].size()) std::swap(keep, drop);
-    const uint32_t root = uf.unite(keep, drop);
+    uf.unite_into(keep, drop);
     e.alive = false;
+    edge_index.erase(EdgeKey{std::min(ra, rb), std::max(ra, rb)});
 
-    // Re-point dropped side's edges; combine parallel edges.
-    std::unordered_map<uint32_t, uint32_t> peer_edge;  // peer root -> edge
-    peer_edge.reserve(incident[keep].size() + incident[drop].size());
-    std::vector<uint32_t> merged;
-    merged.reserve(incident[keep].size() + incident[drop].size());
-    for (int side = 0; side < 2; ++side) {
-      auto& list = side == 0 ? incident[keep] : incident[drop];
-      for (uint32_t ei : list) {
-        Edge& f = edges[ei];
-        if (!f.alive) continue;
-        const uint32_t fa = uf.find(f.a);
-        const uint32_t fb = uf.find(f.b);
-        if (fa == fb) {
-          f.alive = false;
-          continue;
-        }
-        const uint32_t peer = (fa == root) ? fb : fa;
-        auto it = peer_edge.find(peer);
-        if (it == peer_edge.end()) {
-          peer_edge.emplace(peer, ei);
-          merged.push_back(ei);
-        } else {
-          Edge& g = edges[it->second];
-          g.absorb(f);
-          f.alive = false;
-          pq.push({g.score(quantile_pct), it->second});
-        }
+    for (uint32_t ei : incident[drop]) {
+      Edge& f = edges[ei];
+      if (!f.alive) continue;
+      const uint32_t fa = uf.find(f.a);
+      const uint32_t fb = uf.find(f.b);
+      if (fa == fb) {
+        f.alive = false;
+        continue;
+      }
+      const uint32_t peer = (fa == keep) ? fb : fa;
+      edge_index.erase(EdgeKey{std::min(drop, peer), std::max(drop, peer)});
+      const EdgeKey new_key{std::min(keep, peer), std::max(keep, peer)};
+      auto it = edge_index.find(new_key);
+      if (it == edge_index.end() || !edges[it->second].alive) {
+        edge_index[new_key] = ei;
+        incident[keep].push_back(ei);
+      } else if (it->second != ei) {
+        Edge& g = edges[it->second];
+        g.absorb(f);
+        f.alive = false;
+        pq.push({g.score(quantile_pct), it->second});
       }
     }
-    incident[keep].clear();
     incident[drop].clear();
-    incident[root] = std::move(merged);
+    incident[drop].shrink_to_fit();
   }
   flush_thresholds(2.0f);  // emit any remaining snapshots
   while (t_idx < n_thresholds) {

@@ -40,6 +40,15 @@ struct UnionFind {
     size[a] += size[b];
     return a;
   }
+
+  // Directed union: `drop` (must be a root) is absorbed into `keep`
+  // (must be a root). Callers use this when an external structure (e.g.
+  // an adjacency list) dictates which side must survive.
+  void unite_into(uint32_t keep, uint32_t drop) {
+    if (keep == drop) return;
+    parent[drop] = keep;
+    size[keep] += size[drop];
+  }
 };
 
 }  // namespace exa
