@@ -208,10 +208,11 @@ def predict(
     )
 
     if max_slab_rows is None:
-        # ~4 GiB f32 accumulator budget per slab: rows such that
+        # ~2 GiB f32 accumulator budget per slab (two slabs may be
+        # resident at once in the fetch pipeline): rows such that
         # out_channels * (rows*stride + patch) * H * W * 4 <= budget.
         stride_z = patch_shape[0] - overlap[0]
-        budget = 4 * 1024**3
+        budget = 2 * 1024**3
         per_z = out_channels * dim[1] * dim[2] * 4
         max_slab_rows = max((budget // per_z - patch_shape[0]) // stride_z, 1)
 
@@ -224,6 +225,21 @@ def predict(
         pbar = tqdm(
             total=count_patches(dim, patch_shape, overlap), desc="Predict"
         )
+
+    # One-slab-deep pipeline: dispatch slab i+1's device work (all JAX
+    # calls are async) before fetching slab i's result, so the device
+    # queue stays fed while the host copies results out.
+    pending = None  # (own_lo, own_hi, device array)
+
+    def fetch(entry):
+        own_lo, own_hi, blended = entry
+        out[:, own_lo:own_hi] = np.asarray(blended)
+        if pbar is not None:
+            planes = own_hi - own_lo
+            est = int(
+                round(pbar.total * planes / dim[0])
+            )
+            pbar.update(min(est, pbar.total - pbar.n))
 
     for plan in plans:
         in_lo, in_hi = plan["in_range"]
@@ -267,13 +283,14 @@ def predict(
             jnp.asarray(wy),
             jnp.asarray(wx),
         )
-        out[:, own_lo:own_hi] = np.asarray(blended)
-        if pbar is not None:
-            n_owned = len(
-                [r for r in plan["rows"]]
-            ) * len(ranges[1]) * len(ranges[2])
-            pbar.update(min(n_owned, pbar.total - pbar.n))
+        if pending is not None:
+            fetch(pending)
+        pending = (own_lo, own_hi, blended)
+    if pending is not None:
+        fetch(pending)
     if pbar is not None:
+        pbar.n = pbar.total
+        pbar.refresh()
         pbar.close()
 
     return out if affinity_mode else out[0]
