@@ -25,5 +25,6 @@ from aind_exaspim_neuron_segmentation_tpu.core.affinities import (  # noqa: F401
     DEFAULT_EDGES,
     get_affinity_channels,
     get_affinity_mask,
+    get_offset_masks,
     affinity_channels_jax,
 )

@@ -17,19 +17,34 @@ import numpy as np
 DEFAULT_EDGES = ((1, 0, 0), (0, 1, 0), (0, 0, 1))
 
 
+def get_offset_masks(label_mask, edge):
+    """The two shifted views compared by :func:`get_affinity_mask`.
+
+    Reference: utils/img_util.py:219-253 (surface parity; o1 is offset
+    by +edge, o2 by -edge).
+    """
+    shape = label_mask.shape
+    edge = np.asarray(edge)
+    off1 = np.maximum(edge, 0)
+    off2 = np.maximum(-edge, 0)
+    o1 = label_mask[tuple(
+        slice(a, s - b) for a, b, s in zip(off1, off2, shape)
+    )]
+    o2 = label_mask[tuple(
+        slice(b, s - a) for a, b, s in zip(off1, off2, shape)
+    )]
+    return o1, o2
+
+
 def get_affinity_mask(label_mask, edge):
     """Binary affinity mask for one unit edge direction (host/numpy).
 
-    Reference: utils/img_util.py:188-253.
+    Reference: utils/img_util.py:188-253 (routed through
+    :func:`get_offset_masks` like the reference).
     """
-    axis = tuple(edge).index(1)
-    ahead = [slice(None)] * 3
-    behind = [slice(None)] * 3
-    ahead[axis] = slice(1, None)
-    behind[axis] = slice(None, -1)
-    o1 = label_mask[tuple(ahead)]
-    o2 = label_mask[tuple(behind)]
+    o1, o2 = get_offset_masks(label_mask, edge)
     aff = ((o1 == o2) & (o1 != 0)).astype(label_mask.dtype)
+    axis = int(np.argmax(np.asarray(edge) != 0))
     pad = [(0, 0)] * 3
     pad[axis] = (0, 1)
     return np.pad(aff, pad, mode="constant", constant_values=0)

@@ -10,6 +10,7 @@ import numpy as np
 from aind_exaspim_neuron_segmentation_tpu.core.affinities import (  # noqa: F401
     get_affinity_channels,
     get_affinity_mask,
+    get_offset_masks,
 )
 from aind_exaspim_neuron_segmentation_tpu.core.normalize import (  # noqa: F401
     normalize,

@@ -151,3 +151,18 @@ class TestAffinities:
             np.asarray(affinity_channels_jax(lab)),
             get_affinity_channels(lab).astype(np.float32),
         )
+
+
+class TestOffsetMasks:
+    def test_shifted_views(self):
+        from aind_exaspim_neuron_segmentation_tpu.core import get_offset_masks
+
+        lab = np.arange(3 * 4 * 5).reshape(3, 4, 5)
+        for edge, sl1, sl2 in (
+            ((1, 0, 0), np.s_[1:, :, :], np.s_[:-1, :, :]),
+            ((0, 1, 0), np.s_[:, 1:, :], np.s_[:, :-1, :]),
+            ((0, 0, 1), np.s_[:, :, 1:], np.s_[:, :, :-1]),
+        ):
+            o1, o2 = get_offset_masks(lab, edge)
+            np.testing.assert_array_equal(o1, lab[sl1])
+            np.testing.assert_array_equal(o2, lab[sl2])

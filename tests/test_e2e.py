@@ -51,3 +51,37 @@ def test_full_pipeline(tmp_path):
     assert ids == {1, 2}
     for i in ids:
         assert (seg[vox == i] == i).all()
+
+
+def test_train_export_reload_predict(tmp_path):
+    """Close the reference workflow loop: Trainer -> best-F1 .pth ->
+    load_model -> predict (README training + inference workflows)."""
+    import glob
+
+    from aind_exaspim_neuron_segmentation_tpu.machine_learning import (
+        TrainDataset, ValidateDataset, Trainer,
+    )
+
+    img, lab = synthetic_volume(shape=(48, 48, 48))
+    train_ds = TrainDataset([img], [lab], patch_shape=(16, 16, 16), seed=0)
+    val_ds = ValidateDataset(
+        [img], [lab], patch_shape=(16, 16, 16), containment_buffer=0
+    )
+    trainer = Trainer(
+        str(tmp_path), batch_size=4, max_epochs=1, width_multiplier=0.25,
+        use_amp=False,
+    )
+    trainer.run(train_ds, val_ds)
+    paths = glob.glob(str(tmp_path / "session-*" / "*.pth"))
+    assert paths, "training produced no best-F1 checkpoint (F1 stayed 0)"
+    pth = paths[0]
+
+    model = inference.load_model(
+        pth, affinity_mode=True, width_multiplier=0.25, dtype=jnp.float32
+    )
+    aff = inference.predict(
+        img, model, patch_shape=(16, 16, 16), overlap=(4, 4, 4), trim=2,
+        batch_size=4, verbose=False,
+    )
+    assert aff.shape == (3, 48, 48, 48)
+    assert np.isfinite(aff).all()
