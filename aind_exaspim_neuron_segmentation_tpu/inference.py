@@ -146,6 +146,7 @@ def predict(
     max_slab_rows=None,
     blend_mode="uniform",
     blend_sigma=None,
+    out_path=None,
 ):
     """Sliding-window affinity / foreground prediction.
 
@@ -165,6 +166,11 @@ def predict(
     separable gaussian window (sigma defaults to patch/6), removing seam
     artifacts at patch borders. Both divide by the accumulated weight and
     leave never-covered voxels at exactly 0.
+
+    ``out_path``: when set, slab outputs stream into a Zarr store at
+    this path as they finish (at most one slab + one chunk row of the
+    output resident in host RAM -- volumes larger than memory are fine)
+    and the return value is a lazy Zarr handle instead of an ndarray.
     """
     img = np.asarray(img)
     if img.ndim == 5:
@@ -217,7 +223,19 @@ def predict(
         max_slab_rows = max((budget // per_z - patch_shape[0]) // stride_z, 1)
 
     plans = _slab_plan(z_starts, patch_shape[0], trim, dim[0], max_slab_rows)
-    out = np.zeros((out_channels,) + dim, dtype=np.float32)
+    if out_path is not None:
+        from aind_exaspim_neuron_segmentation_tpu.io.zarr_lite import (
+            ZarrAppendWriter,
+        )
+
+        out_shape = (
+            (out_channels,) + dim if affinity_mode else dim
+        )
+        writer = ZarrAppendWriter(out_path, out_shape, np.float32)
+        out = None
+    else:
+        writer = None
+        out = np.zeros((out_channels,) + dim, dtype=np.float32)
     pbar = None
     if verbose:
         from tqdm import tqdm
@@ -233,7 +251,11 @@ def predict(
 
     def fetch(entry):
         own_lo, own_hi, blended = entry
-        out[:, own_lo:own_hi] = np.asarray(blended)
+        if writer is not None:
+            block = np.asarray(blended)
+            writer.append(block if affinity_mode else block[0])
+        else:
+            out[:, own_lo:own_hi] = np.asarray(blended)
         if pbar is not None:
             planes = own_hi - own_lo
             est = int(
@@ -293,6 +315,11 @@ def predict(
         pbar.refresh()
         pbar.close()
 
+    if writer is not None:
+        from aind_exaspim_neuron_segmentation_tpu.io import read
+
+        writer.close()
+        return read(out_path)
     return out if affinity_mode else out[0]
 
 

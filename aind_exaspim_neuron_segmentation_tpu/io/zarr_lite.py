@@ -252,6 +252,116 @@ def write_zarr(path, array, chunks=None, compressor={"id": "zlib", "level": 1}):
     return path
 
 
+class ZarrAppendWriter:
+    """Incremental Zarr v2 writer: append along the LAST-minus-2 axis.
+
+    Built for streaming inference outputs that never fit in RAM: slabs
+    arrive in increasing Z order (any slab thickness), the writer
+    buffers at most one chunk-row of Z planes, and flushes complete
+    chunk rows to the store as they fill. Supports 3D (D, H, W) and 4D
+    (C, D, H, W) arrays (channels stored as one chunk along C).
+    """
+
+    def __init__(self, path, shape, dtype,
+                 chunks=None, compressor={"id": "zlib", "level": 1}):
+        if len(shape) == 3:
+            self.channels = None
+            d, h, w = shape
+        elif len(shape) == 4:
+            self.channels = shape[0]
+            d, h, w = shape[1:]
+        else:
+            raise ValueError(f"expected 3D/4D shape, got {shape}")
+        self.shape = tuple(shape)
+        self.dtype = np.dtype(dtype)
+        cz, cy, cx = chunks or (64, min(256, h), min(256, w))
+        self.chunks = (cz, cy, cx)
+        self.compressor = compressor
+        self.store = open_store(path)
+        self.path = path
+        full_chunks = (
+            [self.channels] if self.channels else []
+        ) + [cz, cy, cx]
+        meta = {
+            "zarr_format": 2,
+            "shape": list(shape),
+            "chunks": full_chunks,
+            "dtype": self.dtype.str,
+            "compressor": compressor,
+            "fill_value": 0,
+            "order": "C",
+            "filters": None,
+            "dimension_separator": ".",
+        }
+        self.store.put(".zarray", json.dumps(meta).encode())
+        buf_shape = (
+            ((self.channels,) if self.channels else ()) + (cz, h, w)
+        )
+        self._buf = np.zeros(buf_shape, self.dtype)
+        self._z = 0  # next absolute z plane to receive
+
+    def append(self, block):
+        """Add the next Z planes: (dz, H, W) or (C, dz, H, W)."""
+        block = np.asarray(block, self.dtype)
+        z_axis = 0 if self.channels is None else 1
+        dz = block.shape[z_axis]
+        d = self.shape[z_axis]
+        if self._z + dz > d:
+            raise ValueError("append past the declared Z extent")
+        cz = self.chunks[0]
+        off = 0
+        while off < dz:
+            buf_lo = (self._z + off) % cz
+            take = min(cz - buf_lo, dz - off)
+            src = [slice(None)] * block.ndim
+            src[z_axis] = slice(off, off + take)
+            dst = [slice(None)] * self._buf.ndim
+            dst[z_axis] = slice(buf_lo, buf_lo + take)
+            self._buf[tuple(dst)] = block[tuple(src)]
+            off += take
+            if buf_lo + take == cz or self._z + off == d:
+                self._flush_row((self._z + off - 1) // cz)
+        self._z += dz
+        if self._z == d:
+            self._buf = None  # complete
+
+    def _flush_row(self, row):
+        cz, cy, cx = self.chunks
+        z_axis = 0 if self.channels is None else 1
+        d, h, w = self.shape[z_axis:]
+        for yi in range(math.ceil(h / cy)):
+            for xi in range(math.ceil(w / cx)):
+                chunk_shape = (
+                    ((self.channels,) if self.channels else ())
+                    + (cz, cy, cx)
+                )
+                chunk = np.zeros(chunk_shape, self.dtype)
+                ys = slice(yi * cy, min((yi + 1) * cy, h))
+                xs = slice(xi * cx, min((xi + 1) * cx, w))
+                src = [slice(None)] * self._buf.ndim
+                src[z_axis + 1] = ys
+                src[z_axis + 2] = xs
+                dst = [slice(None)] * chunk.ndim
+                dst[z_axis + 1] = slice(0, ys.stop - ys.start)
+                dst[z_axis + 2] = slice(0, xs.stop - xs.start)
+                chunk[tuple(dst)] = self._buf[tuple(src)]
+                idx = ([0] if self.channels else []) + [row, yi, xi]
+                key = ".".join(str(i) for i in idx)
+                self.store.put(
+                    key, _compress(chunk.tobytes(order="C"), self.compressor)
+                )
+        self._buf[...] = 0
+
+    def close(self):
+        """Verify every plane arrived (partial tails flush on append)."""
+        z_axis = 0 if self.channels is None else 1
+        if self._z != self.shape[z_axis]:
+            raise ValueError(
+                f"only {self._z} of {self.shape[z_axis]} Z planes written"
+            )
+        return self.path
+
+
 def write_n5(path, array, chunks=None, compression={"type": "gzip"}):
     """Write a numpy array (zyx) as an N5 dataset."""
     array = np.asarray(array)

@@ -116,3 +116,56 @@ class TestDispatch:
     def test_missing_zarr(self, tmp_path):
         with pytest.raises(FileNotFoundError):
             vio.read(str(tmp_path / "nope.zarr"))
+
+
+class TestAppendWriter:
+    def test_streamed_equals_bulk(self, tmp_path, vol):
+        from aind_exaspim_neuron_segmentation_tpu.io.zarr_lite import (
+            ZarrAppendWriter,
+        )
+
+        path = str(tmp_path / "s.zarr")
+        w = ZarrAppendWriter(path, vol.shape, vol.dtype, chunks=(16, 16, 16))
+        # irregular slab thicknesses incl. partial chunk rows
+        for lo, hi in ((0, 5), (5, 21), (21, 22), (22, 40)):
+            w.append(vol[lo:hi])
+        w.close()
+        np.testing.assert_array_equal(vio.read(path)[:], vol)
+
+    def test_4d_channels(self, tmp_path):
+        from aind_exaspim_neuron_segmentation_tpu.io.zarr_lite import (
+            ZarrAppendWriter,
+        )
+
+        rng = np.random.default_rng(3)
+        arr = rng.standard_normal((3, 20, 15, 11)).astype(np.float32)
+        path = str(tmp_path / "c.zarr")
+        w = ZarrAppendWriter(path, arr.shape, arr.dtype, chunks=(8, 8, 8))
+        w.append(arr[:, :13])
+        w.append(arr[:, 13:])
+        w.close()
+        np.testing.assert_array_equal(vio.read(path)[:], arr)
+
+    def test_incomplete_close_raises(self, tmp_path, vol):
+        from aind_exaspim_neuron_segmentation_tpu.io.zarr_lite import (
+            ZarrAppendWriter,
+        )
+
+        w = ZarrAppendWriter(
+            str(tmp_path / "i.zarr"), vol.shape, vol.dtype
+        )
+        w.append(vol[:10])
+        with pytest.raises(ValueError, match="planes"):
+            w.close()
+
+    def test_overflow_raises(self, tmp_path, vol):
+        from aind_exaspim_neuron_segmentation_tpu.io.zarr_lite import (
+            ZarrAppendWriter,
+        )
+
+        w = ZarrAppendWriter(
+            str(tmp_path / "o.zarr"), vol.shape, vol.dtype
+        )
+        w.append(vol)
+        with pytest.raises(ValueError, match="extent"):
+            w.append(vol[:1])

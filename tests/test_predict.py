@@ -137,3 +137,17 @@ def test_unknown_blend_mode_raises(runner, volume):
             volume, runner, patch_shape=PATCH, overlap=OVERLAP, trim=TRIM,
             verbose=False, blend_mode="cosine",
         )
+
+
+def test_streaming_zarr_output(runner, volume, tmp_path):
+    want = inference.predict(
+        volume, runner, patch_shape=PATCH, overlap=OVERLAP, trim=TRIM,
+        batch_size=4, verbose=False,
+    )
+    handle = inference.predict(
+        volume, runner, patch_shape=PATCH, overlap=OVERLAP, trim=TRIM,
+        batch_size=4, verbose=False, max_slab_rows=1,
+        out_path=str(tmp_path / "aff.zarr"),
+    )
+    assert handle.shape == want.shape  # lazy zarr handle
+    np.testing.assert_allclose(handle[:], want, atol=1e-6)
