@@ -28,6 +28,8 @@
 
 #include <algorithm>
 #include <array>
+#include <atomic>
+#include <thread>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -417,21 +419,46 @@ EXA_API void* exa_skeletonize(const uint32_t* labels, int64_t D, int64_t H,
     comp_label.push_back(lab);
   }
 
-  for (uint32_t c = 1; c <= n_comp; ++c) {
-    const auto& bb = bbox[c - 1];
-    const int64_t cd = bb[1] - bb[0] + 1, ch = bb[3] - bb[2] + 1,
-                  cw = bb[5] - bb[4] + 1;
-    std::vector<uint8_t> mask(cd * ch * cw, 0);
-    for (int64_t z = 0; z < cd; ++z)
-      for (int64_t y = 0; y < ch; ++y)
-        for (int64_t x = 0; x < cw; ++x) {
-          const int64_t g =
-              ((z + bb[0]) * H + (y + bb[2])) * W + (x + bb[4]);
-          if (comp[g] == c) mask[(z * ch + y) * cw + x] = 1;
-        }
-    if (p.fill_holes) fill_holes(mask, cd, ch, cw);
-    skeletonize_component(mask, cd, ch, cw, p, bb[0], bb[2], bb[4],
-                          comp_label[c - 1], res);
+  // Components are independent: process them on a worker pool
+  // (kimimaro's `parallel` knob; the reference calls with parallel=1,
+  // inference.py:288). Results are collected per component and appended
+  // in component order so the output is deterministic regardless of
+  // thread count.
+  const int32_t n_threads =
+      std::max<int32_t>(1, static_cast<int32_t>(params_arr[11]));
+  std::vector<Result> partial(n_comp);
+  std::atomic<uint32_t> next_comp{1};
+
+  auto worker = [&]() {
+    while (true) {
+      const uint32_t c = next_comp.fetch_add(1);
+      if (c > n_comp) return;
+      const auto& bb = bbox[c - 1];
+      const int64_t cd = bb[1] - bb[0] + 1, ch = bb[3] - bb[2] + 1,
+                    cw = bb[5] - bb[4] + 1;
+      std::vector<uint8_t> mask(cd * ch * cw, 0);
+      for (int64_t z = 0; z < cd; ++z)
+        for (int64_t y = 0; y < ch; ++y)
+          for (int64_t x = 0; x < cw; ++x) {
+            const int64_t g =
+                ((z + bb[0]) * H + (y + bb[2])) * W + (x + bb[4]);
+            if (comp[g] == c) mask[(z * ch + y) * cw + x] = 1;
+          }
+      if (p.fill_holes) fill_holes(mask, cd, ch, cw);
+      skeletonize_component(mask, cd, ch, cw, p, bb[0], bb[2], bb[4],
+                            comp_label[c - 1], &partial[c - 1]);
+    }
+  };
+
+  if (n_threads == 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    for (int32_t t = 0; t < n_threads; ++t) pool.emplace_back(worker);
+    for (auto& t : pool) t.join();
+  }
+  for (auto& part : partial) {
+    for (auto& s : part.skeletons) res->skeletons.push_back(std::move(s));
   }
   return res;
 }

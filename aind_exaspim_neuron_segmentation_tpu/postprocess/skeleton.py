@@ -131,13 +131,16 @@ def skeletonize(
     fix_borders=True,
     fill_holes=True,
     max_paths=None,
+    parallel=1,
 ):
     """TEASAR-skeletonize every labeled segment.
 
     Parameter names/defaults mirror the kimimaro call at reference
-    inference.py:272-291. Returns ``{segment_id: Skeleton}``; a segment
-    with multiple connected components contributes one merged Skeleton
-    (vertices concatenated), like kimimaro.
+    inference.py:272-291 (including ``parallel``: worker threads over
+    connected components; results are deterministic for any count).
+    Returns ``{segment_id: Skeleton}``; a segment with multiple
+    connected components contributes one merged Skeleton (vertices
+    concatenated), like kimimaro.
     """
     del max_paths  # accepted for parity; the trace loop runs to coverage
     seg = np.ascontiguousarray(segmentation, dtype=np.uint32)
@@ -150,6 +153,7 @@ def skeletonize(
             soma_detection_threshold, soma_acceptance_threshold,
             soma_invalidation_scale, soma_invalidation_const,
             anisotropy[0], anisotropy[1], anisotropy[2],
+            max(int(parallel), 1),
         ],
         dtype=np.float64,
     )
