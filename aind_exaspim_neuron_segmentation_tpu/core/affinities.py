@@ -42,6 +42,8 @@ def get_affinity_mask(label_mask, edge):
     Reference: utils/img_util.py:188-253 (routed through
     :func:`get_offset_masks` like the reference).
     """
+    if sorted(np.abs(edge)) != [0, 0, 1]:
+        raise ValueError(f"expected a unit edge direction, got {edge}")
     o1, o2 = get_offset_masks(label_mask, edge)
     aff = ((o1 == o2) & (o1 != 0)).astype(label_mask.dtype)
     axis = int(np.argmax(np.asarray(edge) != 0))

@@ -110,18 +110,25 @@ def to_tensor(arr, device=None):
     return arr
 
 
-def _slab_plan(z_starts, patch_z, trim, dim_z, max_rows):
+def _slab_plan(z_starts, patch_z, trim, dim_z, max_rows, stride=None):
     """Split z-start rows into slabs of <= max_rows owned rows.
 
-    Each slab recomputes the previous slab's last row (its output tail
-    overlaps the owned region) and keeps only its owned output range
-    ``[own_lo, own_hi)``; the union of owned ranges covers ``[0, dim_z)``.
+    Each slab recomputes the trailing rows of the previous slab whose
+    trimmed output reaches into its owned range -- ``back`` rows, where
+    back = ceil(core / stride) - 1 and core = patch - 2*trim (one row
+    for the default 96/32/8 grid; more when the stride is small
+    relative to the core). Only the owned output range ``[own_lo,
+    own_hi)`` is kept; the union of owned ranges covers ``[0, dim_z)``.
     """
     plans = []
     n = len(z_starts)
+    if stride is None:
+        stride = z_starts[1] - z_starts[0] if n > 1 else patch_z
+    core = patch_z - 2 * trim
+    back = max(-(-core // stride) - 1, 0) if stride > 0 else 0
     for i0 in range(0, n, max_rows):
         i1 = min(i0 + max_rows, n)
-        rows = list(range(max(i0 - 1, 0), i1))
+        rows = list(range(max(i0 - back, 0), i1))
         own_lo = 0 if i0 == 0 else z_starts[i0] + trim
         own_hi = dim_z if i1 == n else z_starts[i1] + trim
         in_lo = z_starts[rows[0]]

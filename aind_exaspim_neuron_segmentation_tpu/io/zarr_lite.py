@@ -77,6 +77,9 @@ class LazyArray:
         key = key + (slice(None),) * (self.ndim - len(key))
         squeeze = []
         slices = []
+        # Steps are handled by reading the contiguous covering range and
+        # striding the result (post), so chunk walking stays simple.
+        post = []
         for axis, k in enumerate(key):
             if isinstance(k, (int, np.integer)):
                 k = int(k)
@@ -84,8 +87,19 @@ class LazyArray:
                     k += self.shape[axis]
                 slices.append(slice(k, k + 1))
                 squeeze.append(axis)
+                post.append(slice(None))
             else:
-                slices.append(slice(*k.indices(self.shape[axis])))
+                start, stop, step = k.indices(self.shape[axis])
+                if step == 1:
+                    slices.append(slice(start, stop))
+                    post.append(slice(None))
+                elif step > 1:
+                    slices.append(slice(start, max(stop, start)))
+                    post.append(slice(None, None, step))
+                else:  # negative step: read the covering range, reverse
+                    lo = stop + 1  # stop already resolved by indices()
+                    slices.append(slice(max(lo, 0), start + 1))
+                    post.append(slice(None, None, step))
         out_shape = tuple(s.stop - s.start for s in slices)
         out = np.full(out_shape, self.fill_value, dtype=self.dtype)
         ranges = [
@@ -110,10 +124,11 @@ class LazyArray:
 
         if all(len(r) for r in ranges):
             walk(0, [])
+        out = out[tuple(post)]
         if squeeze:
             out = out.reshape(
                 tuple(
-                    n for a, n in enumerate(out_shape) if a not in squeeze
+                    n for a, n in enumerate(out.shape) if a not in squeeze
                 )
             )
         return out

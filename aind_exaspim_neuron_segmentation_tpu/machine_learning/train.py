@@ -415,6 +415,11 @@ class Trainer:
 
 
 def toCPU(tensor, to_numpy=False):
-    """Surface parity helper (reference train.py:313-333)."""
-    arr = np.asarray(tensor)
-    return arr if to_numpy else arr
+    """Surface parity helper (reference train.py:313-333).
+
+    JAX arrays fetched to host are already NumPy-convertible, so both
+    modes return an ndarray; ``to_numpy`` is accepted for call-site
+    compatibility only.
+    """
+    del to_numpy
+    return np.asarray(tensor)

@@ -28,13 +28,13 @@ def _kernel(starts_ref, acc_ref, probs_ref, out_ref, vm_acc, vm_probs,
     z = starts_ref[i, 0] + trim
     y = starts_ref[i, 1] + trim
     x = starts_ref[i, 2] + trim
-    c = vm_acc.shape[1]
+    cz, cy, cx = vm_acc.shape[1:]
 
     del acc_ref  # aliased with out_ref; all access goes through out_ref
     # so each grid step observes the previous steps' writes.
     for ch in range(channels):
         load = pltpu.make_async_copy(
-            out_ref.at[ch, pl.ds(z, c), pl.ds(y, c), pl.ds(x, c)],
+            out_ref.at[ch, pl.ds(z, cz), pl.ds(y, cy), pl.ds(x, cx)],
             vm_acc.at[0],
             sems.at[0],
         )
@@ -48,7 +48,7 @@ def _kernel(starts_ref, acc_ref, probs_ref, out_ref, vm_acc, vm_probs,
         vm_acc[0] = vm_acc[0] + vm_probs[0]
         store = pltpu.make_async_copy(
             vm_acc.at[0],
-            out_ref.at[ch, pl.ds(z, c), pl.ds(y, c), pl.ds(x, c)],
+            out_ref.at[ch, pl.ds(z, cz), pl.ds(y, cy), pl.ds(x, cx)],
             sems.at[2],
         )
         store.start()

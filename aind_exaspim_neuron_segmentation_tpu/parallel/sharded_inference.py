@@ -67,8 +67,18 @@ def predict_sharded(
     spill = max(overlap[0] - 2 * trim, 0)
     n_rows = len(z_starts)
     rpd = math.ceil(n_rows / n_dev)  # rows per device
+    # The halo exchange is single-hop: a device's spill must land inside
+    # its immediate neighbor's owned range. Bump rows-per-device until
+    # own_d = rpd*stride >= spill (narrow-stride grids on wide meshes).
+    if stride > 0:
+        rpd = max(rpd, math.ceil(spill / stride))
     slab_d = (rpd - 1) * stride + patch_shape[0]
     own_d = rpd * stride
+    if spill > own_d:
+        raise ValueError(
+            f"spill {spill} exceeds owned depth {own_d}: overlap too "
+            "large relative to stride for single-hop halo exchange"
+        )
 
     # Grid-pad so every slab/patch gather is in-bounds. Y/X reflect to the
     # grid extent (same as single-device); Z pads to the padded-row grid:

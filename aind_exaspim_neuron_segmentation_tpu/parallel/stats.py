@@ -75,6 +75,13 @@ def order_stat(x, k, psum_fn=lambda v: v):
 
 
 def _percentiles(x, qs, n_total, psum_fn):
+    # Ranks and histogram counts are device int32 unless x64 is enabled;
+    # beyond 2^31-1 elements the arithmetic would silently wrap.
+    if n_total > np.iinfo(np.int32).max and not jax.config.jax_enable_x64:
+        raise ValueError(
+            f"{n_total} elements overflow int32 rank arithmetic; enable "
+            "jax_enable_x64 or compute percentiles per sub-volume"
+        )
     outs = []
     for q in qs:
         rank = (n_total - 1) * (q / 100.0)

@@ -12,19 +12,30 @@ import time
 LOG = logging.getLogger(__name__)
 
 TRANSIENT_EXCEPTIONS = (ConnectionError, TimeoutError, OSError)
+# OSError covers flaky-network errnos, but these subclasses are normal
+# control flow (a zarr store legitimately omits fill-value chunks):
+# retrying them would cost attempts x backoff per missing chunk.
+NON_TRANSIENT_EXCEPTIONS = (
+    FileNotFoundError, IsADirectoryError, NotADirectoryError,
+    PermissionError,
+)
 
 
 def retry(fn, *args, attempts=4, base_delay=0.5, max_delay=8.0,
-          transient=TRANSIENT_EXCEPTIONS, **kwargs):
+          transient=TRANSIENT_EXCEPTIONS,
+          non_transient=NON_TRANSIENT_EXCEPTIONS, **kwargs):
     """Call ``fn``; on a transient exception back off and retry.
 
     Delays: base_delay * 2^k capped at max_delay. The final attempt's
-    exception propagates.
+    exception propagates; ``non_transient`` exceptions propagate
+    immediately even if they subclass a transient type.
     """
     delay = base_delay
     for attempt in range(attempts):
         try:
             return fn(*args, **kwargs)
+        except non_transient:
+            raise
         except transient as err:
             if attempt == attempts - 1:
                 raise

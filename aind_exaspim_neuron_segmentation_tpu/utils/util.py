@@ -48,8 +48,14 @@ def list_gcs_paths(bucket_name, prefix, client=None):
 
 
 def list_gcs_subprefixes(bucket_name, prefix, client=None):
-    """Direct subdirectories of a prefix (reference util.py:105-136)."""
+    """Direct subdirectories of a prefix (reference util.py:105-136).
+
+    The prefix is normalized to end with '/' so the depth filter counts
+    children rather than returning the prefix directory itself.
+    """
     client = client or _storage_client()
+    if prefix and not prefix.endswith("/"):
+        prefix = prefix + "/"
     blobs = client.list_blobs(bucket_name, prefix=prefix, delimiter="/")
     list(blobs)  # iterate to populate .prefixes
     depth = len(prefix.split("/"))

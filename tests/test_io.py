@@ -169,3 +169,20 @@ class TestAppendWriter:
         w.append(vol)
         with pytest.raises(ValueError, match="extent"):
             w.append(vol[:1])
+
+
+class TestSteppedReads:
+    def test_positive_step(self, tmp_path, vol):
+        path = str(tmp_path / "st.zarr")
+        vio.write_zarr(path, vol, chunks=(16, 16, 16))
+        arr = vio.read(path)
+        np.testing.assert_array_equal(arr[::2], vol[::2])
+        np.testing.assert_array_equal(arr[1::3, ::2, 5::4], vol[1::3, ::2, 5::4])
+
+    def test_negative_step(self, tmp_path, vol):
+        path = str(tmp_path / "st2.zarr")
+        vio.write_zarr(path, vol, chunks=(16, 16, 16))
+        arr = vio.read(path)
+        np.testing.assert_array_equal(arr[::-1], vol[::-1])
+        np.testing.assert_array_equal(arr[30:3:-2], vol[30:3:-2])
+        np.testing.assert_array_equal(arr[::-1, 2, ::-3], vol[::-1, 2, ::-3])

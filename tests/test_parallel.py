@@ -172,3 +172,41 @@ class TestDataParallelTrainer:
                 "/tmp/x", batch_size=3, mesh=parallel.make_mesh(4),
                 width_multiplier=0.25, use_amp=False,
             )
+
+
+class TestHaloExchange:
+    """Regression coverage for the spill > 0 ppermute path (the default
+    96/32/8 grid has spill 16; the old test matrix only exercised
+    spill 0)."""
+
+    def test_spill_positive_matches_single_device(self, runner):
+        rng = np.random.default_rng(7)
+        vol = rng.uniform(0, 2000, (96, 48, 40)).astype(np.float32)
+        kw = dict(
+            patch_shape=(32, 32, 32), overlap=(16, 8, 8), trim=2,
+            batch_size=4,
+        )  # spill = 16 - 4 = 12 > 0
+        want = inference.predict(vol, runner, verbose=False, **kw)
+        got = parallel.predict_sharded(
+            vol, runner, mesh=parallel.make_mesh(4), **kw
+        )
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_spill_exceeds_naive_own_depth(self, runner):
+        # stride 10, core 24: requires multi-row recompute in predict and
+        # the rows-per-device bump in predict_sharded (review regression)
+        rng = np.random.default_rng(8)
+        vol = rng.uniform(0, 2000, (52, 40, 40)).astype(np.float32)
+        kw = dict(
+            patch_shape=(32, 32, 32), overlap=(22, 8, 8), trim=4,
+            batch_size=4,
+        )
+        want = inference.predict(vol, runner, verbose=False, **kw)
+        slabbed = inference.predict(
+            vol, runner, verbose=False, max_slab_rows=1, **kw
+        )
+        np.testing.assert_allclose(slabbed, want, atol=1e-6)
+        got = parallel.predict_sharded(
+            vol, runner, mesh=parallel.make_mesh(8), **kw
+        )
+        np.testing.assert_allclose(got, want, atol=1e-6)

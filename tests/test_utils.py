@@ -151,3 +151,38 @@ class TestRetry:
         with pytest.raises(ValueError):
             retry(bad, base_delay=0.001)
         assert len(calls) == 1
+
+
+class TestRetryNonTransient:
+    def test_file_not_found_no_retry(self):
+        from aind_exaspim_neuron_segmentation_tpu.utils.retry import retry
+
+        calls = []
+
+        def missing():
+            calls.append(1)
+            raise FileNotFoundError("no such chunk")
+
+        import pytest
+
+        with pytest.raises(FileNotFoundError):
+            retry(missing, base_delay=0.001)
+        assert len(calls) == 1  # no backoff for missing chunks
+
+    def test_subprefix_prefix_without_slash(self):
+        from aind_exaspim_neuron_segmentation_tpu.utils import util
+
+        class C:
+            def list_blobs(self, bucket, prefix="", delimiter=None):
+                assert prefix.endswith("/")
+
+                class R:
+                    prefixes = ["data/b1/", "data/b2/"]
+
+                    def __iter__(self):
+                        return iter([])
+
+                return R()
+
+        subs = util.list_gcs_subprefixes("b", "data", client=C())
+        assert subs == ["data/b1/", "data/b2/"]
