@@ -110,6 +110,20 @@ def to_tensor(arr, device=None):
     return arr
 
 
+class _Volume5DView:
+    """3D view over a lazy (1, 1, D, H, W) handle (AIND zarr layout)."""
+
+    def __init__(self, handle):
+        self.handle = handle
+        self.shape = tuple(handle.shape[2:])
+        self.ndim = 3
+
+    def __getitem__(self, key):
+        if not isinstance(key, tuple):
+            key = (key,)
+        return self.handle[(0, 0) + key]
+
+
 def _slab_plan(z_starts, patch_z, trim, dim_z, max_rows, stride=None):
     """Split z-start rows into slabs of <= max_rows owned rows.
 
@@ -179,16 +193,40 @@ def predict(
     output resident in host RAM -- volumes larger than memory are fine)
     and the return value is a lazy Zarr handle instead of an ndarray.
     """
-    img = np.asarray(img)
-    if img.ndim == 5:
-        img = img[0, 0]
+    # Lazy (chunked) inputs stream slab-by-slab; in-memory arrays follow
+    # the reference's dense path exactly (inference.py:79-80). Both give
+    # identical numbers: the streaming percentile is exact (radix
+    # select) and the clip+scale is elementwise.
+    lazy = not isinstance(img, (np.ndarray, jnp.ndarray, list, tuple))
+    if not lazy:
+        img = np.asarray(img)
+    if getattr(img, "ndim", 0) == 5:
+        img = _Volume5DView(img) if lazy else img[0, 0]
     if img.ndim != 3:
         raise ValueError(f"expected 3D or 5D input, got shape {img.shape}")
 
-    # Preprocess exactly like the reference (inference.py:79-80).
-    img = np.minimum(img, brightness_clip)
-    img = normalize(img, percentiles=normalization_percentiles)
-    img = np.ascontiguousarray(img, dtype=np.float32)
+    if lazy:
+        from aind_exaspim_neuron_segmentation_tpu.core.normalize import (
+            streaming_percentile,
+        )
+
+        mn, mx = streaming_percentile(
+            img, normalization_percentiles,
+            transform=lambda b: np.minimum(b, brightness_clip),
+        )
+
+        def load_slab(lo, hi):
+            block = np.asarray(img[lo:hi], dtype=np.float32)
+            block = np.minimum(block, brightness_clip)
+            block = (block - mn) / (mx - mn + 1e-8)
+            return np.clip(block, 0.0, 1.0)
+    else:
+        img = np.minimum(img, brightness_clip)
+        img = normalize(img, percentiles=normalization_percentiles)
+        img = np.ascontiguousarray(img, dtype=np.float32)
+
+        def load_slab(lo, hi):
+            return img[lo:hi]
 
     out_channels = 3 if affinity_mode else 1
     runner = model if isinstance(model, ModelRunner) else ModelRunner(*model)
@@ -272,7 +310,7 @@ def predict(
 
     for plan in plans:
         in_lo, in_hi = plan["in_range"]
-        slab = img[in_lo:min(in_hi, dim[0])]
+        slab = load_slab(in_lo, min(in_hi, dim[0]))
         slab, _ = stitch.reflect_pad_to_grid(
             slab, (in_hi - in_lo, *patch_shape[1:]), (0, *overlap[1:])
         )

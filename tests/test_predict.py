@@ -151,3 +151,19 @@ def test_streaming_zarr_output(runner, volume, tmp_path):
     )
     assert handle.shape == want.shape  # lazy zarr handle
     np.testing.assert_allclose(handle[:], want, atol=1e-6)
+
+
+def test_lazy_zarr_input_matches_dense(runner, volume, tmp_path):
+    from aind_exaspim_neuron_segmentation_tpu import io as vio
+
+    path = str(tmp_path / "in.zarr")
+    vio.write_zarr(path, volume, chunks=(16, 16, 16))
+    want = inference.predict(
+        volume, runner, patch_shape=PATCH, overlap=OVERLAP, trim=TRIM,
+        batch_size=4, verbose=False,
+    )
+    got = inference.predict(
+        vio.read(path), runner, patch_shape=PATCH, overlap=OVERLAP,
+        trim=TRIM, batch_size=4, verbose=False, max_slab_rows=1,
+    )
+    np.testing.assert_allclose(got, want, atol=2e-6)
