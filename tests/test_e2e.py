@@ -85,3 +85,29 @@ def test_train_export_reload_predict(tmp_path):
     )
     assert aff.shape == (3, 48, 48, 48)
     assert np.isfinite(aff).all()
+
+
+def test_sharded_zarr_to_swc_pipeline(tmp_path):
+    """BASELINE config #5 at test scale: Zarr volume -> mesh-sharded
+    predict -> segmentation -> zipped SWC."""
+    from aind_exaspim_neuron_segmentation_tpu import io as vio, parallel
+
+    img, lab = synthetic_volume(shape=(64, 48, 48))
+    in_path = str(tmp_path / "brain.zarr")
+    vio.write_zarr(in_path, img, chunks=(16, 16, 16))
+    model = inference.load_model(
+        affinity_mode=True, width_multiplier=0.25, dtype=jnp.float32
+    )
+    handle = vio.read(in_path)
+    aff = parallel.predict_sharded(
+        handle[:], model, mesh=parallel.make_mesh(4),
+        patch_shape=(32, 32, 32), overlap=(8, 8, 8), trim=4, batch_size=4,
+    )
+    assert aff.shape == (3, 64, 48, 48)
+    # oracle affinities for deterministic downstream (random weights)
+    oracle = get_affinity_channels(lab).astype(np.float32)
+    seg = inference.affinities_to_segmentation(oracle, min_segment_size=50)
+    zip_path = str(tmp_path / "out.zip")
+    inference.segmentation_to_zipped_swcs(seg, zip_path)
+    with zipfile.ZipFile(zip_path) as zf:
+        assert len(zf.namelist()) == 2
