@@ -27,10 +27,13 @@ def read(path):
     Returns a lazy handle for ``.zarr``/``.n5`` and an eager ndarray for
     ``.tif``/``.tiff``.
     """
+    # Substring dispatch like the reference (img_util.py:40-50), so
+    # dataset sub-paths inside containers work: "fused.zarr/0",
+    # "vol.n5/c0/s0".
     lower = path.lower().rstrip("/")
-    if lower.endswith(".zarr"):
+    if ".zarr" in lower:
         return open_zarr(path)
-    if lower.endswith(".n5"):
+    if ".n5" in lower:
         return open_n5(path)
     if lower.endswith((".tif", ".tiff")):
         if path.startswith(("gs://", "s3://")):

@@ -57,9 +57,14 @@ class FsspecStore:
         except FileNotFoundError:
             return None
 
-    def put(self, key, data):
-        with self.fs.open(f"{self.root}/{key}", "wb") as f:
+    def _write(self, path, data):
+        with self.fs.open(path, "wb") as f:
             f.write(data)
+
+    def put(self, key, data):
+        from aind_exaspim_neuron_segmentation_tpu.utils.retry import retry
+
+        retry(self._write, f"{self.root}/{key}", data)
 
     def exists(self, key):
         return self.fs.exists(f"{self.root}/{key}")

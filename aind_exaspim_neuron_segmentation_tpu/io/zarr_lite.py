@@ -85,6 +85,11 @@ class LazyArray:
                 k = int(k)
                 if k < 0:
                     k += self.shape[axis]
+                if not 0 <= k < self.shape[axis]:
+                    raise IndexError(
+                        f"index {k} out of bounds for axis {axis} with "
+                        f"size {self.shape[axis]}"
+                    )
                 slices.append(slice(k, k + 1))
                 squeeze.append(axis)
                 post.append(slice(None))
@@ -97,8 +102,9 @@ class LazyArray:
                     slices.append(slice(start, max(stop, start)))
                     post.append(slice(None, None, step))
                 else:  # negative step: read the covering range, reverse
-                    lo = stop + 1  # stop already resolved by indices()
-                    slices.append(slice(max(lo, 0), start + 1))
+                    lo = max(stop + 1, 0)  # stop resolved by indices()
+                    hi = max(start + 1, lo)  # empty selections stay empty
+                    slices.append(slice(lo, hi))
                     post.append(slice(None, None, step))
         out_shape = tuple(s.stop - s.start for s in slices)
         out = np.full(out_shape, self.fill_value, dtype=self.dtype)
@@ -146,6 +152,12 @@ class ZarrArray(LazyArray):
         self.fill_value = meta.get("fill_value", 0) or 0
         self.order = meta.get("order", "C")
         self.sep = meta.get("dimension_separator", ".")
+        if meta.get("filters"):
+            raise ValueError(
+                f"unsupported zarr filters {meta['filters']!r}: this "
+                "build decodes compressor-only stores (numcodecs is not "
+                "installed)"
+            )
 
     def _chunk(self, idx):
         key = self.sep.join(str(i) for i in idx)
@@ -236,8 +248,10 @@ def open_n5(path):
     return N5Array(store, attrs)
 
 
-def write_zarr(path, array, chunks=None, compressor={"id": "zlib", "level": 1}):
-    """Write a numpy array as a Zarr v2 store."""
+def write_zarr(path, array, chunks=None, compressor=None):
+    """Write a numpy array as a Zarr v2 store (zlib level 1 default)."""
+    if compressor is None:
+        compressor = {"id": "zlib", "level": 1}
     array = np.asarray(array)
     if chunks is None:
         chunks = tuple(min(64, s) for s in array.shape)
@@ -277,8 +291,11 @@ class ZarrAppendWriter:
     (C, D, H, W) arrays (channels stored as one chunk along C).
     """
 
-    def __init__(self, path, shape, dtype,
-                 chunks=None, compressor={"id": "zlib", "level": 1}):
+    def __init__(self, path, shape, dtype, chunks=None, compressor=None):
+        compressor = (
+            {"id": "zlib", "level": 1} if compressor is None
+            else dict(compressor)
+        )
         if len(shape) == 3:
             self.channels = None
             d, h, w = shape
@@ -377,8 +394,10 @@ class ZarrAppendWriter:
         return self.path
 
 
-def write_n5(path, array, chunks=None, compression={"type": "gzip"}):
-    """Write a numpy array (zyx) as an N5 dataset."""
+def write_n5(path, array, chunks=None, compression=None):
+    """Write a numpy array (zyx) as an N5 dataset (gzip default)."""
+    if compression is None:
+        compression = {"type": "gzip"}
     array = np.asarray(array)
     if chunks is None:
         chunks = tuple(min(64, s) for s in array.shape)

@@ -73,7 +73,9 @@ def mask_except(labels, keep_ids):
 
     Returns a new uint32 array shaped like ``labels``.
     """
-    out = np.ascontiguousarray(labels, dtype=np.uint32).copy()
+    out = np.ascontiguousarray(labels, dtype=np.uint32)
+    if out is labels or out.base is not None:
+        out = out.copy()
     keep = np.ascontiguousarray(keep_ids, dtype=np.uint32).ravel()
     _lib().exa_mask_except(_u32(out.ravel()), out.size, _u32(keep), keep.size)
     return out
@@ -85,8 +87,8 @@ def renumber(labels, preserve_zero=True, in_place=False):
     Returns ``(labels, n_labels)``.
     """
     out = np.ascontiguousarray(labels, dtype=np.uint32)
-    if not in_place or out is not labels:
-        out = out.copy() if not in_place else out
+    if not in_place and out is labels:
+        out = out.copy()
     n = _lib().exa_renumber(_u32(out.ravel()), out.size,
                             1 if preserve_zero else 0)
     return out, int(n)

@@ -50,7 +50,7 @@ struct Params {
   float pdrf_exponent, pdrf_scale;
   float soma_detect, soma_accept, soma_inv_scale, soma_inv_const;
   float wz, wy, wx;
-  int32_t fix_borders, fill_holes;
+  int32_t fix_borders, fill_holes, black_border;
 };
 
 struct SkeletonData {
@@ -172,14 +172,28 @@ void fill_holes(std::vector<uint8_t>& mask, int64_t D, int64_t H,
 }
 
 // Skeletonize one connected component (mask over a bbox-local grid).
+// gd/gh/gw are the GLOBAL volume dims; faces of the tight bbox interior
+// to the volume always count as boundary (non-component voxels lie just
+// outside), while faces on the global border follow kimimaro's
+// black_border semantics (open unless black_border).
 void skeletonize_component(const std::vector<uint8_t>& mask, int64_t D,
                            int64_t H, int64_t W, const Params& p,
                            int64_t z0, int64_t y0, int64_t x0,
+                           int64_t gd, int64_t gh, int64_t gw,
                            uint32_t label, Result* res) {
   const int64_t N = D * H * W;
 
+  const bool on_global[6] = {
+      z0 == 0, z0 + D == gd, y0 == 0, y0 + H == gh,
+      x0 == 0, x0 + W == gw,
+  };
+  uint8_t cap_face[6];
+  for (int f = 0; f < 6; ++f)
+    cap_face[f] = (!on_global[f] || p.black_border) ? 1 : 0;
+
   std::vector<float> dbf_sq(N);
-  exa::edt_sq(mask.data(), D, H, W, p.wz, p.wy, p.wx, dbf_sq.data());
+  exa::edt_sq(mask.data(), D, H, W, p.wz, p.wy, p.wx, dbf_sq.data(),
+              cap_face);
   std::vector<float> dbf(N, 0.0f);
   float max_dbf = 0.0f;
   int64_t argmax_dbf = -1;
@@ -229,16 +243,18 @@ void skeletonize_component(const std::vector<uint8_t>& mask, int64_t D,
   dijkstra(mask, D, H, W, p, root, empty_cost, false, dist, pred);
 
   std::vector<uint8_t> valid = mask;  // not-yet-invalidated voxels
-  // Border-contact voxels (volume faces of the *global* grid only).
+  // Border-contact voxels: faces of the *global* volume only (a tight
+  // bbox face interior to the volume is not a block border).
   std::vector<uint8_t> border(N, 0);
   if (p.fix_borders) {
     for (int64_t z = 0; z < D; ++z)
       for (int64_t y = 0; y < H; ++y)
         for (int64_t x = 0; x < W; ++x) {
           const int64_t i = (z * H + y) * W + x;
-          if (mask[i] &&
-              (z == 0 || z == D - 1 || y == 0 || y == H - 1 || x == 0 ||
-               x == W - 1))
+          if (!mask[i]) continue;
+          if ((on_global[0] && z == 0) || (on_global[1] && z == D - 1) ||
+              (on_global[2] && y == 0) || (on_global[3] && y == H - 1) ||
+              (on_global[4] && x == 0) || (on_global[5] && x == W - 1))
             border[i] = 1;
         }
   }
@@ -373,6 +389,7 @@ EXA_API void* exa_skeletonize(const uint32_t* labels, int64_t D, int64_t H,
   p.wx = static_cast<float>(params_arr[10]);
   p.fix_borders = fix_borders;
   p.fill_holes = fill_holes_flag;
+  p.black_border = static_cast<int32_t>(params_arr[12]);
 
   auto* res = new Result();
   const int64_t N = D * H * W;
@@ -446,7 +463,7 @@ EXA_API void* exa_skeletonize(const uint32_t* labels, int64_t D, int64_t H,
           }
       if (p.fill_holes) fill_holes(mask, cd, ch, cw);
       skeletonize_component(mask, cd, ch, cw, p, bb[0], bb[2], bb[4],
-                            comp_label[c - 1], &partial[c - 1]);
+                            D, H, W, comp_label[c - 1], &partial[c - 1]);
     }
   };
 

@@ -154,6 +154,9 @@ def skeletonize(
             soma_invalidation_scale, soma_invalidation_const,
             anisotropy[0], anisotropy[1], anisotropy[2],
             max(int(parallel), 1),
+            # kimimaro black_border semantics: volume faces count as
+            # background only for single-label volumes.
+            1.0 if seg.min() == seg.max() else 0.0,
         ],
         dtype=np.float64,
     )

@@ -186,3 +186,42 @@ class TestSteppedReads:
         np.testing.assert_array_equal(arr[::-1], vol[::-1])
         np.testing.assert_array_equal(arr[30:3:-2], vol[30:3:-2])
         np.testing.assert_array_equal(arr[::-1, 2, ::-3], vol[::-1, 2, ::-3])
+
+
+class TestDispatchSubpaths:
+    def test_zarr_dataset_subpath(self, tmp_path, vol):
+        # OME-NGFF-style: container.zarr/0 is itself an array root
+        sub = str(tmp_path / "fused.zarr" / "0")
+        vio.write_zarr(sub, vol)
+        np.testing.assert_array_equal(vio.read(sub)[:], vol)
+
+    def test_n5_dataset_subpath(self, tmp_path, vol):
+        sub = str(tmp_path / "vol.n5" / "c0" / "s0")
+        vio.write_n5(sub, vol)
+        np.testing.assert_array_equal(vio.read(sub)[:], vol)
+
+    def test_filters_raise(self, tmp_path, vol):
+        import json as _json
+
+        path = tmp_path / "f.zarr"
+        vio.write_zarr(str(path), vol)
+        meta = _json.loads((path / ".zarray").read_text())
+        meta["filters"] = [{"id": "delta", "dtype": "<u2"}]
+        (path / ".zarray").write_text(_json.dumps(meta))
+        with pytest.raises(ValueError, match="filters"):
+            vio.read(str(path))
+
+    def test_int_index_bounds(self, tmp_path, vol):
+        path = str(tmp_path / "b.zarr")
+        vio.write_zarr(path, vol)
+        arr = vio.read(path)
+        with pytest.raises(IndexError):
+            arr[vol.shape[0]]
+        with pytest.raises(IndexError):
+            arr[-vol.shape[0] - 1]
+
+    def test_empty_negative_step(self, tmp_path, vol):
+        path = str(tmp_path / "e.zarr")
+        vio.write_zarr(path, vol)
+        arr = vio.read(path)
+        np.testing.assert_array_equal(arr[1, 2:5:-1, 0], vol[1, 2:5:-1, 0])
