@@ -186,3 +186,40 @@ class TestRetryNonTransient:
 
         subs = util.list_gcs_subprefixes("b", "data", client=C())
         assert subs == ["data/b1/", "data/b2/"]
+
+
+class TestProfiling:
+    def test_stage_timer(self):
+        import time
+
+        from aind_exaspim_neuron_segmentation_tpu.utils.profiling import (
+            StageTimer,
+        )
+
+        t = StageTimer(sync=False)
+        with t.stage("a"):
+            time.sleep(0.01)
+        with t.stage("a"):
+            time.sleep(0.01)
+        with t.stage("b"):
+            pass
+        assert t.counts["a"] == 2 and t.counts["b"] == 1
+        assert t.totals["a"] >= 0.02
+        summary = t.summary()
+        assert "a" in summary and "%" in summary
+        assert set(t.as_dict()) == {"a", "b"}
+
+    def test_trace_writes_files(self, tmp_path):
+        import os
+
+        import jax.numpy as jnp
+
+        from aind_exaspim_neuron_segmentation_tpu.utils.profiling import (
+            annotate,
+            trace,
+        )
+
+        with trace(str(tmp_path)):
+            with annotate("work"):
+                jnp.ones(8).sum().block_until_ready()
+        assert any(os.scandir(tmp_path))
