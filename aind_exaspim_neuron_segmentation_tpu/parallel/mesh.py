@@ -23,6 +23,18 @@ def make_mesh(n_devices=None, axis_name="shard", devices=None):
     return Mesh(np.asarray(devices[:n]), (axis_name,))
 
 
+def make_mesh_2d(shape, axis_names=("z", "y"), devices=None):
+    """2-D mesh (e.g. Z x Y slab sharding for ``predict_sharded``)."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = int(np.prod(shape))
+    if len(devices) < n:
+        raise ValueError(
+            f"need {n} devices, have {len(devices)}; on CPU set "
+            "XLA_FLAGS=--xla_force_host_platform_device_count"
+        )
+    return Mesh(np.asarray(devices[:n]).reshape(shape), tuple(axis_names))
+
+
 def replicated(mesh):
     return NamedSharding(mesh, P())
 

@@ -1,17 +1,24 @@
-"""Multi-chip sliding-window inference: Z-slab sharding + halo exchange.
+"""Multi-chip sliding-window inference: slab sharding + halo exchange.
 
 New architecture with no reference counterpart (the reference is
-single-device; SURVEY.md section 2.3). The patch grid's Z rows are
-distributed round-robin-contiguously over a 1-D mesh; each device runs
-the same on-device accumulate loop as single-chip ``predict`` over its
-own rows, then the trimmed patch outputs that spill past a slab's owned
-range (``overlap - 2*trim`` planes, 16 by default) are sent to the next
-device with ``jax.lax.ppermute`` and added -- one neighbor exchange over
-ICI per volume instead of any host-side blending. Division by the
-analytic blend-weight map happens on-device per shard.
+single-device; SURVEY.md section 2.3). The patch grid is distributed
+over a 1-D mesh (Z rows) or a 2-D mesh (Z rows x Y rows); each device
+runs the same on-device accumulate loop as single-chip ``predict`` over
+its own rows, then trimmed patch outputs that spill past a slab's owned
+range (``overlap - 2*trim`` planes per axis, 16 by default) ride
+``jax.lax.ppermute`` to the forward neighbor and are added -- one
+neighbor exchange per sharded axis over ICI, no host-side blending.
 
-Bit-compatibility: identical patch set, same per-patch math, accumulation
-order differs only in float32 addition order (<= 1e-6).
+2-D corner flow: the Z exchange runs first with strips that include the
+Y-tail columns, then the Y exchange forwards strips covering the full
+local Z extent (owned + received head + unsent tail). A contribution
+bound for the diagonal neighbor therefore arrives exactly once, via
+Z-then-Y; the Y-then-Z copy lands in a Z-tail its holder discards
+(only last-Z devices keep Z tails, and they have no Z neighbor that
+could double-deliver).
+
+Bit-compatibility: identical patch set, same per-patch math; f32
+addition order differs only where exchanged strips merge (<= 1e-6).
 """
 
 import math
@@ -34,6 +41,36 @@ from aind_exaspim_neuron_segmentation_tpu.ops import stitch
 from aind_exaspim_neuron_segmentation_tpu.parallel.mesh import make_mesh
 
 
+class _AxisPlan:
+    """Row partitioning of one sharded spatial axis over n mesh slots."""
+
+    def __init__(self, starts, patch, overlap, trim, n_dev):
+        self.starts = list(starts)
+        self.patch = patch
+        self.stride = patch - overlap
+        self.spill = max(overlap - 2 * trim, 0)
+        self.n_dev = n_dev
+        rpd = math.ceil(len(self.starts) / n_dev)
+        # Single-hop exchange: a device's spill must land inside its
+        # immediate neighbor's owned extent.
+        rpd = max(rpd, math.ceil(self.spill / max(self.stride, 1)))
+        self.rpd = rpd
+        self.slab = (rpd - 1) * self.stride + patch
+        self.own = rpd * self.stride
+        if self.spill > self.own:
+            raise ValueError(
+                f"spill {self.spill} exceeds owned extent {self.own}: "
+                "overlap too large relative to stride for single-hop "
+                "halo exchange"
+            )
+
+    def pad_to(self, dim):
+        """Extra planes so every (padded-grid) slab gather is in-bounds."""
+        return max(
+            (self.n_dev * self.rpd - 1) * self.stride + self.patch - dim, 0
+        )
+
+
 def predict_sharded(
     img,
     model,
@@ -46,7 +83,7 @@ def predict_sharded(
     overlap=(32, 32, 32),
     trim=8,
 ):
-    """predict() over a device mesh (same numerics, sharded Z rows)."""
+    """predict() over a 1-D (Z) or 2-D (Z x Y) device mesh."""
     img = np.asarray(img)
     if img.ndim == 5:
         img = img[0, 0]
@@ -57,140 +94,187 @@ def predict_sharded(
     runner = model if isinstance(model, ModelRunner) else ModelRunner(*model)
     out_channels = 3 if affinity_mode else 1
     mesh = mesh or make_mesh()
-    axis = mesh.axis_names[0]
-    n_dev = mesh.devices.size
+    axes = mesh.axis_names
+    if len(axes) == 1:
+        nz, ny = mesh.devices.size, 1
+        z_axis, y_axis = axes[0], None
+    elif len(axes) == 2:
+        nz, ny = mesh.devices.shape
+        z_axis, y_axis = axes
+    else:
+        raise ValueError(f"expected a 1-D or 2-D mesh, got axes {axes}")
 
     dim = img.shape
     ranges = patch_grid_ranges(dim, patch_shape, overlap)
-    z_starts = list(ranges[0])
-    stride = patch_shape[0] - overlap[0]
-    spill = max(overlap[0] - 2 * trim, 0)
-    n_rows = len(z_starts)
-    rpd = math.ceil(n_rows / n_dev)  # rows per device
-    # The halo exchange is single-hop: a device's spill must land inside
-    # its immediate neighbor's owned range. Bump rows-per-device until
-    # own_d = rpd*stride >= spill (narrow-stride grids on wide meshes).
-    if stride > 0:
-        rpd = max(rpd, math.ceil(spill / stride))
-    slab_d = (rpd - 1) * stride + patch_shape[0]
-    own_d = rpd * stride
-    if spill > own_d:
-        raise ValueError(
-            f"spill {spill} exceeds owned depth {own_d}: overlap too "
-            "large relative to stride for single-hop halo exchange"
-        )
+    zp = _AxisPlan(ranges[0], patch_shape[0], overlap[0], trim, nz)
+    yp = _AxisPlan(ranges[1], patch_shape[1], overlap[1], trim, ny)
 
-    # Grid-pad so every slab/patch gather is in-bounds. Y/X reflect to the
-    # grid extent (same as single-device); Z pads to the padded-row grid:
-    # reflect up to dim-1 planes (matching per-patch reflect), edge-pad
-    # any deeper overhang (only reachable by all-invalid padding rows).
-    pad_z = max((n_dev * rpd - 1) * stride + patch_shape[0] - dim[0], 0)
-    pad_y = max(ranges[1][-1] + patch_shape[1] - dim[1], 0)
+    # Pad sharded axes to their padded-row grids (reflect up to dim-1
+    # planes like the per-patch reference semantics, edge-pad any deeper
+    # overhang reachable only through invalid rows); X reflects to the
+    # grid extent exactly like single-device predict.
+    pad_z, pad_y = zp.pad_to(dim[0]), yp.pad_to(dim[1])
     pad_x = max(ranges[2][-1] + patch_shape[2] - dim[2], 0)
-    reflect_z = min(pad_z, dim[0] - 1)
     padded = np.pad(
-        img, ((0, reflect_z), (0, pad_y), (0, pad_x)), mode="reflect"
+        img,
+        (
+            (0, min(pad_z, dim[0] - 1)),
+            (0, min(pad_y, dim[1] - 1)),
+            (0, pad_x),
+        ),
+        mode="reflect",
     )
-    if reflect_z < pad_z:
-        padded = np.pad(
-            padded, ((0, pad_z - reflect_z), (0, 0), (0, 0)), mode="edge"
-        )
-    hp, wp = padded.shape[1:]
+    deep = (
+        (0, pad_z - min(pad_z, dim[0] - 1)),
+        (0, pad_y - min(pad_y, dim[1] - 1)),
+        (0, 0),
+    )
+    if any(hi for _, hi in deep):
+        padded = np.pad(padded, deep, mode="edge")
+    wp = padded.shape[2]
 
-    # Per-device input slabs (overlapping views, stacked).
-    slabs = np.stack([
-        padded[d * own_d: d * own_d + slab_d] for d in range(n_dev)
-    ])
+    # Per-device input slabs: (nz, ny, slab_z, slab_y, wp).
+    slabs = np.empty((nz, ny, zp.slab, yp.slab, wp), np.float32)
+    for i in range(nz):
+        for j in range(ny):
+            slabs[i, j] = padded[
+                i * zp.own: i * zp.own + zp.slab,
+                j * yp.own: j * yp.own + yp.slab,
+            ]
 
-    # Per-device starts (slab-local) + validity.
-    yx = [(y, x) for y in ranges[1] for x in ranges[2]]
-    per_dev = rpd * len(yx)
+    # Per-device starts (slab-local) + validity masks.
+    xs = list(ranges[2])
+    per_dev = zp.rpd * yp.rpd * len(xs)
     pad_n = (-per_dev) % batch_size
     n_local = per_dev + pad_n
-    starts = np.zeros((n_dev, n_local, 3), np.int32)
-    valid = np.zeros((n_dev, n_local), np.float32)
-    for d in range(n_dev):
-        k = 0
-        for r in range(rpd):
-            row = d * rpd + r
-            for (y, x) in yx:
-                starts[d, k] = (r * stride, y, x)
-                valid[d, k] = 1.0 if row < n_rows else 0.0
-                k += 1
+    starts = np.zeros((nz, ny, n_local, 3), np.int32)
+    valid = np.zeros((nz, ny, n_local), np.float32)
+    for i in range(nz):
+        for j in range(ny):
+            k = 0
+            for rz in range(zp.rpd):
+                for ry in range(yp.rpd):
+                    for x in xs:
+                        starts[i, j, k] = (rz * zp.stride, ry * yp.stride, x)
+                        ok = (
+                            i * zp.rpd + rz < len(zp.starts)
+                            and j * yp.rpd + ry < len(yp.starts)
+                        )
+                        valid[i, j, k] = 1.0 if ok else 0.0
+                        k += 1
 
-    # Per-device weight slices over [own_lo, own_lo + own_d + spill).
+    # Per-slot weight slices over the kept (own + spill) windows.
     wz, wy, wx = stitch.separable_weights(dim, patch_shape, overlap, trim)
-    wz_ext = np.concatenate([wz, np.zeros(n_dev * own_d + spill, np.float32)])
-    wz_shards = np.stack([
-        wz_ext[d * own_d + trim: d * own_d + trim + own_d + spill]
-        for d in range(n_dev)
-    ])
+
+    def shard_weights(w, plan):
+        ext = np.concatenate([
+            w,
+            np.zeros(plan.n_dev * plan.own + plan.spill + plan.patch,
+                     np.float32),
+        ])
+        return np.stack([
+            ext[d * plan.own + trim:
+                d * plan.own + trim + plan.own + plan.spill]
+            for d in range(plan.n_dev)
+        ])
+
+    wz_shards = shard_weights(wz, zp)  # (nz, own_z + spill_z)
+    wy_shards = shard_weights(wy, yp)  # (ny, own_y + spill_y)
+    wx_pad = np.concatenate([wx, np.zeros(wp - len(wx), np.float32)])
 
     module = runner.module
     ps = tuple(patch_shape)
+    mesh_axes = tuple(a for a in (z_axis, y_axis) if a)
 
     def body(variables, slab, starts_l, valid_l, wz_l, wy_l, wx_l):
-        slab = slab[0]  # strip the sharded leading axis
-        starts_l = starts_l[0]
-        valid_l = valid_l[0]
-        wz_l = wz_l[0]
+        slab = slab.reshape(slab.shape[-3:])
+        starts_l = starts_l.reshape(starts_l.shape[-2:])
+        valid_l = valid_l.reshape(valid_l.shape[-1:])
+        wz_l = wz_l.reshape(wz_l.shape[-1:])
+        wy_l = wy_l.reshape(wy_l.shape[-1:])
         acc = stitch.accumulate_core(
             variables, slab, starts_l, valid_l, module=module,
             patch_shape=ps, trim=trim, batch_size=batch_size,
-            out_channels=out_channels, vma_axes=(axis,),
+            out_channels=out_channels, vma_axes=mesh_axes,
         )
-        # Own + spill planes, local z in [trim, trim + own_d + spill).
+        keep_z = zp.own + zp.spill
+        keep_y = yp.own + yp.spill
         mine = jax.lax.dynamic_slice(
-            acc, (0, trim, 0, 0),
-            (out_channels, own_d + spill, hp, wp),
+            acc, (0, trim, trim, 0), (out_channels, keep_z, keep_y, wp)
         )
-        # Send my tail strip forward; receive predecessor's into my head
-        # (non-cyclic ppermute: device 0 receives zeros).
-        if spill > 0 and n_dev > 1:
-            strip = mine[:, own_d: own_d + spill]
+        # Phase Z: forward the z-tail, Y-tail columns included.
+        if zp.spill > 0 and nz > 1:
+            strip = mine[:, zp.own: keep_z]
             recv = jax.lax.ppermute(
-                strip, axis, [(i, i + 1) for i in range(n_dev - 1)]
+                strip, z_axis, [(i, i + 1) for i in range(nz - 1)]
             )
-            mine = mine.at[:, :spill].add(recv)
+            mine = mine.at[:, : zp.spill].add(recv)
+        # Phase Y: forward the y-tail over the FULL local z extent.
+        if y_axis is not None and yp.spill > 0 and ny > 1:
+            strip = mine[:, :, yp.own: keep_y]
+            recv = jax.lax.ppermute(
+                strip, y_axis, [(j, j + 1) for j in range(ny - 1)]
+            )
+            mine = mine.at[:, :, : yp.spill].add(recv)
         w = wz_l[:, None, None] * wy_l[None, :, None] * wx_l[None, None, :]
         blended = jnp.where(w > 0, mine / jnp.where(w > 0, w, 1.0), 0.0)
-        return blended[None]
+        return blended.reshape((1,) * len(mesh_axes) + blended.shape)
 
-    spec_in = (
-        P(),  # variables replicated
-        P(axis), P(axis), P(axis), P(axis), P(), P(),
-    )
+    if y_axis is None:
+        sharded2 = P(z_axis)  # leading (nz,) dims on 1-D mesh inputs
+        wz_spec = P(z_axis)
+        wy_spec = P()
+        out_spec = P(z_axis)
+    else:
+        sharded2 = P(z_axis, y_axis)
+        wz_spec = P(z_axis)
+        wy_spec = P(y_axis)
+        out_spec = P(z_axis, y_axis)
+    spec_in = (P(), sharded2, sharded2, sharded2, wz_spec, wy_spec, P())
     fn = jax.jit(
-        shard_map(
-            body, mesh=mesh, in_specs=spec_in, out_specs=P(axis),
-        )
+        shard_map(body, mesh=mesh, in_specs=spec_in, out_specs=out_spec)
     )
-    wy_pad = np.concatenate([wy, np.zeros(hp - len(wy), np.float32)])
-    wx_pad = np.concatenate([wx, np.zeros(wp - len(wx), np.float32)])
+
+    def put(arr, spec):
+        return jax.device_put(arr, NamedSharding(mesh, spec))
+
+    if y_axis is None:  # drop the ny=1 axis: 1-D mesh shards 1-D stacks
+        slabs, starts, valid = slabs[:, 0], starts[:, 0], valid[:, 0]
+
     out_shards = fn(
         runner.variables,
-        jax.device_put(slabs, NamedSharding(mesh, P(axis))),
-        jax.device_put(starts, NamedSharding(mesh, P(axis))),
-        jax.device_put(valid, NamedSharding(mesh, P(axis))),
-        jax.device_put(wz_shards, NamedSharding(mesh, P(axis))),
-        jnp.asarray(wy_pad),
+        put(slabs, sharded2),
+        put(starts, sharded2),
+        put(valid, sharded2),
+        put(wz_shards, wz_spec),
+        put(wy_shards, wy_spec),
         jnp.asarray(wx_pad),
     )
-    out_shards = np.asarray(out_shards)  # (n_dev, C, own_d+spill, hp, wp)
+    out_shards = np.asarray(out_shards)
+    if y_axis is None:
+        out_shards = out_shards[:, None]
+    # (nz, ny, C, own_z + spill_z, own_y + spill_y, wp)
 
+    # Host assembly: each slot owns [base, base + own); the last real
+    # slot along each axis also keeps its unsent spill (the grid's tail).
     out = np.zeros((out_channels,) + dim, np.float32)
-    for d in range(n_dev):
-        lo = d * own_d + trim
-        if lo >= dim[0]:
+    for i in range(nz):
+        z_base = i * zp.own + trim
+        if z_base >= dim[0]:
             break
-        hi = min(lo + own_d, dim[0])
-        out[:, lo:hi] = out_shards[d, :, : hi - lo, : dim[1], : dim[2]]
-        # The final device's unsent spill covers the grid's tail planes.
-        is_last = d == n_dev - 1 or (d + 1) * own_d + trim >= dim[0]
-        if is_last and hi < dim[0]:
-            tail_hi = min(hi + spill, dim[0])
-            out[:, hi:tail_hi] = out_shards[
-                d, :, own_d: own_d + tail_hi - hi, : dim[1], : dim[2]
+        last_z = i == nz - 1 or (i + 1) * zp.own + trim >= dim[0]
+        z_hi = min(z_base + zp.own + (zp.spill if last_z else 0), dim[0])
+        for j in range(ny):
+            y_base = j * yp.own + trim
+            if y_base >= dim[1]:
+                break
+            last_y = j == ny - 1 or (j + 1) * yp.own + trim >= dim[1]
+            y_hi = min(y_base + yp.own + (yp.spill if last_y else 0), dim[1])
+            out[:, z_base:z_hi, y_base:y_hi] = out_shards[
+                i, j, :, : z_hi - z_base, : y_hi - y_base, : dim[2]
             ]
+            if last_y:
+                break
+        if last_z:
             break
     return out if affinity_mode else out[0]

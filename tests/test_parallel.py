@@ -210,3 +210,35 @@ class TestHaloExchange:
             vol, runner, mesh=parallel.make_mesh(8), **kw
         )
         np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+class Test2DMesh:
+    """Z x Y slab sharding with two-phase (Z then Y) halo exchange."""
+
+    @pytest.fixture(scope="class")
+    def volume2d(self):
+        rng = np.random.default_rng(11)
+        return rng.uniform(0, 2000, (96, 88, 40)).astype(np.float32)
+
+    @pytest.mark.parametrize("shape", [(2, 2), (4, 2), (2, 4)])
+    def test_matches_single_device(self, runner, volume2d, shape):
+        kw = dict(
+            patch_shape=(32, 32, 32), overlap=(16, 16, 8), trim=2,
+            batch_size=4,
+        )  # spill 12 on both sharded axes: corner flow exercised
+        want = inference.predict(volume2d, runner, verbose=False, **kw)
+        got = parallel.predict_sharded(
+            volume2d, runner, mesh=parallel.make_mesh_2d(shape), **kw
+        )
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_three_axis_mesh_rejected(self, runner, volume2d):
+        import jax
+        from jax.sharding import Mesh
+
+        devs = np.asarray(jax.devices()[:8]).reshape(2, 2, 2)
+        with pytest.raises(ValueError, match="1-D or 2-D"):
+            parallel.predict_sharded(
+                volume2d, runner, mesh=Mesh(devs, ("a", "b", "c")),
+                patch_shape=(32, 32, 32), overlap=(8, 8, 8), trim=4,
+            )
