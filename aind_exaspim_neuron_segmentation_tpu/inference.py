@@ -238,6 +238,11 @@ def predict(
 
     dim = img.shape
     ranges = patch_grid_ranges(dim, patch_shape, overlap)
+    if any(len(r) == 0 for r in ranges):
+        # An axis shorter than the overlap yields an empty grid: the
+        # reference's patch loop never runs and returns zeros.
+        out = np.zeros((out_channels,) + tuple(dim), np.float32)
+        return out if affinity_mode else out[0]
     z_starts = list(ranges[0])
     if blend_mode == "gaussian":
         sigmas = [
@@ -311,9 +316,11 @@ def predict(
     for plan in plans:
         in_lo, in_hi = plan["in_range"]
         slab = load_slab(in_lo, min(in_hi, dim[0]))
-        slab, _ = stitch.reflect_pad_to_grid(
-            slab, (in_hi - in_lo, *patch_shape[1:]), (0, *overlap[1:])
-        )
+        # Pad with the REAL grid so the reflection anchors at the last
+        # patch's tail segment (passing the slab extent as the patch
+        # would anchor at the slab start and diverge from per-patch
+        # reflect whenever the tail is shorter than the pad).
+        slab, _ = stitch.reflect_pad_to_grid(slab, patch_shape, overlap)
         # Grid starts inside the slab: plan rows x (y, x) ranges, padded in
         # Y/X like the full volume so every patch is full-size.
         starts = [

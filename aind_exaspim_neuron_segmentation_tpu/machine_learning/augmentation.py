@@ -16,10 +16,12 @@ augmentation.py:158-209, label indexed [1,...]) is provided in fixed
 form but, like the reference, not wired into ImageTransforms.
 """
 
-import random
-
 import numpy as np
 from scipy.ndimage import gaussian_filter, rotate, zoom
+
+# Module-level generator backs unseeded transforms; ImageTransforms(seed)
+# threads its own generator for reproducible pipelines.
+_GLOBAL_RNG = np.random.default_rng()
 
 
 def _spatial_axes(arr):
@@ -34,7 +36,8 @@ def _spatial_axes(arr):
 class RandomFlip3D:
     """Flip each spatial axis independently with p=0.5."""
 
-    def __call__(self, input_img, label_mask, rng=random):
+    def __call__(self, input_img, label_mask, rng=None):
+        rng = rng or _GLOBAL_RNG
         for axis in _spatial_axes(input_img):
             if rng.random() > 0.5:
                 input_img = np.flip(input_img, axis=axis)
@@ -58,7 +61,8 @@ class RandomRotation3D:
     def __init__(self, angles=(-45, 45)):
         self.angles = angles
 
-    def __call__(self, input_img, label_mask, rng=random):
+    def __call__(self, input_img, label_mask, rng=None):
+        rng = rng or _GLOBAL_RNG
         a = _spatial_axes(input_img)
         for axes in ((a[0], a[1]), (a[0], a[2]), (a[1], a[2])):
             if rng.random() <= 0.8:
@@ -76,7 +80,8 @@ class RandomScale3D:
     def __init__(self, scale_range=(0.9, 1.1)):
         self.scale_range = scale_range
 
-    def __call__(self, input_img, label_mask, rng=random):
+    def __call__(self, input_img, label_mask, rng=None):
+        rng = rng or _GLOBAL_RNG
         alpha = rng.uniform(*self.scale_range)
         factors = [alpha] * 3
         input_img = input_img.copy()
@@ -100,7 +105,8 @@ class RandomContrast3D:
     def __init__(self, factor_range=(0.8, 1.2)):
         self.factor_range = factor_range
 
-    def __call__(self, img, rng=random):
+    def __call__(self, img, rng=None):
+        rng = rng or _GLOBAL_RNG
         return np.clip(img * rng.uniform(*self.factor_range), 0, 1)
 
 
@@ -110,9 +116,10 @@ class RandomNoise3D:
     def __init__(self, max_std=0.16):
         self.max_std = max_std
 
-    def __call__(self, img, rng=random):
+    def __call__(self, img, rng=None):
+        rng = rng or _GLOBAL_RNG
         std = rng.uniform(0, self.max_std)
-        return img + np.random.normal(0, std, img.shape)
+        return img + rng.normal(0, std, img.shape)
 
 
 class RandomSmooth3D:
@@ -121,26 +128,32 @@ class RandomSmooth3D:
     def __init__(self, max_sigma=0.8):
         self.max_sigma = max_sigma
 
-    def __call__(self, img, rng=random):
+    def __call__(self, img, rng=None):
+        rng = rng or _GLOBAL_RNG
         return gaussian_filter(img, sigma=rng.uniform(0, self.max_sigma))
 
 
 class ImageTransforms:
-    """Default augmentation pipeline (reference augmentation.py:19-68)."""
+    """Default augmentation pipeline (reference augmentation.py:19-68).
 
-    def __init__(self):
+    ``seed`` makes the whole pipeline reproducible (the transforms all
+    draw from one generator).
+    """
+
+    def __init__(self, seed=None):
+        self.rng = np.random.default_rng(seed)
         self.geometric_transforms = [RandomFlip3D(), RandomRotation3D()]
         self.intensity_transforms1 = [RandomNoise3D(), RandomContrast3D()]
         self.intensity_transforms2 = [RandomSmooth3D(), RandomContrast3D()]
 
     def __call__(self, input_img, label_mask):
         for t in self.geometric_transforms:
-            input_img, label_mask = t(input_img, label_mask)
+            input_img, label_mask = t(input_img, label_mask, rng=self.rng)
         chain = (
             self.intensity_transforms1
-            if random.random() < 0.5
+            if self.rng.random() < 0.5
             else self.intensity_transforms2
         )
         for t in chain:
-            input_img = t(input_img)
+            input_img = t(input_img, rng=self.rng)
         return input_img, label_mask

@@ -96,7 +96,13 @@ class BaseDataset:
 
     def _volume_shape(self, i):
         shape = self.label_masks[i].shape
-        return shape[2:] if len(shape) == 5 else shape
+        if len(shape) == 5:
+            return shape[2:]
+        if len(shape) != 3:
+            raise ValueError(
+                f"expected 3D or 5D volumes, got shape {shape}"
+            )
+        return shape
 
     def _target(self, label_patch):
         if self.affinity_mode:
@@ -128,7 +134,7 @@ class TrainDataset(BaseDataset):
             patch_shape=patch_shape,
         )
         if transform is True:
-            self.transform = ImageTransforms()
+            self.transform = ImageTransforms(seed=seed)
         elif callable(transform):
             self.transform = transform
         else:
@@ -182,7 +188,11 @@ class TrainDataset(BaseDataset):
             center = self.sample_center(self._volume_shape(i))
             label_patch = self.get_label_patch(i, center)
             fg = (label_patch > 0).sum()
-            if (fg > FOREGROUND_MIN_VOXELS) == is_foreground:
+            # Reference acceptance (data_handling.py:284-288): exactly
+            # 10^3 foreground voxels satisfies NEITHER branch -> resample.
+            if fg > FOREGROUND_MIN_VOXELS and is_foreground:
+                break
+            if fg < FOREGROUND_MIN_VOXELS and not is_foreground:
                 break
         return i, self.get_input_patch(i, center), label_patch
 
@@ -243,6 +253,14 @@ class ValidateDataset(BaseDataset):
             ]
             if not is_contained(
                 center, shape, buffer=self.containment_buffer
+            ):
+                continue
+            # The patch itself must fit (a small containment buffer on a
+            # non-grid-aligned volume would otherwise admit overhanging
+            # centers whose clipped patches break batching).
+            if not all(
+                c - p // 2 >= 0 and c - p // 2 + p <= d
+                for c, p, d in zip(center, self.patch_shape, shape)
             ):
                 continue
             patch = self.get_patch(self.label_masks[i], center)

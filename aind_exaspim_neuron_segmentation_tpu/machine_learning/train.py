@@ -187,7 +187,7 @@ class Trainer:
         augment = self.device_augment
         affinity = self.affinity_mode
 
-        def step(params, batch_stats, opt_state, grad_accum, x, y, key):
+        def step(params, batch_stats, opt_state, grad_accum, x, y, w, key):
             if augment:
                 from aind_exaspim_neuron_segmentation_tpu.core.affinities import (
                     affinity_channels_jax,
@@ -212,9 +212,12 @@ class Trainer:
                     train=True,
                     mutable=["batch_stats"],
                 )
-                loss = optax.sigmoid_binary_cross_entropy(
+                per_ex = optax.sigmoid_binary_cross_entropy(
                     logits.astype(jnp.float32), y
-                ).mean()
+                ).mean(axis=tuple(range(1, logits.ndim)))
+                # padded (mask-0) examples contribute nothing to the
+                # loss or gradients
+                loss = (per_ex * w).sum() / jnp.maximum(w.sum(), 1.0)
                 return loss, (logits, updates["batch_stats"])
 
             (loss, (logits, new_stats)), grads = jax.value_and_grad(
@@ -241,14 +244,15 @@ class Trainer:
     def _build_eval_step(self):
         module = self.module
 
-        def step(params, batch_stats, x, y):
+        def step(params, batch_stats, x, y, w):
             logits = module.apply(
                 {"params": params, "batch_stats": batch_stats}, x,
                 train=False,
             )
-            loss = optax.sigmoid_binary_cross_entropy(
+            per_ex = optax.sigmoid_binary_cross_entropy(
                 logits.astype(jnp.float32), y
-            ).mean()
+            ).mean(axis=tuple(range(1, logits.ndim)))
+            loss = (per_ex * w).sum() / jnp.maximum(w.sum(), 1.0)
             precision, recall = batch_precision_recall(
                 logits[..., 0].astype(jnp.float32), y[..., 0]
             )
@@ -280,18 +284,36 @@ class Trainer:
         )
 
     def _to_device_batch(self, xs, ys):
+        """Returns (x, y, example-mask); integer label targets stay
+        integral (float32 would corrupt segment ids >= 2^24 before the
+        on-device affinity computation)."""
         xs = np.moveaxis(xs, 1, -1).astype(np.float32)  # NDHWC
-        ys = np.moveaxis(ys, 1, -1).astype(np.float32)
+        ys = np.moveaxis(ys, 1, -1)
+        if not np.issubdtype(ys.dtype, np.integer):
+            ys = ys.astype(np.float32)
+        n_real = xs.shape[0]
         if self.mesh is None:
-            return jnp.asarray(xs), jnp.asarray(ys)
+            mask = jnp.ones(n_real, jnp.float32)
+            return jnp.asarray(xs), jnp.asarray(ys), mask
         n_dev = self.mesh.devices.size
-        pad = (-xs.shape[0]) % n_dev
-        if pad:  # ragged final batch: repeat the tail to fill shards
+        pad = (-n_real) % n_dev
+        if pad:  # ragged final batch: repeat the tail to fill shards,
+            # masked out of loss/gradients/metrics by the example mask
             xs = np.concatenate([xs, np.repeat(xs[-1:], pad, 0)])
             ys = np.concatenate([ys, np.repeat(ys[-1:], pad, 0)])
+        mask = np.concatenate(
+            [np.ones(n_real, np.float32), np.zeros(pad, np.float32)]
+        )
         return (
             jax.device_put(xs, self._batch_sharding),
             jax.device_put(ys, self._batch_sharding),
+            jax.device_put(
+                mask, jax.sharding.NamedSharding(
+                    self.mesh, jax.sharding.PartitionSpec(
+                        self.mesh.axis_names[0]
+                    )
+                )
+            ),
         )
 
     def train_step(self, train_dataset, epoch):
@@ -299,7 +321,8 @@ class Trainer:
         for step_idx, (xs, ys) in enumerate(
             iterate_batches(train_dataset, self.batch_size)
         ):
-            x, y = self._to_device_batch(xs, ys)
+            n_real = xs.shape[0]
+            x, y, w = self._to_device_batch(xs, ys)
             key = jax.random.fold_in(
                 self._augment_key, epoch * 100003 + step_idx
             )
@@ -308,24 +331,25 @@ class Trainer:
                 self.grad_accum, loss, precision, recall,
             ) = self._train_step(
                 self.params, self.batch_stats, self.opt_state,
-                self.grad_accum, x, y, key,
+                self.grad_accum, x, y, w, key,
             )
             stats["loss"].append(float(loss))
-            stats["precision"].extend(np.asarray(precision).tolist())
-            stats["recall"].extend(np.asarray(recall).tolist())
+            stats["precision"].extend(np.asarray(precision)[:n_real].tolist())
+            stats["recall"].extend(np.asarray(recall)[:n_real].tolist())
         self.update_tensorboard(stats, epoch, "train_")
         return stats
 
     def validate_step(self, val_dataset, epoch):
         stats = {"f1": None, "precision": [], "recall": [], "loss": []}
         for xs, ys in iterate_batches(val_dataset, self.batch_size):
-            x, y = self._to_device_batch(xs, ys)
+            n_real = xs.shape[0]
+            x, y, w = self._to_device_batch(xs, ys)
             loss, precision, recall = self._eval_step(
-                self.params, self.batch_stats, x, y
+                self.params, self.batch_stats, x, y, w
             )
             stats["loss"].append(float(loss))
-            stats["precision"].extend(np.asarray(precision).tolist())
-            stats["recall"].extend(np.asarray(recall).tolist())
+            stats["precision"].extend(np.asarray(precision)[:n_real].tolist())
+            stats["recall"].extend(np.asarray(recall)[:n_real].tolist())
         self.update_tensorboard(stats, epoch, "val_")
         if stats["f1"] > self.best_f1:
             self.best_f1 = stats["f1"]
@@ -379,6 +403,8 @@ class Trainer:
                 "best_f1": np.asarray(self.best_f1, np.float64),
             },
         }
+        if self.grad_accum is not None:
+            state["grad_accum"] = self.grad_accum
         ckpt.save(os.path.abspath(path), state, force=True)
         ckpt.wait_until_finished()
         return path
@@ -397,7 +423,11 @@ class Trainer:
                 "best_f1": np.asarray(float(self.best_f1), np.float64),
             },
         }
+        if self.grad_accum is not None:
+            target["grad_accum"] = self.grad_accum
         state = ckpt.restore(os.path.abspath(path), target)
+        if self.grad_accum is not None:
+            self.grad_accum = state["grad_accum"]
         self.params = state["params"]
         self.batch_stats = state["batch_stats"]
         self.opt_state = state["opt_state"]

@@ -58,11 +58,13 @@ def _smooth_one(img, sigma):
         pad[axis] = (r, r)
         x = jnp.pad(img, pad, mode="symmetric")
         x = jnp.moveaxis(x, axis, -1)
-        windows = jnp.stack(
-            [x[..., i: x.shape[-1] - 2 * r + i] for i in range(2 * r + 1)],
-            axis=-1,
-        )
-        img = jnp.moveaxis(jnp.tensordot(windows, k, axes=1), -1, axis)
+        n = x.shape[-1] - 2 * r
+        # weighted sum of shifted slices: XLA fuses the adds without
+        # materializing a stacked (2R+1)-window temporary
+        acc = k[0] * x[..., 0:n]
+        for i in range(1, 2 * r + 1):
+            acc = acc + k[i] * x[..., i: n + i]
+        img = jnp.moveaxis(acc, -1, axis)
     return img
 
 
@@ -91,7 +93,9 @@ def augment_batch(key, img, label):
     Returns (img, label); labels only undergo the geometric flips.
     """
     batch = img.shape[0]
-    keys = jax.random.split(key, 2 * batch).reshape(2, batch, -1)
+    # split with a tuple shape handles both legacy uint32 and new-style
+    # typed keys (a flat split + reshape assumes the legacy layout).
+    keys = jax.random.split(key, (2, batch))
     img, label = jax.vmap(_flip_one)(keys[0], img, label)
     img = jax.vmap(_intensity_one)(keys[1], img)
     return img, label

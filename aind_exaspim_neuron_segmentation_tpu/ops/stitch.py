@@ -77,18 +77,34 @@ def separable_weights(img_shape, patch_shape, overlap, trim, windows=None):
 def reflect_pad_to_grid(img, patch_shape, overlap):
     """Reflect-pad a 3D volume so every grid patch is full-size.
 
-    Equivalent to the reference's per-patch clip + ``add_padding`` reflect
-    (img_util.py:362-428): the pad width per axis is < stride < dim, so
-    volume-level reflection about the last sample produces the same values
-    as patch-level reflection.
+    Exactly equivalent to the reference's per-patch clip + ``add_padding``
+    reflect (img_util.py:362-428): only the LAST patch along an axis
+    overhangs, and it always starts at the last grid start, so the
+    per-patch reflection is a reflection of the clipped tail segment
+    ``img[last_start:]`` about its own end -- including the multi-bounce
+    case where the pad exceeds the tail length (np.pad handles repeated
+    reflection within the segment). Reflecting about the whole volume's
+    end instead would diverge whenever pad > tail_len - 1.
     """
     ranges = patch_grid_ranges(img.shape, patch_shape, overlap)
     pads = []
-    for r, p, d in zip(ranges, patch_shape, img.shape):
-        pads.append((0, max(r[-1] + p - d, 0)))
-    if any(hi for _, hi in pads):
-        img = np.pad(img, pads, mode="reflect")
-    return img, tuple(hi for _, hi in pads)
+    for axis, (r, p, d) in enumerate(zip(ranges, patch_shape, img.shape)):
+        pad = max(r[-1] + p - d, 0)
+        pads.append(pad)
+        if pad == 0:
+            continue
+        tail_start = r[-1]
+        tail = [slice(None)] * 3
+        tail[axis] = slice(tail_start, None)
+        seg_pad = [(0, 0)] * 3
+        seg_pad[axis] = (0, pad)
+        extended = np.pad(img[tuple(tail)], seg_pad, mode="reflect")
+        ext_slice = [slice(None)] * 3
+        ext_slice[axis] = slice(d - tail_start, None)
+        img = np.concatenate(
+            [img, extended[tuple(ext_slice)]], axis=axis
+        )
+    return img, tuple(pads)
 
 
 def accumulate_core(

@@ -24,6 +24,11 @@ def _interp_matrix(n_in: int, n_out: int) -> np.ndarray:
     """Dense (n_out, n_in) linear-interp matrix, align_corners=True."""
     if n_in == 1:
         return np.ones((n_out, 1), dtype=np.float32)
+    if n_out == 1:
+        # align_corners with a single output samples position 0
+        mat = np.zeros((1, n_in), dtype=np.float32)
+        mat[0, 0] = 1.0
+        return mat
     pos = np.arange(n_out, dtype=np.float64) * (n_in - 1) / (n_out - 1)
     lo = np.floor(pos).astype(np.int64)
     hi = np.minimum(lo + 1, n_in - 1)

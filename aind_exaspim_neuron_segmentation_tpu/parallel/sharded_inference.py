@@ -109,24 +109,15 @@ def predict_sharded(
     zp = _AxisPlan(ranges[0], patch_shape[0], overlap[0], trim, nz)
     yp = _AxisPlan(ranges[1], patch_shape[1], overlap[1], trim, ny)
 
-    # Pad sharded axes to their padded-row grids (reflect up to dim-1
-    # planes like the per-patch reference semantics, edge-pad any deeper
-    # overhang reachable only through invalid rows); X reflects to the
-    # grid extent exactly like single-device predict.
-    pad_z, pad_y = zp.pad_to(dim[0]), yp.pad_to(dim[1])
-    pad_x = max(ranges[2][-1] + patch_shape[2] - dim[2], 0)
-    padded = np.pad(
-        img,
-        (
-            (0, min(pad_z, dim[0] - 1)),
-            (0, min(pad_y, dim[1] - 1)),
-            (0, pad_x),
-        ),
-        mode="reflect",
-    )
+    # Pad with the REAL grid first (reflection anchored at each axis's
+    # last patch-tail segment -- exact per-patch reference semantics,
+    # shared with single-device predict), then edge-extend the sharded
+    # axes out to their padded-row grids (those extra planes are only
+    # reachable through invalid, masked-out rows).
+    padded, _ = stitch.reflect_pad_to_grid(img, patch_shape, overlap)
     deep = (
-        (0, pad_z - min(pad_z, dim[0] - 1)),
-        (0, pad_y - min(pad_y, dim[1] - 1)),
+        (0, max(dim[0] + zp.pad_to(dim[0]) - padded.shape[0], 0)),
+        (0, max(dim[1] + yp.pad_to(dim[1]) - padded.shape[1], 0)),
         (0, 0),
     )
     if any(hi for _, hi in deep):
