@@ -167,3 +167,24 @@ def test_lazy_zarr_input_matches_dense(runner, volume, tmp_path):
         trim=TRIM, batch_size=4, verbose=False, max_slab_rows=1,
     )
     np.testing.assert_allclose(got, want, atol=2e-6)
+
+
+@pytest.mark.parametrize("shape", [(33, 56, 40), (58, 56, 40)])
+def test_multibounce_tail_reflect_parity(runner, shape):
+    """Volumes whose clipped tail patch is shorter than the pad must
+    match the reference's per-patch multi-bounce reflection exactly."""
+    vol = np.random.default_rng(5).uniform(0, 2000, shape).astype(np.float32)
+    want = reference_predict_replica(vol, runner)
+    got = inference.predict(
+        vol, runner, patch_shape=PATCH, overlap=OVERLAP, trim=TRIM,
+        batch_size=4, verbose=False,
+    )
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_thin_volume_returns_zeros(runner):
+    out = inference.predict(
+        np.zeros((72, 6, 40), np.float32), runner, patch_shape=PATCH,
+        overlap=OVERLAP, trim=TRIM, verbose=False,
+    )
+    assert out.shape == (3, 72, 6, 40) and (out == 0).all()
