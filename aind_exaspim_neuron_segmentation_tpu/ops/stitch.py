@@ -143,7 +143,7 @@ def accumulate_core(
     core = tuple(p - 2 * trim for p in ps)
     acc = jnp.zeros((out_channels,) + volume.shape, jnp.float32)
     if vma_axes:
-        acc = jax.lax.pvary(acc, tuple(vma_axes))
+        acc = jax.lax.pcast(acc, tuple(vma_axes), to="varying")
 
     def gather(start):
         return jax.lax.dynamic_slice(volume, start, ps)
