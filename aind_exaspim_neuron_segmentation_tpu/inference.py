@@ -33,6 +33,7 @@ from aind_exaspim_neuron_segmentation_tpu.core.patches import (
 )
 from aind_exaspim_neuron_segmentation_tpu.models.unet3d import UNet3D
 from aind_exaspim_neuron_segmentation_tpu.models.convert import (
+    fold_batchnorm,
     load_pth_variables,
 )
 from aind_exaspim_neuron_segmentation_tpu.ops import stitch
@@ -66,7 +67,7 @@ class ModelRunner:
 
 
 def load_model(path=None, affinity_mode=True, device=None, dtype=None,
-               width_multiplier=1, trilinear=True):
+               width_multiplier=1, trilinear=True, fold_bn=None):
     """Build a UNet3D runner, optionally restoring a ``.pth`` checkpoint.
 
     Mirrors reference inference.py:400-424 (3 output channels for affinity
@@ -74,6 +75,14 @@ def load_model(path=None, affinity_mode=True, device=None, dtype=None,
     activation compute dtype -- defaults to bfloat16 on TPU backends and
     float32 elsewhere. ``path=None`` initializes random weights (useful
     for benchmarks and smoke tests; the reference requires a checkpoint).
+
+    ``fold_bn`` folds eval-mode BatchNorm into the conv kernels
+    (:func:`~.models.convert.fold_batchnorm`): each DoubleConv block
+    becomes two convs whose bias + LeakyReLU epilogues fuse into the conv
+    on TPU, removing the full-resolution elementwise BN passes over HBM.
+    Default: enabled for bfloat16 (production TPU inference), disabled
+    for float32 (bit-stable parity oracle; folding itself is exact to
+    ~6e-9 MAE in float32).
     """
     if dtype is None:
         dtype = (
@@ -81,20 +90,32 @@ def load_model(path=None, affinity_mode=True, device=None, dtype=None,
             if jax.default_backend() not in ("cpu",)
             else jnp.float32
         )
+    if fold_bn is None:
+        fold_bn = dtype == jnp.bfloat16
     out_channels = 3 if affinity_mode else 1
     module = UNet3D(
         output_channels=out_channels,
         trilinear=trilinear,
         width_multiplier=width_multiplier,
         dtype=dtype,
+        fused_bn=fold_bn,
     )
     if path is not None:
-        variables = jax.tree.map(
-            jnp.asarray, load_pth_variables(path, trilinear=trilinear)
-        )
+        variables = load_pth_variables(path, trilinear=trilinear)
     else:
+        init_module = module if not fold_bn else UNet3D(
+            output_channels=out_channels,
+            trilinear=trilinear,
+            width_multiplier=width_multiplier,
+            dtype=dtype,
+        )
         dummy = jnp.zeros((1, 16, 16, 16, 1), jnp.float32)
-        variables = module.init(jax.random.PRNGKey(0), dummy, train=False)
+        variables = init_module.init(
+            jax.random.PRNGKey(0), dummy, train=False
+        )
+    if fold_bn:
+        variables = fold_batchnorm(variables, trilinear=trilinear)
+    variables = jax.tree.map(jnp.asarray, variables)
     if device is not None:
         variables = jax.device_put(variables, device)
     return ModelRunner(module, variables)

@@ -150,3 +150,50 @@ def save_pth_checkpoint(path, variables, trilinear=True):
 
     sd = variables_to_torch_state_dict(variables, trilinear=trilinear)
     torch.save({k: torch.tensor(v) for k, v in sd.items()}, path)
+
+
+def fold_batchnorm(variables, trilinear=True, eps=1e-5):
+    """Fold eval-mode BatchNorm into the preceding conv kernel/bias.
+
+    Eval BatchNorm (reference unet3d.py:142-149 semantics) is the affine
+    map ``y = (x - mean) * scale / sqrt(var + eps) + bn_bias``; applied to
+    a conv output it is exactly equivalent to scaling the conv kernel's
+    output channels by ``g = scale / sqrt(var + eps)`` and replacing the
+    bias with ``(bias - mean) * g + bn_bias``. Returns ``{"params": ...}``
+    for a ``UNet3D(fused_bn=True)`` module: same conv tree, BN entries
+    dropped, all folding done in float64 then cast back to float32 so the
+    folded float32 path stays within ~1e-6 of the unfolded one.
+    """
+    def _to_np(node):
+        if isinstance(node, dict):
+            return {k: _to_np(v) for k, v in node.items()}
+        return np.asarray(node)
+
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    folded = _to_np(params)
+
+    for t_prefix, f_path, kind in _layout(trilinear):
+        if kind != "bn":
+            continue
+        conv_path = f_path[:-1] + (
+            "conv1" if f_path[-1] == "bn1" else "conv2",
+        )
+        scale = np.asarray(_get(params, f_path + ("scale",)), np.float64)
+        bn_bias = np.asarray(_get(params, f_path + ("bias",)), np.float64)
+        mean = np.asarray(_get(stats, f_path + ("mean",)), np.float64)
+        var = np.asarray(_get(stats, f_path + ("var",)), np.float64)
+        g = scale / np.sqrt(var + eps)
+
+        kernel = np.asarray(_get(folded, conv_path + ("kernel",)), np.float64)
+        bias = np.asarray(_get(folded, conv_path + ("bias",)), np.float64)
+        _set(folded, conv_path + ("kernel",), (kernel * g).astype(np.float32))
+        _set(
+            folded, conv_path + ("bias",),
+            ((bias - mean) * g + bn_bias).astype(np.float32),
+        )
+        # Drop the BN param entry from the folded tree.
+        parent = _get(folded, f_path[:-1]) if f_path[:-1] else folded
+        parent.pop(f_path[-1], None)
+
+    return {"params": folded}

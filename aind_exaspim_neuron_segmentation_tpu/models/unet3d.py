@@ -82,26 +82,37 @@ class DoubleConv(nn.Module):
     """Two (Conv3d k=3 p=1 -> BN -> LeakyReLU 0.01) blocks.
 
     Reference: machine_learning/unet3d.py:108-165.
+
+    ``fused_bn=True`` is the inference fast path: eval-mode BatchNorm is
+    an affine transform, pre-folded into the conv kernel/bias by
+    :func:`~..models.convert.fold_batchnorm`, so each block is a single
+    conv whose bias-add + LeakyReLU epilogue XLA fuses into the conv --
+    no separate full-resolution elementwise passes over HBM.
     """
 
     out_channels: int
     mid_channels: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
+    fused_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.fused_bn and train:
+            raise ValueError("fused_bn is an inference-only fast path")
         mid = self.mid_channels or self.out_channels
         x = nn.Conv(
             mid, kernel_size=(3, 3, 3), padding=1, dtype=self.dtype,
             name="conv1",
         )(x)
-        x = BatchNorm3d(name="bn1")(x, train=train)
+        if not self.fused_bn:
+            x = BatchNorm3d(name="bn1")(x, train=train)
         x = nn.leaky_relu(x, negative_slope=0.01)
         x = nn.Conv(
             self.out_channels, kernel_size=(3, 3, 3), padding=1,
             dtype=self.dtype, name="conv2",
         )(x)
-        x = BatchNorm3d(name="bn2")(x, train=train)
+        if not self.fused_bn:
+            x = BatchNorm3d(name="bn2")(x, train=train)
         return nn.leaky_relu(x, negative_slope=0.01)
 
 
@@ -110,13 +121,15 @@ class Down(nn.Module):
 
     out_channels: int
     dtype: jnp.dtype = jnp.float32
+    fused_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nn.max_pool(x, (2, 2, 2), strides=(2, 2, 2))
-        return DoubleConv(self.out_channels, dtype=self.dtype, name="conv")(
-            x, train=train
-        )
+        return DoubleConv(
+            self.out_channels, dtype=self.dtype, fused_bn=self.fused_bn,
+            name="conv",
+        )(x, train=train)
 
 
 class Up(nn.Module):
@@ -129,6 +142,7 @@ class Up(nn.Module):
     out_channels: int
     trilinear: bool = True
     dtype: jnp.dtype = jnp.float32
+    fused_bn: bool = False
 
     @nn.compact
     def __call__(self, x1, x2, train: bool = False):
@@ -158,7 +172,7 @@ class Up(nn.Module):
         x = jnp.concatenate([x2, x1], axis=-1)
         return DoubleConv(
             self.out_channels, mid_channels=mid, dtype=self.dtype,
-            name="conv",
+            fused_bn=self.fused_bn, name="conv",
         )(x, train=train)
 
 
@@ -175,31 +189,34 @@ class UNet3D(nn.Module):
     width_multiplier: float = 1
     channels: Sequence[int] = DEFAULT_CHANNELS
     dtype: jnp.dtype = jnp.float32
+    fused_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         ch = [int(c * self.width_multiplier) for c in self.channels]
         factor = 2 if self.trilinear else 1
         dt = self.dtype
+        fb = self.fused_bn
 
         in_dtype = x.dtype
         x = x.astype(dt)
-        x1 = DoubleConv(ch[0], dtype=dt, name="inc")(x, train=train)
-        x2 = Down(ch[1], dtype=dt, name="down1")(x1, train=train)
-        x3 = Down(ch[2], dtype=dt, name="down2")(x2, train=train)
-        x4 = Down(ch[3], dtype=dt, name="down3")(x3, train=train)
-        x5 = Down(ch[4] // factor, dtype=dt, name="down4")(x4, train=train)
+        x1 = DoubleConv(ch[0], dtype=dt, fused_bn=fb, name="inc")(
+            x, train=train
+        )
+        x2 = Down(ch[1], dtype=dt, fused_bn=fb, name="down1")(x1, train=train)
+        x3 = Down(ch[2], dtype=dt, fused_bn=fb, name="down2")(x2, train=train)
+        x4 = Down(ch[3], dtype=dt, fused_bn=fb, name="down3")(x3, train=train)
+        x5 = Down(ch[4] // factor, dtype=dt, fused_bn=fb, name="down4")(
+            x4, train=train
+        )
 
-        y = Up(ch[3] // factor, self.trilinear, dtype=dt, name="up1")(
-            x5, x4, train=train
-        )
-        y = Up(ch[2] // factor, self.trilinear, dtype=dt, name="up2")(
-            y, x3, train=train
-        )
-        y = Up(ch[1] // factor, self.trilinear, dtype=dt, name="up3")(
-            y, x2, train=train
-        )
-        y = Up(ch[0], self.trilinear, dtype=dt, name="up4")(
+        y = Up(ch[3] // factor, self.trilinear, dtype=dt, fused_bn=fb,
+               name="up1")(x5, x4, train=train)
+        y = Up(ch[2] // factor, self.trilinear, dtype=dt, fused_bn=fb,
+               name="up2")(y, x3, train=train)
+        y = Up(ch[1] // factor, self.trilinear, dtype=dt, fused_bn=fb,
+               name="up3")(y, x2, train=train)
+        y = Up(ch[0], self.trilinear, dtype=dt, fused_bn=fb, name="up4")(
             y, x1, train=train
         )
         logits = nn.Conv(

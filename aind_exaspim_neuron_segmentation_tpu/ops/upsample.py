@@ -40,12 +40,19 @@ def _interp_matrix(n_in: int, n_out: int) -> np.ndarray:
 
 
 def linear_resize_axis(x, axis: int, n_out: int):
-    """Resize one axis by dense-matrix contraction (align_corners=True)."""
+    """Resize one axis by dense-matrix contraction (align_corners=True).
+
+    Formulation note (measured on TPU v5e, 48^3 x 32ch bf16): standalone,
+    an in-place einsum (``bdhic,oi->bdhoc``) is 7.7x faster than this
+    moveaxis round-trip -- but *inside the full UNet forward* the in-place
+    form makes XLA pick layouts that double total runtime (230 ms vs
+    112 ms at B=8). XLA canonicalizes the moveaxis form well in context,
+    so it stays.
+    """
     n_in = x.shape[axis]
     if n_in == n_out:
         return x
     mat = jnp.asarray(_interp_matrix(n_in, n_out), dtype=x.dtype)
-    moved = jnp.moveaxis(x, axis, -1)
     # float32 path: HIGHEST keeps parity with torch bit-for-bit. bfloat16
     # path: native MXU precision -- HIGHEST there would force a multi-pass
     # f32 emulation of an op whose inputs are already low-precision.
@@ -54,6 +61,7 @@ def linear_resize_axis(x, axis: int, n_out: int):
         if x.dtype == jnp.float32
         else jax.lax.Precision.DEFAULT
     )
+    moved = jnp.moveaxis(x, axis, -1)
     out = jnp.einsum("...i,oi->...o", moved, mat, precision=precision)
     return jnp.moveaxis(out, -1, axis)
 

@@ -133,3 +133,46 @@ def test_width_multiplier_channels():
     variables = torch_state_dict_to_variables(tm.state_dict())
     k = variables["params"]["inc"]["conv1"]["kernel"]
     assert k.shape[-1] == 16  # 32 * 0.5
+
+
+@needs_ref
+def test_fold_batchnorm_matches_torch():
+    """Folded (fused_bn) f32 model matches the torch oracle <= 1e-5.
+
+    Folding eval-mode BN into conv kernels (models/convert.fold_batchnorm)
+    is the TPU inference fast path; it must stay within the reference
+    parity budget (reference unet3d.py:142-149 BN semantics).
+    """
+    from aind_exaspim_neuron_segmentation_tpu.models.convert import (
+        fold_batchnorm,
+    )
+
+    tm = _torch_model(3, True, seed=2)
+    # Make running stats non-trivial so folding is actually exercised.
+    with torch.no_grad():
+        tm.train()
+        for _ in range(2):
+            tm(torch.randn(1, 1, 32, 32, 32))
+        tm.eval()
+    variables = torch_state_dict_to_variables(tm.state_dict())
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((1, 1, 32, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = tm(torch.from_numpy(x)).numpy()
+
+    jm = UNet3D(output_channels=3, fused_bn=True)
+    folded = jax.tree.map(jnp.asarray, fold_batchnorm(variables))
+    out = jm.apply(
+        folded, jnp.asarray(x.transpose(0, 2, 3, 4, 1)), train=False
+    )
+    out = np.asarray(out).transpose(0, 4, 1, 2, 3)
+    assert np.abs(out - ref_out).mean() < 1e-5
+    assert np.abs(out - ref_out).max() < 1e-4
+
+
+def test_fused_bn_rejects_train_mode():
+    jm = UNet3D(output_channels=1, fused_bn=True)
+    x = jnp.zeros((1, 8, 8, 8, 1), jnp.float32)
+    with pytest.raises(ValueError, match="inference-only"):
+        jm.init(jax.random.PRNGKey(0), x, train=True)
