@@ -5,9 +5,10 @@ gcsfs / s3fs and N5Store (reference img_util.py:53-97); this environment
 has neither zarr nor numcodecs, so the formats are implemented directly:
 
 * **Zarr v2**: ``.zarray`` JSON metadata; chunk keys ``i.j.k`` (or ``/``
-  per ``dimension_separator``); compressors: ``null``, ``zlib``, ``gzip``
-  (blosc is unavailable without numcodecs -- reading a blosc-compressed
-  store raises with a clear message). C order only.
+  per ``dimension_separator``); compressors: ``null``, ``zlib``, ``gzip``,
+  and ``blosc`` via the in-tree Blosc1 codec (``native/src/blosc_lite.cpp``:
+  inner lz4/zlib/zstd + byte shuffle -- the numcodecs default for AIND
+  production stores). C order only.
 * **N5**: ``attributes.json`` with ``dimensions`` in XYZ (fastest-first)
   order, chunk keys ``x/y/z``, big-endian block headers (mode 0), raw or
   gzip compression, block payload in fortran order relative to the XYZ
@@ -36,9 +37,13 @@ def _decompress(data, compressor):
         return zlib.decompress(data)
     if cid == "gzip":
         return _gzip.decompress(data)
+    if cid == "blosc":
+        from aind_exaspim_neuron_segmentation_tpu import native
+
+        return native.blosc_decompress(data)
     raise ValueError(
         f"unsupported compressor {cid!r}: this build supports null/zlib/"
-        "gzip (numcodecs is not installed)"
+        "gzip/blosc (numcodecs is not installed)"
     )
 
 
@@ -50,6 +55,14 @@ def _compress(data, compressor):
         return zlib.compress(data, compressor.get("level", 1))
     if cid == "gzip":
         return _gzip.compress(data, compressor.get("level", 1))
+    if cid == "blosc":
+        from aind_exaspim_neuron_segmentation_tpu import native
+
+        return native.blosc_compress(
+            data,
+            typesize=compressor.get("typesize", 1),
+            shuffle=compressor.get("shuffle", 1),
+        )
     raise ValueError(f"unsupported compressor {cid!r}")
 
 
@@ -268,6 +281,11 @@ def write_zarr(path, array, chunks=None, compressor=None):
         "dimension_separator": ".",
     }
     store.put(".zarray", json.dumps(meta).encode())
+    # Encode-time copy: blosc shuffles by element width, which numcodecs
+    # infers from the array (never serialized into .zarray).
+    enc = dict(compressor) if compressor else None
+    if enc and enc.get("id") == "blosc":
+        enc.setdefault("typesize", array.dtype.itemsize)
     grid = [math.ceil(s / c) for s, c in zip(array.shape, chunks)]
     for idx in np.ndindex(*grid):
         sl = tuple(
@@ -277,7 +295,7 @@ def write_zarr(path, array, chunks=None, compressor=None):
         block = np.zeros(chunks, array.dtype)
         block[tuple(slice(0, s.stop - s.start) for s in sl)] = array[sl]
         key = ".".join(str(i) for i in idx)
-        store.put(key, _compress(block.tobytes(order="C"), compressor))
+        store.put(key, _compress(block.tobytes(order="C"), enc))
     return path
 
 
@@ -326,6 +344,10 @@ class ZarrAppendWriter:
             "dimension_separator": ".",
         }
         self.store.put(".zarray", json.dumps(meta).encode())
+        # Encode-time copy (blosc element width; never serialized).
+        self._enc = dict(compressor)
+        if self._enc.get("id") == "blosc":
+            self._enc.setdefault("typesize", self.dtype.itemsize)
         buf_shape = (
             ((self.channels,) if self.channels else ()) + (cz, h, w)
         )
@@ -380,7 +402,7 @@ class ZarrAppendWriter:
                 idx = ([0] if self.channels else []) + [row, yi, xi]
                 key = ".".join(str(i) for i in idx)
                 self.store.put(
-                    key, _compress(chunk.tobytes(order="C"), self.compressor)
+                    key, _compress(chunk.tobytes(order="C"), self._enc)
                 )
         self._buf[...] = 0
 

@@ -39,8 +39,82 @@ def _lib():
             f32p, ctypes.c_int64, ctypes.c_float, ctypes.c_float,
             ctypes.c_int32, u32p,
         ]
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.exa_blosc_info.restype = ctypes.c_int64
+        lib.exa_blosc_info.argtypes = [u8p, ctypes.c_int64, i64p]
+        lib.exa_blosc_decompress.restype = ctypes.c_int64
+        lib.exa_blosc_decompress.argtypes = [
+            u8p, ctypes.c_int64, u8p, ctypes.c_int64,
+        ]
+        lib.exa_blosc_compress.restype = ctypes.c_int64
+        lib.exa_blosc_compress.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            u8p, ctypes.c_int64,
+        ]
         lib._exa_bound = True
     return lib
+
+
+_BLOSC_ERRORS = {
+    -1: "truncated blosc chunk",
+    -2: "destination buffer too small",
+    -3: "corrupt blosc chunk",
+    -4: "unsupported blosc inner codec (blosclz/snappy)",
+    -5: "blosc bit-shuffle is not supported by this build",
+    -6: "unsupported blosc format version",
+}
+
+
+def blosc_decompress(data):
+    """Decode one Blosc1 chunk (numcodecs.Blosc frame) to bytes.
+
+    Covers the reference's zarr read path (reference img_util.py:53-75,
+    via numcodecs): inner codecs lz4/lz4hc, zlib, zstd; byte shuffle;
+    memcpyed chunks. Conformance is pinned against the system libblosc
+    oracle in tests/test_blosc.py.
+    """
+    lib = _lib()
+    data = bytes(data)
+    src = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
+    info = (ctypes.c_int64 * 6)()
+    rc = lib.exa_blosc_info(src, len(data), info)
+    if rc < 0:
+        raise ValueError(_BLOSC_ERRORS.get(rc, f"blosc error {rc}"))
+    nbytes = int(info[0])
+    out = np.empty(nbytes, np.uint8)
+    rc = lib.exa_blosc_decompress(
+        src, len(data),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), nbytes,
+    )
+    if rc < 0:
+        raise ValueError(_BLOSC_ERRORS.get(rc, f"blosc error {rc}"))
+    return out.tobytes()
+
+
+def blosc_compress(data, typesize=1, shuffle=1):
+    """Encode bytes as a Blosc1 chunk (inner LZ4, optional byte shuffle).
+
+    ``shuffle``: 0 = none, 1 = byte shuffle (numcodecs.Blosc codes;
+    2 = bit shuffle is rejected). The output decodes under libblosc
+    and under :func:`blosc_decompress`.
+    """
+    if shuffle not in (0, 1):
+        raise ValueError("shuffle must be 0 (none) or 1 (byte shuffle)")
+    lib = _lib()
+    data = bytes(data)
+    n = len(data)
+    blocksize = min(n, 1 << 20) or 1
+    nblocks = -(-n // blocksize) if n else 0
+    cap = n + 16 + 8 * max(nblocks, 1) + 64
+    src = (ctypes.c_uint8 * max(n, 1)).from_buffer_copy(data or b"\0")
+    out = np.empty(cap, np.uint8)
+    rc = lib.exa_blosc_compress(
+        src, n, typesize, shuffle,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
+    )
+    if rc < 0:
+        raise ValueError(_BLOSC_ERRORS.get(rc, f"blosc error {rc}"))
+    return out[:rc].tobytes()
 
 
 def _u32(arr):

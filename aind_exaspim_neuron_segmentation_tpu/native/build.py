@@ -60,7 +60,9 @@ def rebuild(target=None):
     target = target or lib_path()
     tmp = target + f".tmp{os.getpid()}"
     cpps = [p for p in _sources() if p.endswith(".cpp")]
-    cmd = [CXX, *CXXFLAGS, "-o", tmp, *cpps]
+    # -lz / -lzstd: blosc_lite.cpp delegates zlib/zstd inner streams to
+    # the system libraries (headers + sos baked into this image).
+    cmd = [CXX, *CXXFLAGS, "-o", tmp, *cpps, "-lz", "-lzstd"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, text=True)
         os.replace(tmp, target)  # atomic: concurrent loaders see old/new

@@ -275,7 +275,8 @@ class TestDeviceAugment:
         lab = np.zeros((2, 12, 12, 12, 1), np.int32)
         lab[:, 3:9, 3:9, 3:9] = 7
         out_img, out_lab = augment_batch(
-            jax.random.PRNGKey(0), jnp.asarray(img), jnp.asarray(lab)
+            jax.random.PRNGKey(0), jnp.asarray(img), jnp.asarray(lab),
+            rotate=False,
         )
         out_img, out_lab = np.asarray(out_img), np.asarray(out_lab)
         assert out_img.shape == img.shape and out_lab.shape == lab.shape
@@ -286,6 +287,57 @@ class TestDeviceAugment:
             (out_lab > 0).sum(axis=(1, 2, 3, 4)),
             (lab > 0).sum(axis=(1, 2, 3, 4)),
         )
+
+    def test_device_rotation_matches_scipy(self):
+        """Device order-0 plane rotation == host rotate3d (scipy oracle)
+        for every plane, multiple angles, and non-cubic shapes."""
+        import jax.numpy as jnp
+
+        from aind_exaspim_neuron_segmentation_tpu.machine_learning.augmentation import (
+            rotate3d,
+        )
+        from aind_exaspim_neuron_segmentation_tpu.ops.augment_device import (
+            _plane_rotation_indices, _rotate_plane,
+        )
+
+        rng = np.random.default_rng(7)
+        vol = rng.integers(0, 1000, (13, 11, 9)).astype(np.float32)
+        for axes in ((0, 1), (0, 2), (1, 2)):
+            for angle in (-41.3, -17.0, 9.6, 28.7, 44.9):
+                h, w = vol.shape[axes[0]], vol.shape[axes[1]]
+                idx = _plane_rotation_indices(jnp.float32(angle), h, w)
+                got = np.asarray(
+                    _rotate_plane(jnp.asarray(vol[..., None]), idx, axes)
+                )[..., 0]
+                want = rotate3d(vol, angle, axes)
+                mismatch = np.mean(got != want)
+                # nearest-neighbor ties at exact .5 coordinates may
+                # round differently; require near-exact agreement
+                assert mismatch < 0.005, (axes, angle, mismatch)
+
+    def test_augment_batch_rotation_applied(self):
+        """With rotate=True, labels stay label-valued, shapes hold, and
+        at least one example's foreground count changes (rotation
+        resamples; flips alone never change it)."""
+        import jax
+        import jax.numpy as jnp
+
+        from aind_exaspim_neuron_segmentation_tpu.ops.augment_device import (
+            augment_batch,
+        )
+
+        rng = np.random.default_rng(3)
+        img = rng.uniform(0, 1, (4, 12, 12, 12, 1)).astype(np.float32)
+        lab = np.zeros((4, 12, 12, 12, 1), np.int32)
+        lab[:, 3:9, 2:7, 4:10] = 5
+        out_img, out_lab = augment_batch(
+            jax.random.PRNGKey(1), jnp.asarray(img), jnp.asarray(lab)
+        )
+        out_img, out_lab = np.asarray(out_img), np.asarray(out_lab)
+        assert out_img.shape == img.shape and out_lab.shape == lab.shape
+        assert set(np.unique(out_lab)) <= {0, 5}
+        counts = (out_lab > 0).sum(axis=(1, 2, 3, 4))
+        assert (counts != (lab > 0).sum(axis=(1, 2, 3, 4))).any()
 
     def test_smooth_matches_scipy(self):
         import jax.numpy as jnp
