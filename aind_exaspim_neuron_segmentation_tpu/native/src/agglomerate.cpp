@@ -30,10 +30,13 @@
 //     snapshotted.
 
 #include <algorithm>
+#include <atomic>
 #include <cmath>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <queue>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 
@@ -42,6 +45,39 @@
 namespace {
 
 constexpr int kBins = 256;
+
+// Worker-pool over contiguous Z-ranges (the TEASAR pattern,
+// teasar.cpp:443-476): results are written to disjoint per-block or
+// per-voxel slots, so output is deterministic for any thread count.
+// EXA_NUM_THREADS overrides (0/unset = hardware concurrency).
+int num_threads() {
+  if (const char* env = std::getenv("EXA_NUM_THREADS")) {
+    const int v = std::atoi(env);
+    if (v > 0) return v;
+  }
+  const unsigned hc = std::thread::hardware_concurrency();
+  return hc > 0 ? static_cast<int>(hc) : 1;
+}
+
+template <typename Fn>
+void parallel_blocks(int64_t n_blocks, Fn&& fn) {
+  const int threads = std::min<int64_t>(num_threads(), n_blocks);
+  if (threads <= 1) {
+    for (int64_t b = 0; b < n_blocks; ++b) fn(b);
+    return;
+  }
+  std::atomic<int64_t> next{0};
+  auto worker = [&]() {
+    while (true) {
+      const int64_t b = next.fetch_add(1);
+      if (b >= n_blocks) return;
+      fn(b);
+    }
+  };
+  std::vector<std::thread> pool;
+  for (int t = 0; t < threads; ++t) pool.emplace_back(worker);
+  for (auto& t : pool) t.join();
+}
 
 struct EdgeKey {
   uint32_t a, b;  // a < b (fragment root ids at creation time)
@@ -174,43 +210,67 @@ EXA_API int64_t exa_watershed(const float* affs, int64_t D, int64_t H,
   const float* aff_c[3] = {affs, affs + N, affs + 2 * N};
 
   exa::UnionFind uf(static_cast<size_t>(N));
-  std::vector<uint8_t> foreground(N, 0);
 
-  // Pass 1: force-merge high edges; find steepest neighbor per voxel.
-  for (int64_t z = 0; z < D; ++z) {
+  // Pass 1a (parallel over Z-slabs): the affinity scan -- ~7 float
+  // reads + compares per voxel, the bandwidth-bound part -- records
+  // each voxel's decisions in one byte: bits 0-2 flag outgoing
+  // >= high edges along z/y/x; bits 3-5 encode the steepest >= low
+  // neighbor as a direction (0 = background, 1..6 = +z,+y,+x,-z,-y,-x).
+  // Per-voxel writes are disjoint, so any thread count gives identical
+  // bytes. Pass 1b (serial) replays the recorded unions -- cheap
+  // integer work with no affinity reads.
+  std::vector<uint8_t> plan_bytes(N, 0);
+  parallel_blocks(D, [&](int64_t z) {
     for (int64_t y = 0; y < H; ++y) {
       for (int64_t x = 0; x < W; ++x) {
         const int64_t v = vox(z, y, x, H, W);
         float best = -1.0f;
-        int64_t best_u = -1;
+        int dir = 0;
         const int64_t coord[3] = {z, y, x};
         const int64_t dims[3] = {D, H, W};
+        uint8_t flags = 0;
         // outgoing edges (v, v+e_c) stored at v; incoming stored at v-e_c
         for (int c = 0; c < 3; ++c) {
           if (coord[c] + 1 < dims[c]) {
             float a = aff_c[c][v];
-            if (a >= high) uf.unite(static_cast<uint32_t>(v),
-                                    static_cast<uint32_t>(v + strides[c]));
+            if (a >= high) flags |= static_cast<uint8_t>(1 << c);
             if (a >= low && a > best) {
               best = a;
-              best_u = v + strides[c];
+              dir = 1 + c;
             }
           }
           if (coord[c] - 1 >= 0) {
             float a = aff_c[c][v - strides[c]];
             if (a >= low && a > best) {
               best = a;
-              best_u = v - strides[c];
+              dir = 4 + c;
             }
           }
         }
-        if (best_u >= 0) {
-          foreground[v] = 1;
-          uf.unite(static_cast<uint32_t>(v), static_cast<uint32_t>(best_u));
-        }
+        plan_bytes[v] = flags | static_cast<uint8_t>(dir << 3);
       }
     }
+  });
+
+  std::vector<uint8_t> foreground(N, 0);
+  for (int64_t v = 0; v < N; ++v) {
+    const uint8_t pb = plan_bytes[v];
+    for (int c = 0; c < 3; ++c) {
+      if (pb & (1 << c)) {
+        uf.unite(static_cast<uint32_t>(v),
+                 static_cast<uint32_t>(v + strides[c]));
+      }
+    }
+    const int dir = pb >> 3;
+    if (dir != 0) {
+      const int c = (dir - 1) % 3;
+      const int64_t u = dir <= 3 ? v + strides[c] : v - strides[c];
+      foreground[v] = 1;
+      uf.unite(static_cast<uint32_t>(v), static_cast<uint32_t>(u));
+    }
   }
+  plan_bytes.clear();
+  plan_bytes.shrink_to_fit();
 
   // Renumber fragment roots (foreground only) to 1..K in scan order.
   std::unordered_map<uint32_t, uint32_t> root_to_id;
@@ -242,33 +302,68 @@ EXA_API int64_t exa_agglomerate(const float* affs, int64_t D, int64_t H,
   const int64_t K = exa_watershed(affs, D, H, W, low, high, frag.data());
   if (K < 0) return -1;
 
-  // Build the RAG over fragments.
+  // Build the RAG over fragments: each Z-slab builds a local edge map
+  // in scan order (parallel), then slabs merge in ascending-Z order.
+  // A voxel owns only its OUTGOING edges, so every RAG contribution is
+  // counted by exactly one slab (reads of frag[] across the slab
+  // boundary are fine -- frag is read-only here), and first-appearance
+  // edge numbering under block-major merge equals the global scan
+  // order: edge indices, sample order, and therefore quantile
+  // tie-breaks are bit-identical to the serial build for ANY thread or
+  // block count.
   const int64_t strides[3] = {H * W, W, 1};
   const float* aff_c[3] = {affs, affs + N, affs + 2 * N};
-  std::unordered_map<EdgeKey, uint32_t, EdgeKeyHash> edge_index;
-  std::vector<Edge> edges;
-  for (int64_t z = 0; z < D; ++z) {
-    for (int64_t y = 0; y < H; ++y) {
-      for (int64_t x = 0; x < W; ++x) {
-        const int64_t v = vox(z, y, x, H, W);
-        const uint32_t fa = frag[v];
-        if (fa == 0) continue;
-        const int64_t coord[3] = {z, y, x};
-        const int64_t dims[3] = {D, H, W};
-        for (int c = 0; c < 3; ++c) {
-          if (coord[c] + 1 >= dims[c]) continue;
-          const uint32_t fb = frag[v + strides[c]];
-          if (fb == 0 || fb == fa) continue;
-          EdgeKey key{std::min(fa, fb), std::max(fa, fb)};
-          auto it = edge_index.find(key);
-          if (it == edge_index.end()) {
-            it = edge_index.emplace(key, edges.size()).first;
-            edges.emplace_back(key.a, key.b);
+
+  const int64_t zz_per_block = std::max<int64_t>(1, D / 64);
+  const int64_t n_blocks = (D + zz_per_block - 1) / zz_per_block;
+  std::vector<std::unordered_map<EdgeKey, uint32_t, EdgeKeyHash>> loc_index(
+      n_blocks);
+  std::vector<std::vector<Edge>> loc_edges(n_blocks);
+  parallel_blocks(n_blocks, [&](int64_t blk) {
+    auto& index = loc_index[blk];
+    auto& local = loc_edges[blk];
+    const int64_t z_lo = blk * zz_per_block;
+    const int64_t z_hi = std::min(D, z_lo + zz_per_block);
+    for (int64_t z = z_lo; z < z_hi; ++z) {
+      for (int64_t y = 0; y < H; ++y) {
+        for (int64_t x = 0; x < W; ++x) {
+          const int64_t v = vox(z, y, x, H, W);
+          const uint32_t fa = frag[v];
+          if (fa == 0) continue;
+          const int64_t coord[3] = {z, y, x};
+          const int64_t dims[3] = {D, H, W};
+          for (int c = 0; c < 3; ++c) {
+            if (coord[c] + 1 >= dims[c]) continue;
+            const uint32_t fb = frag[v + strides[c]];
+            if (fb == 0 || fb == fa) continue;
+            EdgeKey key{std::min(fa, fb), std::max(fa, fb)};
+            auto it = index.find(key);
+            if (it == index.end()) {
+              it = index.emplace(key, local.size()).first;
+              local.emplace_back(key.a, key.b);
+            }
+            local[it->second].add(aff_c[c][v]);
           }
-          edges[it->second].add(aff_c[c][v]);
         }
       }
     }
+  });
+
+  std::unordered_map<EdgeKey, uint32_t, EdgeKeyHash> edge_index;
+  std::vector<Edge> edges;
+  for (int64_t blk = 0; blk < n_blocks; ++blk) {
+    for (Edge& le : loc_edges[blk]) {
+      EdgeKey key{le.a, le.b};
+      auto it = edge_index.find(key);
+      if (it == edge_index.end()) {
+        it = edge_index.emplace(key, edges.size()).first;
+        edges.emplace_back(key.a, key.b);
+      }
+      edges[it->second].absorb(le);
+    }
+    loc_edges[blk].clear();
+    loc_edges[blk].shrink_to_fit();
+    loc_index[blk].clear();
   }
 
   // Adjacency: fragment root -> incident edge indices.
@@ -285,9 +380,20 @@ EXA_API int64_t exa_agglomerate(const float* affs, int64_t D, int64_t H,
   }
 
   auto snapshot = [&](uint32_t* dst) {
-    for (int64_t v = 0; v < N; ++v) {
-      dst[v] = frag[v] ? uf.find(frag[v]) : 0;
+    // Flatten roots once (K entries, path-compressing), then the O(N)
+    // relabel is a pure gather -- parallel over Z-slabs.
+    std::vector<uint32_t> lut(static_cast<size_t>(K) + 1);
+    lut[0] = 0;
+    for (int64_t f = 1; f <= K; ++f) {
+      lut[f] = uf.find(static_cast<uint32_t>(f));
     }
+    const int64_t chunk = std::max<int64_t>(1, N / 64);
+    const int64_t blocks = (N + chunk - 1) / chunk;
+    parallel_blocks(blocks, [&](int64_t b) {
+      const int64_t lo = b * chunk;
+      const int64_t hi = std::min(N, lo + chunk);
+      for (int64_t v = lo; v < hi; ++v) dst[v] = lut[frag[v]];
+    });
   };
 
   int64_t t_idx = 0;

@@ -119,12 +119,17 @@ def accumulate_core(
     batch_size,
     out_channels,
     vma_axes=(),
+    windows=None,
 ):
     """Traceable accumulate loop (shared by the jit and shard_map paths).
 
     ``vma_axes``: mesh axis names to mark the accumulator as varying
     over when tracing inside ``shard_map`` (JAX >= 0.8 varying-manual-
     axes typing requires the scan carry to match its updates).
+
+    ``windows``: optional per-axis 1-D float32 arrays multiplied into
+    each patch's trimmed core (gaussian blend mode), mirroring
+    :func:`forward_batch`.
 
     Parameters
     ----------
@@ -158,6 +163,13 @@ def accumulate_core(
         if trim > 0:
             probs = probs[:, trim:-trim, trim:-trim, trim:-trim, :]
         probs = probs * b_valid[:, None, None, None, None]
+        if windows is not None:
+            wwz, wwy, wwx = windows
+            probs = probs * (
+                wwz[None, :, None, None, None]
+                * wwy[None, None, :, None, None]
+                * wwx[None, None, None, :, None]
+            )
         probs = jnp.moveaxis(probs, -1, 1)  # (B, C, d', h', w')
 
         def add_one(i, acc):

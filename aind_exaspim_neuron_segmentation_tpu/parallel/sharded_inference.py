@@ -17,8 +17,26 @@ Z-then-Y; the Y-then-Z copy lands in a Z-tail its holder discards
 (only last-Z devices keep Z tails, and they have no Z neighbor that
 could double-deliver).
 
+Feature parity with single-device ``predict``:
+
+* **Lazy inputs stream per shard** -- each device's slab is sliced from
+  the (zarr/N5) source through a precomputed pad index map and shipped
+  with ``jax.make_array_from_single_device_arrays``; at most one slab
+  is ever dense on the host.
+* **Normalization runs on device**: brightness clip at slab load, then
+  exact global percentiles over the mesh via masked radix order stats
+  (:func:`parallel.stats.order_stats_sharded`, one ``psum`` histogram
+  per round) with np.percentile's float64 linear interpolation on the
+  two fetched scalars -- no host pass over the volume.
+* **Gaussian blend** (``blend_mode='gaussian'``) matches ``predict``.
+* **Streaming output**: with ``out_path`` each Z row of shards is
+  fetched and appended to a Zarr store as it completes; host memory
+  stays O(one Z row).
+
 Bit-compatibility: identical patch set, same per-patch math; f32
-addition order differs only where exchanged strips merge (<= 1e-6).
+addition order differs only where exchanged strips merge, and the
+device-side normalization scales in f32 (the host path rounds a f64
+product) -- both <= 1e-6 (tests/test_parallel.py).
 """
 
 import math
@@ -31,13 +49,13 @@ from jax import shard_map
 
 from aind_exaspim_neuron_segmentation_tpu.core.normalize import (
     DEFAULT_PERCENTILES,
-    normalize,
 )
 from aind_exaspim_neuron_segmentation_tpu.core.patches import (
     patch_grid_ranges,
 )
 from aind_exaspim_neuron_segmentation_tpu.inference import ModelRunner
 from aind_exaspim_neuron_segmentation_tpu.ops import stitch
+from aind_exaspim_neuron_segmentation_tpu.parallel import stats
 from aind_exaspim_neuron_segmentation_tpu.parallel.mesh import make_mesh
 
 
@@ -64,11 +82,29 @@ class _AxisPlan:
                 "halo exchange"
             )
 
-    def pad_to(self, dim):
-        """Extra planes so every (padded-grid) slab gather is in-bounds."""
-        return max(
-            (self.n_dev * self.rpd - 1) * self.stride + self.patch - dim, 0
-        )
+    def padded_len(self, dim):
+        """Axis length covering every slab gather (grid + deep padding)."""
+        return max((self.n_dev * self.rpd - 1) * self.stride + self.patch,
+                   dim)
+
+
+def _axis_pad_map(dim, patch, starts, total_len):
+    """Index map padded-position -> source plane for one axis.
+
+    Replicates :func:`ops.stitch.reflect_pad_to_grid` (reflection
+    anchored at the LAST patch's tail segment, multi-bounce included)
+    followed by edge extension out to ``total_len`` -- as an index map,
+    so lazy sources can be sliced per shard instead of padded densely.
+    """
+    idx = np.arange(dim)
+    pad = max(starts[-1] + patch - dim, 0)
+    if pad > 0:
+        tail = idx[starts[-1]:]
+        ext = np.pad(tail, (0, pad), mode="reflect")
+        idx = np.concatenate([idx, ext[dim - starts[-1]:]])
+    if total_len > len(idx):
+        idx = np.pad(idx, (0, total_len - len(idx)), mode="edge")
+    return idx[:total_len]
 
 
 def predict_sharded(
@@ -82,14 +118,31 @@ def predict_sharded(
     patch_shape=(96, 96, 96),
     overlap=(32, 32, 32),
     trim=8,
+    blend_mode="uniform",
+    blend_sigma=None,
+    out_path=None,
 ):
-    """predict() over a 1-D (Z) or 2-D (Z x Y) device mesh."""
-    img = np.asarray(img)
-    if img.ndim == 5:
-        img = img[0, 0]
-    img = np.minimum(img, brightness_clip)
-    img = normalize(img, percentiles=normalization_percentiles)
-    img = np.ascontiguousarray(img, dtype=np.float32)
+    """predict() over a 1-D (Z) or 2-D (Z x Y) device mesh.
+
+    ``img`` may be a dense array or any lazy chunked reader
+    (``io.zarr_lite.LazyArray``); lazy sources are never densified.
+    ``out_path`` streams the result into a Zarr store row-by-row and
+    returns a lazy handle instead of an ndarray.
+    """
+    lazy = not isinstance(img, (np.ndarray, jnp.ndarray, list, tuple))
+    if not lazy:
+        img = np.asarray(img)
+    if getattr(img, "ndim", 0) == 5:
+        if lazy:
+            from aind_exaspim_neuron_segmentation_tpu.inference import (
+                _Volume5DView,
+            )
+
+            img = _Volume5DView(img)
+        else:
+            img = img[0, 0]
+    if img.ndim != 3:
+        raise ValueError(f"expected 3D or 5D input, got shape {img.shape}")
 
     runner = model if isinstance(model, ModelRunner) else ModelRunner(*model)
     out_channels = 3 if affinity_mode else 1
@@ -106,34 +159,123 @@ def predict_sharded(
 
     dim = img.shape
     ranges = patch_grid_ranges(dim, patch_shape, overlap)
+    if any(len(r) == 0 for r in ranges):
+        # An axis shorter than the overlap yields an empty grid: the
+        # reference's patch loop never runs and returns zeros.
+        out = np.zeros((out_channels,) + tuple(dim), np.float32)
+        out = out if affinity_mode else out[0]
+        if out_path is not None:
+            from aind_exaspim_neuron_segmentation_tpu.io import read
+            from aind_exaspim_neuron_segmentation_tpu.io.zarr_lite import (
+                write_zarr,
+            )
+
+            write_zarr(out_path, out)
+            return read(out_path)
+        return out
     zp = _AxisPlan(ranges[0], patch_shape[0], overlap[0], trim, nz)
     yp = _AxisPlan(ranges[1], patch_shape[1], overlap[1], trim, ny)
 
-    # Pad with the REAL grid first (reflection anchored at each axis's
-    # last patch-tail segment -- exact per-patch reference semantics,
-    # shared with single-device predict), then edge-extend the sharded
-    # axes out to their padded-row grids (those extra planes are only
-    # reachable through invalid, masked-out rows).
-    padded, _ = stitch.reflect_pad_to_grid(img, patch_shape, overlap)
-    deep = (
-        (0, max(dim[0] + zp.pad_to(dim[0]) - padded.shape[0], 0)),
-        (0, max(dim[1] + yp.pad_to(dim[1]) - padded.shape[1], 0)),
-        (0, 0),
+    # Per-axis pad index maps (grid reflection + deep edge extension on
+    # the sharded axes), used to slice each shard's slab from the source
+    # without materializing a padded volume.
+    map_z = _axis_pad_map(
+        dim[0], patch_shape[0], ranges[0], zp.padded_len(dim[0])
     )
-    if any(hi for _, hi in deep):
-        padded = np.pad(padded, deep, mode="edge")
-    wp = padded.shape[2]
+    map_y = _axis_pad_map(
+        dim[1], patch_shape[1], ranges[1], yp.padded_len(dim[1])
+    )
+    map_x = _axis_pad_map(
+        dim[2], patch_shape[2], ranges[2],
+        max(ranges[2][-1] + patch_shape[2], dim[2]),
+    )
+    wp = len(map_x)
 
-    # Per-device input slabs: (nz, ny, slab_z, slab_y, wp).
-    slabs = np.empty((nz, ny, zp.slab, yp.slab, wp), np.float32)
+    def load_slab(i, j):
+        """One (slab_z, slab_y, wp) f32 slab, brightness-clipped."""
+        zsel = map_z[i * zp.own: i * zp.own + zp.slab]
+        ysel = map_y[j * yp.own: j * yp.own + yp.slab]
+        z_lo, z_hi = int(zsel.min()), int(zsel.max()) + 1
+        y_lo, y_hi = int(ysel.min()), int(ysel.max()) + 1
+        block = np.asarray(img[z_lo:z_hi, y_lo:y_hi, :], dtype=np.float32)
+        slab = block[np.ix_(zsel - z_lo, ysel - y_lo, map_x)]
+        return np.minimum(slab, np.float32(brightness_clip))
+
+    # Ship per-device slabs one at a time: host memory stays O(1 slab).
+    if y_axis is None:
+        slab_spec = P(z_axis)
+        gshape = (nz, zp.slab, yp.slab, wp)
+    else:
+        slab_spec = P(z_axis, y_axis)
+        gshape = (nz, ny, zp.slab, yp.slab, wp)
+    slab_sharding = NamedSharding(mesh, slab_spec)
+    dev_grid = mesh.devices.reshape(nz, ny)
+    pieces = []
     for i in range(nz):
         for j in range(ny):
-            slabs[i, j] = padded[
-                i * zp.own: i * zp.own + zp.slab,
-                j * yp.own: j * yp.own + yp.slab,
-            ]
+            block = load_slab(i, j)
+            lead = (1,) if y_axis is None else (1, 1)
+            pieces.append(
+                jax.device_put(block.reshape(lead + block.shape),
+                               dev_grid[i, j])
+            )
+    slabs = jax.make_array_from_single_device_arrays(
+        gshape, slab_sharding, pieces
+    )
 
-    # Per-device starts (slab-local) + validity masks.
+    mesh_axes = tuple(a for a in (z_axis, y_axis) if a)
+
+    # --- Normalization: exact global percentiles on device ------------
+    # Ranks per np.percentile's linear interpolation; masked radix
+    # order stats psum across the mesh; f64 interpolation on host.
+    n_total = int(np.prod(dim))
+    if n_total > np.iinfo(np.int32).max and not jax.config.jax_enable_x64:
+        raise ValueError(
+            f"{n_total} elements overflow int32 rank arithmetic; enable "
+            "jax_enable_x64"
+        )
+    q_plan = []
+    ks = []
+    for q in normalization_percentiles:
+        rank = (n_total - 1) * (float(q) / 100.0)
+        k_lo = int(np.floor(rank))
+        frac = rank - k_lo
+        idx_lo = len(ks)
+        ks.append(k_lo)
+        idx_hi = None
+        if frac > 0:
+            idx_hi = len(ks)
+            ks.append(k_lo + 1)
+        q_plan.append((idx_lo, idx_hi, frac))
+
+    def stats_body(slab):
+        s = slab.reshape(slab.shape[-3:])
+        iz = jax.lax.axis_index(z_axis)
+        iy = jax.lax.axis_index(y_axis) if y_axis else jnp.int32(0)
+        tz = jnp.arange(zp.slab)
+        mz = ((tz < zp.own) | (iz == nz - 1)) & (iz * zp.own + tz < dim[0])
+        ty = jnp.arange(yp.slab)
+        my = ((ty < yp.own) | (iy == ny - 1)) & (iy * yp.own + ty < dim[1])
+        mx = jnp.arange(wp) < dim[2]
+        mask = mz[:, None, None] & my[None, :, None] & mx[None, None, :]
+        vals = jnp.where(mask, s, jnp.inf)
+        return stats.order_stats_sharded(vals, tuple(ks), mesh_axes)
+
+    stats_fn = jax.jit(
+        shard_map(stats_body, mesh=mesh, in_specs=(slab_spec,),
+                  out_specs=P())
+    )
+    order_vals = np.asarray(stats_fn(slabs), np.float64)
+    bounds = []
+    for idx_lo, idx_hi, frac in q_plan:
+        v = order_vals[idx_lo]
+        if idx_hi is not None:
+            v = v + (order_vals[idx_hi] - v) * frac
+        bounds.append(v)
+    mn, mx = bounds
+    norm = jnp.asarray([mn, mx - mn + 1e-8], jnp.float32)
+
+    # --- Patch starts / masks / blend weights -------------------------
     xs = list(ranges[2])
     per_dev = zp.rpd * yp.rpd * len(xs)
     pad_n = (-per_dev) % batch_size
@@ -154,8 +296,23 @@ def predict_sharded(
                         valid[i, j, k] = 1.0 if ok else 0.0
                         k += 1
 
+    if blend_mode == "gaussian":
+        sigmas = [(blend_sigma or p / 6.0) for p in patch_shape]
+        host_windows = tuple(
+            stitch.gaussian_window(p, trim, s)
+            for p, s in zip(patch_shape, sigmas)
+        )
+        windows = tuple(jnp.asarray(w) for w in host_windows)
+    elif blend_mode == "uniform":
+        host_windows = None
+        windows = None
+    else:
+        raise ValueError(f"unknown blend_mode {blend_mode!r}")
+
     # Per-slot weight slices over the kept (own + spill) windows.
-    wz, wy, wx = stitch.separable_weights(dim, patch_shape, overlap, trim)
+    wz, wy, wx = stitch.separable_weights(
+        dim, patch_shape, overlap, trim, windows=host_windows
+    )
 
     def shard_weights(w, plan):
         ext = np.concatenate([
@@ -175,10 +332,10 @@ def predict_sharded(
 
     module = runner.module
     ps = tuple(patch_shape)
-    mesh_axes = tuple(a for a in (z_axis, y_axis) if a)
 
-    def body(variables, slab, starts_l, valid_l, wz_l, wy_l, wx_l):
+    def body(variables, norm_l, slab, starts_l, valid_l, wz_l, wy_l, wx_l):
         slab = slab.reshape(slab.shape[-3:])
+        slab = jnp.clip((slab - norm_l[0]) / norm_l[1], 0.0, 1.0)
         starts_l = starts_l.reshape(starts_l.shape[-2:])
         valid_l = valid_l.reshape(valid_l.shape[-1:])
         wz_l = wz_l.reshape(wz_l.shape[-1:])
@@ -187,6 +344,7 @@ def predict_sharded(
             variables, slab, starts_l, valid_l, module=module,
             patch_shape=ps, trim=trim, batch_size=batch_size,
             out_channels=out_channels, vma_axes=mesh_axes,
+            windows=windows,
         )
         keep_z = zp.own + zp.spill
         keep_y = yp.own + yp.spill
@@ -212,16 +370,16 @@ def predict_sharded(
         return blended.reshape((1,) * len(mesh_axes) + blended.shape)
 
     if y_axis is None:
-        sharded2 = P(z_axis)  # leading (nz,) dims on 1-D mesh inputs
         wz_spec = P(z_axis)
         wy_spec = P()
         out_spec = P(z_axis)
     else:
-        sharded2 = P(z_axis, y_axis)
         wz_spec = P(z_axis)
         wy_spec = P(y_axis)
         out_spec = P(z_axis, y_axis)
-    spec_in = (P(), sharded2, sharded2, sharded2, wz_spec, wy_spec, P())
+    spec_in = (
+        P(), P(), slab_spec, slab_spec, slab_spec, wz_spec, wy_spec, P(),
+    )
     fn = jax.jit(
         shard_map(body, mesh=mesh, in_specs=spec_in, out_specs=out_spec)
     )
@@ -230,42 +388,86 @@ def predict_sharded(
         return jax.device_put(arr, NamedSharding(mesh, spec))
 
     if y_axis is None:  # drop the ny=1 axis: 1-D mesh shards 1-D stacks
-        slabs, starts, valid = slabs[:, 0], starts[:, 0], valid[:, 0]
+        starts, valid = starts[:, 0], valid[:, 0]
 
     out_shards = fn(
         runner.variables,
-        put(slabs, sharded2),
-        put(starts, sharded2),
-        put(valid, sharded2),
+        norm,
+        slabs,
+        put(starts, slab_spec),
+        put(valid, slab_spec),
         put(wz_shards, wz_spec),
         put(wy_shards, wy_spec),
         jnp.asarray(wx_pad),
     )
-    out_shards = np.asarray(out_shards)
-    if y_axis is None:
-        out_shards = out_shards[:, None]
-    # (nz, ny, C, own_z + spill_z, own_y + spill_y, wp)
+    # global result: (nz[, ny], C, own_z + spill_z, own_y + spill_y, wp)
 
-    # Host assembly: each slot owns [base, base + own); the last real
-    # slot along each axis also keeps its unsent spill (the grid's tail).
-    out = np.zeros((out_channels,) + dim, np.float32)
+    # --- Assembly: fetch one Z row of shards at a time -----------------
+    # Each slot owns [base, base + own); the last real slot along each
+    # axis also keeps its unsent spill (the grid's tail). Z rows are
+    # materialized in order so out_path streaming stays O(one row).
+    shard_data = {}
+    for s in out_shards.addressable_shards:
+        idx = tuple(sl.start or 0 for sl in s.index)
+        i = idx[0]
+        j = idx[1] if y_axis is not None else 0
+        shard_data[(i, j)] = s.data
+
+    writer = None
+    out = None
+    if out_path is not None:
+        from aind_exaspim_neuron_segmentation_tpu.io.zarr_lite import (
+            ZarrAppendWriter,
+        )
+
+        out_shape = (out_channels,) + tuple(dim) if affinity_mode else dim
+        writer = ZarrAppendWriter(out_path, out_shape, np.float32)
+
+        def emit(z_lo, z_hi, block):
+            writer.append(block if affinity_mode else block[0])
+    else:
+        out = np.zeros((out_channels,) + tuple(dim), np.float32)
+
+        def emit(z_lo, z_hi, block):
+            out[:, z_lo:z_hi] = block
+
+    next_z = 0
     for i in range(nz):
         z_base = i * zp.own + trim
         if z_base >= dim[0]:
             break
         last_z = i == nz - 1 or (i + 1) * zp.own + trim >= dim[0]
         z_hi = min(z_base + zp.own + (zp.spill if last_z else 0), dim[0])
+        row = np.zeros((out_channels, z_hi - next_z, dim[1], dim[2]),
+                       np.float32)
+        row_off = z_base - next_z  # leading trim gap on the first row
         for j in range(ny):
             y_base = j * yp.own + trim
             if y_base >= dim[1]:
                 break
             last_y = j == ny - 1 or (j + 1) * yp.own + trim >= dim[1]
             y_hi = min(y_base + yp.own + (yp.spill if last_y else 0), dim[1])
-            out[:, z_base:z_hi, y_base:y_hi] = out_shards[
-                i, j, :, : z_hi - z_base, : y_hi - y_base, : dim[2]
+            data = np.asarray(shard_data[(i, j)])
+            data = data.reshape(data.shape[-4:])
+            row[:, row_off:, y_base:y_hi] = data[
+                :, : z_hi - z_base, : y_hi - y_base, : dim[2]
             ]
             if last_y:
                 break
+        emit(next_z, z_hi, row)
+        next_z = z_hi
         if last_z:
             break
+    if next_z < dim[0]:  # trailing never-covered trim planes
+        emit(
+            next_z, dim[0],
+            np.zeros((out_channels, dim[0] - next_z, dim[1], dim[2]),
+                     np.float32),
+        )
+
+    if writer is not None:
+        from aind_exaspim_neuron_segmentation_tpu.io import read
+
+        writer.close()
+        return read(out_path)
     return out if affinity_mode else out[0]

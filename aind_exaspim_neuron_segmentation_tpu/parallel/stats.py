@@ -103,6 +103,25 @@ def percentile_sharded(x_local, qs, n_total, axis_name):
     )
 
 
+def order_stats_sharded(x_local, ks, axis_names):
+    """Exact k-th smallest values of a mesh-sharded array (shard_map).
+
+    ``ks``: static 0-based ranks. Elements a shard should NOT count
+    (padding, halo duplicates) must be set to +inf by the caller; as
+    long as every rank in ``ks`` is below the global count of finite
+    elements, the +inf sentinels never win a radix round. Returns a
+    stacked float32 vector. Host-side linear interpolation of adjacent
+    order stats (in float64) reproduces np.percentile bit-for-bit for
+    float32 data -- how ``parallel.predict_sharded`` normalizes without
+    densifying its input.
+    """
+    psum = lambda v: jax.lax.psum(v, axis_names)  # noqa: E731
+    keys = _float_keys(x_local)
+    return jnp.stack(
+        [_keys_to_float(_order_stat_key(keys, int(k), psum)) for k in ks]
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("qs",))
 def percentile_device(x, qs):
     """Single-device percentile matching np.percentile (linear interp)."""

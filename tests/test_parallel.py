@@ -242,3 +242,64 @@ class Test2DMesh:
                 volume2d, runner, mesh=Mesh(devs, ("a", "b", "c")),
                 patch_shape=(32, 32, 32), overlap=(8, 8, 8), trim=4,
             )
+
+
+class TestShardedPredictParity:
+    """Feature parity with single-device predict: lazy zarr in, streamed
+    zarr out, gaussian blend -- without densifying input or output
+    (VERDICT round-1 item 4)."""
+
+    @pytest.fixture(scope="class")
+    def volume(self):
+        rng = np.random.default_rng(21)
+        return rng.integers(0, 2000, (96, 56, 40)).astype(np.uint16)
+
+    def test_lazy_zarr_in_zarr_out(self, runner, volume, tmp_path):
+        from aind_exaspim_neuron_segmentation_tpu.io import zarr_lite
+
+        in_path = str(tmp_path / "in.zarr")
+        zarr_lite.write_zarr(
+            in_path, volume, chunks=(32, 32, 32),
+            compressor={"id": "blosc", "cname": "lz4", "clevel": 5,
+                        "shuffle": 1},
+        )
+        lazy = zarr_lite.open_zarr(in_path)
+        want = inference.predict(
+            volume, runner, patch_shape=PATCH, overlap=OVERLAP, trim=TRIM,
+            batch_size=4, verbose=False,
+        )
+        out_path = str(tmp_path / "out.zarr")
+        got = parallel.predict_sharded(
+            lazy, runner, mesh=parallel.make_mesh(8), patch_shape=PATCH,
+            overlap=OVERLAP, trim=TRIM, batch_size=4, out_path=out_path,
+        )
+        assert not isinstance(got, np.ndarray)  # lazy handle
+        np.testing.assert_allclose(np.asarray(got[:]), want, atol=1e-6)
+
+    def test_lazy_zarr_2d_mesh(self, runner, volume, tmp_path):
+        from aind_exaspim_neuron_segmentation_tpu.io import zarr_lite
+
+        in_path = str(tmp_path / "in2.zarr")
+        zarr_lite.write_zarr(in_path, volume, chunks=(32, 32, 32))
+        lazy = zarr_lite.open_zarr(in_path)
+        want = inference.predict(
+            volume, runner, patch_shape=PATCH, overlap=OVERLAP, trim=TRIM,
+            batch_size=4, verbose=False,
+        )
+        got = parallel.predict_sharded(
+            lazy, runner, mesh=parallel.make_mesh_2d((2, 2)),
+            patch_shape=PATCH, overlap=OVERLAP, trim=TRIM, batch_size=4,
+        )
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_gaussian_blend_matches_single_device(self, runner, volume):
+        want = inference.predict(
+            volume, runner, patch_shape=PATCH, overlap=OVERLAP, trim=TRIM,
+            batch_size=4, verbose=False, blend_mode="gaussian",
+        )
+        got = parallel.predict_sharded(
+            volume, runner, mesh=parallel.make_mesh(4), patch_shape=PATCH,
+            overlap=OVERLAP, trim=TRIM, batch_size=4,
+            blend_mode="gaussian",
+        )
+        np.testing.assert_allclose(got, want, atol=1e-6)

@@ -155,3 +155,21 @@ class TestAgglomerate:
         ids = set(np.unique(seg).tolist())
         assert ids == {0, 1, 2}  # renumbered contiguously
         assert variation_of_information(seg, lab) < 1e-9
+
+
+class TestThreadedDeterminism:
+    def test_agglomerate_thread_count_invariant(self, monkeypatch):
+        """The parallel watershed scan / RAG build / snapshot relabel are
+        partitioned so edge numbering and sample order equal the serial
+        scan -- output must be bit-identical for any EXA_NUM_THREADS."""
+        from aind_exaspim_neuron_segmentation_tpu import native
+
+        rng = np.random.default_rng(5)
+        aff = rng.uniform(0, 1, (3, 30, 26, 22)).astype(np.float32)
+        monkeypatch.setenv("EXA_NUM_THREADS", "1")
+        base = native.agglomerate_all(aff, [0.2, 0.5, 0.8])
+        for n in ("3", "8"):
+            monkeypatch.setenv("EXA_NUM_THREADS", n)
+            got = native.agglomerate_all(aff, [0.2, 0.5, 0.8])
+            for a, b in zip(base, got):
+                np.testing.assert_array_equal(a, b)
