@@ -295,3 +295,43 @@ def iterate_batches(dataset, batch_size, stacked=True):
         xs = np.stack([it[0] for it in items])
         ys = np.stack([it[1] for it in items])
         yield xs, ys
+
+
+def prefetch_batches(dataset, batch_size, depth=2):
+    """:func:`iterate_batches` with a background producer thread.
+
+    Patch sampling + host augmentation overlap the (async-dispatched)
+    device step instead of serializing with it -- the role of the torch
+    DataLoader's worker processes (reference train.py:103-106), sized
+    for a single producer because patch assembly is numpy-bound. Yields
+    the same batches in the same order as ``iterate_batches``; a bounded
+    queue (``depth``) caps host memory at depth+1 batches.
+
+    The consumer must drain the generator or call ``.close()`` (the
+    producer thread is daemonic, so an abandoned generator cannot hang
+    interpreter exit).
+    """
+    import queue
+    import threading
+
+    q = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def produce():
+        try:
+            for batch in iterate_batches(dataset, batch_size):
+                q.put(batch)
+            q.put(_END)
+        except BaseException as err:  # surfaced on the consumer side
+            q.put(err)
+
+    thread = threading.Thread(target=produce, daemon=True)
+    thread.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+    thread.join()

@@ -95,6 +95,7 @@ class Trainer:
         seed=0,
         mesh=None,
         device_augment=False,
+        prefetch=True,
     ):
         exp_name = "session-" + datetime.today().strftime("%Y%m%d_%H%M")
         self.log_dir = os.path.join(output_dir, exp_name)
@@ -113,6 +114,13 @@ class Trainer:
         # computes affinity targets on device -- zero host transform
         # work (TPU-idiomatic counterpart of ImageTransforms).
         self.device_augment = device_augment
+        # Input-pipeline prefetch: a background thread produces the next
+        # batches while the (async-dispatched) device step runs, so host
+        # sampling/augmentation overlaps device compute (the torch
+        # DataLoader-workers role, reference train.py:103-106). Batches
+        # and RNG streams are identical either way.
+        self.prefetch = prefetch
+        self.input_wait_s = 0.0  # host time blocked waiting on batches
         self._augment_key = jax.random.PRNGKey(seed + 1)
         # Optional data parallelism: batches shard over the mesh's first
         # axis, parameters replicate, XLA inserts the gradient psum.
@@ -317,10 +325,26 @@ class Trainer:
         )
 
     def train_step(self, train_dataset, epoch):
+        import time as _time
+
+        from aind_exaspim_neuron_segmentation_tpu.machine_learning.data_handling import (  # noqa: E501
+            prefetch_batches,
+        )
+
         stats = {"f1": None, "precision": [], "recall": [], "loss": []}
-        for step_idx, (xs, ys) in enumerate(
-            iterate_batches(train_dataset, self.batch_size)
-        ):
+        batches = (
+            prefetch_batches(train_dataset, self.batch_size)
+            if self.prefetch
+            else iterate_batches(train_dataset, self.batch_size)
+        )
+        # Device metrics stay device-resident until the epoch ends: a
+        # per-step float() would synchronize and serialize host batch
+        # production with the device step.
+        pending = []
+        self.input_wait_s = 0.0
+        t_wait = _time.perf_counter()
+        for step_idx, (xs, ys) in enumerate(batches):
+            self.input_wait_s += _time.perf_counter() - t_wait
             n_real = xs.shape[0]
             x, y, w = self._to_device_batch(xs, ys)
             key = jax.random.fold_in(
@@ -333,6 +357,9 @@ class Trainer:
                 self.params, self.batch_stats, self.opt_state,
                 self.grad_accum, x, y, w, key,
             )
+            pending.append((n_real, loss, precision, recall))
+            t_wait = _time.perf_counter()
+        for n_real, loss, precision, recall in pending:
             stats["loss"].append(float(loss))
             stats["precision"].extend(np.asarray(precision)[:n_real].tolist())
             stats["recall"].extend(np.asarray(recall)[:n_real].tolist())
@@ -340,13 +367,25 @@ class Trainer:
         return stats
 
     def validate_step(self, val_dataset, epoch):
+        from aind_exaspim_neuron_segmentation_tpu.machine_learning.data_handling import (  # noqa: E501
+            prefetch_batches,
+        )
+
         stats = {"f1": None, "precision": [], "recall": [], "loss": []}
-        for xs, ys in iterate_batches(val_dataset, self.batch_size):
+        batches = (
+            prefetch_batches(val_dataset, self.batch_size)
+            if self.prefetch
+            else iterate_batches(val_dataset, self.batch_size)
+        )
+        pending = []
+        for xs, ys in batches:
             n_real = xs.shape[0]
             x, y, w = self._to_device_batch(xs, ys)
-            loss, precision, recall = self._eval_step(
-                self.params, self.batch_stats, x, y, w
+            pending.append(
+                (n_real,)
+                + self._eval_step(self.params, self.batch_stats, x, y, w)
             )
+        for n_real, loss, precision, recall in pending:
             stats["loss"].append(float(loss))
             stats["precision"].extend(np.asarray(precision)[:n_real].tolist())
             stats["recall"].extend(np.asarray(recall)[:n_real].tolist())

@@ -393,3 +393,51 @@ class TestDeviceAugment:
         dev = np.asarray(affinity_channels_jax(np.asarray(fl)[..., 0]))
         host = get_affinity_channels(np.asarray(fl)[..., 0])
         np.testing.assert_array_equal(dev, host.astype(np.float32))
+
+
+class TestPrefetch:
+    def test_prefetch_batches_matches_serial(self):
+        imgs, labs = make_volumes()
+        ds = data_handling.TrainDataset(imgs, labs, patch_shape=PATCH, seed=3)
+        serial = list(data_handling.iterate_batches(ds, 4))
+        # Fresh dataset with the same seed: sampling draws must align.
+        ds2 = data_handling.TrainDataset(imgs, labs, patch_shape=PATCH, seed=3)
+        fetched = list(data_handling.prefetch_batches(ds2, 4))
+        assert len(serial) == len(fetched)
+        for (xa, ya), (xb, yb) in zip(serial, fetched):
+            np.testing.assert_array_equal(xa, xb)
+            np.testing.assert_array_equal(ya, yb)
+
+    def test_prefetch_propagates_errors(self):
+        class Bad:
+            def __len__(self):
+                return 4
+
+            def __getitem__(self, i):
+                raise RuntimeError("boom")
+
+        with pytest.raises(RuntimeError, match="boom"):
+            list(data_handling.prefetch_batches(Bad(), 2))
+
+    def test_trainer_prefetch_matches_serial(self, tmp_path):
+        """Same data, same seeds: prefetch must not change training."""
+        import jax
+
+        imgs, labs = make_volumes()
+        results = {}
+        for prefetch in (False, True):
+            tr = data_handling.TrainDataset(
+                imgs, labs, patch_shape=PATCH, seed=1
+            )
+            val = data_handling.ValidateDataset(
+                imgs, labs, patch_shape=PATCH, containment_buffer=0
+            )
+            t = Trainer(
+                str(tmp_path / f"p{prefetch}"), batch_size=4, max_epochs=1,
+                width_multiplier=0.25, use_amp=False, prefetch=prefetch,
+            )
+            t.run(tr, val)
+            results[prefetch] = jax.tree_util.tree_leaves(t.params)
+        for a, b in zip(results[False], results[True]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert hasattr(t, "input_wait_s")
