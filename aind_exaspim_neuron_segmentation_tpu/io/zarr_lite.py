@@ -416,6 +416,87 @@ class ZarrAppendWriter:
         return self.path
 
 
+class ZarrPlaneWriter:
+    """Random-access Z-plane writer for multi-process output streaming.
+
+    Chunks are one Z plane deep (``(1, cy, cx)``, channels whole), so a
+    write of ANY contiguous z-range touches only chunk keys no other
+    z-range touches -- multiple processes can write disjoint z-ranges of
+    one store with no coordination (each process owns whole chunks).
+    Metadata is written identically by every process (idempotent bytes).
+    Used by ``parallel.predict_sharded(out_path=...)`` on multi-process
+    meshes; single-process streaming keeps the buffered
+    :class:`ZarrAppendWriter` (deeper chunks, fewer objects).
+    """
+
+    def __init__(self, path, shape, dtype, chunks_yx=None):
+        if len(shape) == 3:
+            self.channels = None
+            d, h, w = shape
+        elif len(shape) == 4:
+            self.channels = shape[0]
+            d, h, w = shape[1:]
+        else:
+            raise ValueError(f"expected 3D/4D shape, got {shape}")
+        self.shape = tuple(shape)
+        self.dtype = np.dtype(dtype)
+        cy, cx = chunks_yx or (min(256, h), min(256, w))
+        self.chunks = (1, cy, cx)
+        self.store = open_store(path)
+        self.path = path
+        full_chunks = (
+            [self.channels] if self.channels else []
+        ) + [1, cy, cx]
+        meta = {
+            "zarr_format": 2,
+            "shape": list(shape),
+            "chunks": full_chunks,
+            "dtype": self.dtype.str,
+            "compressor": {"id": "zlib", "level": 1},
+            "fill_value": 0,
+            "order": "C",
+            "filters": None,
+            "dimension_separator": ".",
+        }
+        self.store.put(".zarray", json.dumps(meta).encode())
+
+    def write_planes(self, z0, block):
+        """Write ``block`` ((dz, H, W) or (C, dz, H, W)) at plane z0."""
+        block = np.asarray(block, self.dtype)
+        z_axis = 0 if self.channels is None else 1
+        dz = block.shape[z_axis]
+        _, cy, cx = self.chunks
+        d, h, w = self.shape[z_axis:]
+        for dzi in range(dz):
+            for yi in range(math.ceil(h / cy)):
+                for xi in range(math.ceil(w / cx)):
+                    cshape = (
+                        ((self.channels,) if self.channels else ())
+                        + (1, cy, cx)
+                    )
+                    chunk = np.zeros(cshape, self.dtype)
+                    ys = slice(yi * cy, min((yi + 1) * cy, h))
+                    xs = slice(xi * cx, min((xi + 1) * cx, w))
+                    src = [slice(None)] * block.ndim
+                    src[z_axis] = slice(dzi, dzi + 1)
+                    src[z_axis + 1] = ys
+                    src[z_axis + 2] = xs
+                    dst = [slice(None)] * chunk.ndim
+                    dst[z_axis + 1] = slice(0, ys.stop - ys.start)
+                    dst[z_axis + 2] = slice(0, xs.stop - xs.start)
+                    chunk[tuple(dst)] = block[tuple(src)]
+                    idx = (
+                        ([0] if self.channels else [])
+                        + [z0 + dzi, yi, xi]
+                    )
+                    key = ".".join(str(i) for i in idx)
+                    self.store.put(
+                        key,
+                        _compress(chunk.tobytes(order="C"),
+                                  {"id": "zlib", "level": 1}),
+                    )
+
+
 def write_n5(path, array, chunks=None, compression=None):
     """Write a numpy array (zyx) as an N5 dataset (gzip default)."""
     if compression is None:

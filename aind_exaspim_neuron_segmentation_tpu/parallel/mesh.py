@@ -6,9 +6,52 @@ axis shards either the patch grid's Z rows (inference) or the batch
 (training), with collectives riding ICI.
 """
 
+import os
+
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize_distributed(coordinator_address=None, num_processes=None,
+                           process_id=None, **kwargs):
+    """Multi-process (DCN) runtime init -- SURVEY §5 scale-out bullet.
+
+    Thin wrapper over ``jax.distributed.initialize`` that is safe to
+    call unconditionally: single-process runs (no coordinator address
+    given or discoverable from the standard env vars) return without
+    touching the runtime, and a second call on an initialized runtime is
+    a no-op. After it runs, ``jax.devices()`` spans every host's chips,
+    so :func:`make_mesh` / :func:`make_mesh_2d` build global meshes and
+    ``predict_sharded`` / ``Trainer(mesh=)`` scale across hosts with the
+    same code path (XLA routes same-slice collectives over ICI and
+    cross-slice over DCN).
+
+    Returns True when a multi-process runtime is (already) initialized.
+    """
+    env = os.environ
+    coordinator_address = (
+        coordinator_address
+        or env.get("JAX_COORDINATOR_ADDRESS")
+        or env.get("COORDINATOR_ADDRESS")
+    )
+    # TPU pod auto-detect: only when the worker list names MULTIPLE
+    # hosts (single-host TPU VMs also export TPU_WORKER_HOSTNAMES).
+    workers = [
+        h for h in env.get("TPU_WORKER_HOSTNAMES", "").split(",") if h
+    ]
+    auto_tpu = len(workers) > 1 or env.get("MEGASCALE_COORDINATOR_ADDRESS")
+    if jax.process_count() > 1:
+        return True  # already initialized
+    if coordinator_address is None and not auto_tpu:
+        return False  # single-process run: nothing to do
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+        **kwargs,
+    )
+    return jax.process_count() > 1
 
 
 def make_mesh(n_devices=None, axis_name="shard", devices=None):

@@ -210,9 +210,15 @@ def predict_sharded(
         gshape = (nz, ny, zp.slab, yp.slab, wp)
     slab_sharding = NamedSharding(mesh, slab_spec)
     dev_grid = mesh.devices.reshape(nz, ny)
+    # Multi-process meshes (parallel.mesh.initialize_distributed): each
+    # process reads ONLY the slabs its own devices hold -- process-local
+    # IO, no host ever sees the full volume.
+    pid = jax.process_index()
     pieces = []
     for i in range(nz):
         for j in range(ny):
+            if dev_grid[i, j].process_index != pid:
+                continue
             block = load_slab(i, j)
             lead = (1,) if y_axis is None else (1, 1)
             pieces.append(
@@ -385,7 +391,12 @@ def predict_sharded(
     )
 
     def put(arr, spec):
-        return jax.device_put(arr, NamedSharding(mesh, spec))
+        # make_array_from_callback works on multi-process meshes (each
+        # process materializes only its addressable pieces of the
+        # host-deterministic array); on one process it equals device_put.
+        return jax.make_array_from_callback(
+            arr.shape, NamedSharding(mesh, spec), lambda idx: arr[idx]
+        )
 
     if y_axis is None:  # drop the ny=1 axis: 1-D mesh shards 1-D stacks
         starts, valid = starts[:, 0], valid[:, 0]
@@ -413,19 +424,38 @@ def predict_sharded(
         j = idx[1] if y_axis is not None else 0
         shard_data[(i, j)] = s.data
 
+    multiproc = jax.process_count() > 1
     writer = None
+    plane_writer = None
     out = None
-    if out_path is not None:
+    out_shape = (out_channels,) + tuple(dim) if affinity_mode else dim
+    if out_path is not None and multiproc:
+        # Each process writes ONLY its own Z rows: one-plane-deep output
+        # chunks make disjoint z-ranges touch disjoint chunk keys, so no
+        # cross-process coordination is needed; unwritten chunks read as
+        # the zarr fill value (the never-covered trim planes).
+        from aind_exaspim_neuron_segmentation_tpu.io.zarr_lite import (
+            ZarrPlaneWriter,
+        )
+
+        plane_writer = ZarrPlaneWriter(out_path, out_shape, np.float32)
+
+        def emit(z_lo, z_hi, block):
+            plane_writer.write_planes(
+                z_lo, block if affinity_mode else block[0]
+            )
+    elif out_path is not None:
         from aind_exaspim_neuron_segmentation_tpu.io.zarr_lite import (
             ZarrAppendWriter,
         )
 
-        out_shape = (out_channels,) + tuple(dim) if affinity_mode else dim
         writer = ZarrAppendWriter(out_path, out_shape, np.float32)
 
         def emit(z_lo, z_hi, block):
             writer.append(block if affinity_mode else block[0])
     else:
+        # Dense assembly. On multi-process meshes each process fills only
+        # the rows its devices own; everything else stays zero.
         out = np.zeros((out_channels,) + tuple(dim), np.float32)
 
         def emit(z_lo, z_hi, block):
@@ -438,6 +468,18 @@ def predict_sharded(
             break
         last_z = i == nz - 1 or (i + 1) * zp.own + trim >= dim[0]
         z_hi = min(z_base + zp.own + (zp.spill if last_z else 0), dim[0])
+        local_js = [j for j in range(ny) if (i, j) in shard_data]
+        if multiproc and not local_js:
+            next_z = z_hi
+            if last_z:
+                break
+            continue
+        if multiproc and len(local_js) != ny:
+            raise ValueError(
+                "multi-process predict_sharded needs whole Z rows on one "
+                "process (Z-major process-to-mesh layout); row "
+                f"{i} is split across processes"
+            )
         row = np.zeros((out_channels, z_hi - next_z, dim[1], dim[2]),
                        np.float32)
         row_off = z_base - next_z  # leading trim gap on the first row
@@ -454,20 +496,28 @@ def predict_sharded(
             ]
             if last_y:
                 break
-        emit(next_z, z_hi, row)
+        if multiproc and out_path is not None:
+            # skip the leading trim gap: those planes belong to the
+            # zarr fill value, and another process may own nothing there
+            emit(z_base, z_hi, row[:, row_off:])
+        else:
+            emit(next_z, z_hi, row)
         next_z = z_hi
         if last_z:
             break
-    if next_z < dim[0]:  # trailing never-covered trim planes
+    if writer is not None and next_z < dim[0]:
+        # trailing never-covered trim planes (append writer must cover
+        # the full declared extent; the plane writer reads them as fill)
         emit(
             next_z, dim[0],
             np.zeros((out_channels, dim[0] - next_z, dim[1], dim[2]),
                      np.float32),
         )
 
-    if writer is not None:
+    if writer is not None or plane_writer is not None:
         from aind_exaspim_neuron_segmentation_tpu.io import read
 
-        writer.close()
+        if writer is not None:
+            writer.close()
         return read(out_path)
     return out if affinity_mode else out[0]

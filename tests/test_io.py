@@ -225,3 +225,35 @@ class TestDispatchSubpaths:
         vio.write_zarr(path, vol)
         arr = vio.read(path)
         np.testing.assert_array_equal(arr[1, 2:5:-1, 0], vol[1, 2:5:-1, 0])
+
+
+class TestZarrPlaneWriter:
+    def test_disjoint_ranges_two_writers(self, tmp_path):
+        """Two writer instances (as two processes would hold) write
+        disjoint z-ranges of one store; unwritten planes read as fill."""
+        from aind_exaspim_neuron_segmentation_tpu.io import zarr_lite
+
+        rng = np.random.default_rng(0)
+        vol = rng.normal(size=(3, 12, 10, 8)).astype(np.float32)
+        path = str(tmp_path / "p.zarr")
+        w1 = zarr_lite.ZarrPlaneWriter(path, vol.shape, np.float32)
+        w2 = zarr_lite.ZarrPlaneWriter(path, vol.shape, np.float32)
+        w1.write_planes(2, vol[:, 2:6])
+        w2.write_planes(8, vol[:, 8:11])
+        arr = zarr_lite.open_zarr(path)
+        got = np.asarray(arr[:])
+        np.testing.assert_array_equal(got[:, 2:6], vol[:, 2:6])
+        np.testing.assert_array_equal(got[:, 8:11], vol[:, 8:11])
+        assert np.all(got[:, 0:2] == 0) and np.all(got[:, 6:8] == 0)
+        assert np.all(got[:, 11:] == 0)
+
+    def test_3d_shape(self, tmp_path):
+        from aind_exaspim_neuron_segmentation_tpu.io import zarr_lite
+
+        vol = np.arange(4 * 6 * 5, dtype=np.float32).reshape(4, 6, 5)
+        path = str(tmp_path / "q.zarr")
+        w = zarr_lite.ZarrPlaneWriter(path, vol.shape, np.float32)
+        w.write_planes(0, vol)
+        np.testing.assert_array_equal(
+            np.asarray(zarr_lite.open_zarr(path)[:]), vol
+        )

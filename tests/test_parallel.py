@@ -303,3 +303,23 @@ class TestShardedPredictParity:
             blend_mode="gaussian",
         )
         np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+class TestDistributedInit:
+    def test_single_process_noop(self):
+        """Without a coordinator address the wrapper must not touch the
+        runtime (this test process would hang otherwise)."""
+        import os
+
+        from aind_exaspim_neuron_segmentation_tpu.parallel.mesh import (
+            initialize_distributed,
+        )
+
+        for var in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+                    "MEGASCALE_COORDINATOR_ADDRESS"):
+            assert os.environ.get(var) is None
+        # single-host TPU VMs export TPU_WORKER_HOSTNAMES=localhost --
+        # the wrapper must only trigger on MULTIPLE workers
+        assert len([h for h in os.environ.get(
+            "TPU_WORKER_HOSTNAMES", "").split(",") if h]) <= 1
+        assert initialize_distributed() is False
