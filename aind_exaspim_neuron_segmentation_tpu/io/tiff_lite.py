@@ -1,43 +1,418 @@
-"""TIFF volume IO via Pillow (tifffile is not installed here).
+"""In-tree TIFF / BigTIFF volume IO (tifffile is not installed here).
 
-Reads/writes multi-page grayscale TIFFs as (pages, H, W) arrays --
-eager ndarrays like the reference's tifffile path
-(reference img_util.py:100-121).
+The reference reads ``.tif``/``.tiff`` volumes through ``tifffile``
+(reference img_util.py:100-121), which handles the scientific-imaging
+corners Pillow does not: BigTIFF (>4 GB microscopy stacks), tiled
+layouts, horizontal-differencing predictors, float samples. This module
+implements the format directly:
+
+* classic TIFF (magic 42) and BigTIFF (magic 43), both byte orders;
+* striped and tiled layouts; grayscale and contiguous multi-sample;
+* compressions: none, LZW (TIFF variant: MSB-first codes, early
+  change), Deflate/AdobeDeflate, PackBits; predictor 2 (horizontal
+  differencing);
+* sample formats: unsigned/signed int 8/16/32/64, float 32/64;
+* multi-page stacks decode page-on-demand (``lazy=True`` returns a
+  ``TiffStack`` with numpy-style indexing, matching the chunked-read
+  design of :mod:`.zarr_lite`).
+
+The writer emits striped classic TIFF or BigTIFF (``bigtiff=True`` or
+automatically for >= 4 GB payloads), optionally deflate-compressed.
+Pillow serves as a third-party conformance oracle for the classic
+formats in tests/test_io.py; BigTIFF round-trips through this module.
 """
 
-import io
+import struct
+import zlib
 
 import numpy as np
 
+# Tag ids (TIFF 6.0 / BigTIFF).
+_T_WIDTH = 256
+_T_LENGTH = 257
+_T_BITS = 258
+_T_COMPRESSION = 259
+_T_PHOTOMETRIC = 262
+_T_STRIP_OFFSETS = 273
+_T_SAMPLES = 277
+_T_ROWS_PER_STRIP = 278
+_T_STRIP_COUNTS = 279
+_T_PLANAR = 284
+_T_PREDICTOR = 317
+_T_TILE_WIDTH = 322
+_T_TILE_LENGTH = 323
+_T_TILE_OFFSETS = 324
+_T_TILE_COUNTS = 325
+_T_SAMPLE_FORMAT = 339
 
-def read_tiff(path_or_bytes):
-    """Read a (multi-page) TIFF into an ndarray (Z, H, W) or (H, W)."""
-    from PIL import Image
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
+               10: 8, 11: 4, 12: 8, 16: 8, 17: 8, 18: 8}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f",
+             12: "d", 16: "Q", 17: "q"}
 
-    src = (
-        io.BytesIO(path_or_bytes)
-        if isinstance(path_or_bytes, (bytes, bytearray))
-        else path_or_bytes
+
+def _unpack_lzw(data):
+    """TIFF-variant LZW: 8-bit data, MSB-first codes, early code-width
+    change (TIFF 6.0 section 13)."""
+    out = bytearray()
+    table = None
+    prev = None
+    width = 9
+    next_code = 258
+    bitbuf = 0
+    bits = 0
+    pos = 0
+    n = len(data)
+    while True:
+        while bits < width and pos < n:
+            bitbuf = (bitbuf << 8) | data[pos]
+            pos += 1
+            bits += 8
+        if bits < width:
+            break
+        code = (bitbuf >> (bits - width)) & ((1 << width) - 1)
+        bits -= width
+        if code == 256:  # Clear
+            table = None
+            prev = None
+            width = 9
+            next_code = 258
+            continue
+        if code == 257:  # EOI
+            break
+        if table is None:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+        if code < len(table) and (code < 258 or table[code]):
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("corrupt LZW stream")
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+            next_code += 1
+        prev = entry
+        # early change: widen one code before the table is full
+        if next_code >= (1 << width) - 1 and width < 12:
+            width += 1
+    return bytes(out)
+
+
+def _unpack_packbits(data, expected):
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n and len(out) < expected:
+        h = data[i]
+        i += 1
+        if h < 128:
+            out += data[i: i + h + 1]
+            i += h + 1
+        elif h > 128:
+            out += data[i: i + 1] * (257 - h)
+            i += 1
+        # 128: no-op
+    return bytes(out)
+
+
+def _decompress(data, compression, expected):
+    if compression == 1:
+        return data
+    if compression in (8, 32946):  # Deflate / AdobeDeflate
+        return zlib.decompress(data)
+    if compression == 5:
+        return _unpack_lzw(data)
+    if compression == 32773:
+        return _unpack_packbits(data, expected)
+    raise ValueError(
+        f"unsupported TIFF compression {compression} (supported: none, "
+        "LZW, Deflate, PackBits)"
     )
-    with Image.open(src) as img:
-        pages = []
-        for i in range(getattr(img, "n_frames", 1)):
-            img.seek(i)
-            pages.append(np.asarray(img))
-    if len(pages) == 1:
-        return pages[0]
-    return np.stack(pages)
 
 
-def write_tiff(path, array):
-    """Write an (Z, H, W) or (H, W) grayscale array as TIFF."""
-    from PIL import Image
+class _Page:
+    """One decoded IFD: geometry, dtype, and segment locations."""
 
+    def __init__(self, tags, order):
+        self.order = order
+        self.width = int(tags[_T_WIDTH][0])
+        self.length = int(tags[_T_LENGTH][0])
+        self.samples = int(tags.get(_T_SAMPLES, [1])[0])
+        self.compression = int(tags.get(_T_COMPRESSION, [1])[0])
+        self.predictor = int(tags.get(_T_PREDICTOR, [1])[0])
+        planar = int(tags.get(_T_PLANAR, [1])[0])
+        if planar != 1 and self.samples > 1:
+            raise ValueError("planar (separate-plane) TIFF not supported")
+        bits = tags.get(_T_BITS, [8])
+        bits = int(bits[0])
+        fmt = int(tags.get(_T_SAMPLE_FORMAT, [1])[0])
+        kind = {1: "u", 2: "i", 3: "f"}.get(fmt)
+        if kind is None or bits % 8:
+            raise ValueError(f"unsupported sample format {fmt}/{bits}bit")
+        self.dtype = np.dtype(f"{order}{kind}{bits // 8}")
+        if _T_TILE_OFFSETS in tags:
+            self.tiled = True
+            self.tile_w = int(tags[_T_TILE_WIDTH][0])
+            self.tile_l = int(tags[_T_TILE_LENGTH][0])
+            self.offsets = [int(v) for v in tags[_T_TILE_OFFSETS]]
+            self.counts = [int(v) for v in tags[_T_TILE_COUNTS]]
+        else:
+            self.tiled = False
+            self.rows_per_strip = int(
+                tags.get(_T_ROWS_PER_STRIP, [self.length])[0]
+            )
+            self.offsets = [int(v) for v in tags[_T_STRIP_OFFSETS]]
+            self.counts = [int(v) for v in tags[_T_STRIP_COUNTS]]
+
+    @property
+    def shape(self):
+        base = (self.length, self.width)
+        return base if self.samples == 1 else base + (self.samples,)
+
+    def _undo_predictor(self, arr):
+        if self.predictor == 2:
+            np.cumsum(arr, axis=1, dtype=arr.dtype, out=arr)
+        elif self.predictor != 1:
+            raise ValueError(f"unsupported predictor {self.predictor}")
+        return arr
+
+    def read(self, buf):
+        item = self.dtype.itemsize * self.samples
+        if not self.tiled:
+            rows = []
+            for si, (off, cnt) in enumerate(zip(self.offsets, self.counts)):
+                nrows = min(self.rows_per_strip,
+                            self.length - si * self.rows_per_strip)
+                expected = nrows * self.width * item
+                raw = _decompress(
+                    bytes(buf[off: off + cnt]), self.compression, expected
+                )
+                arr = np.frombuffer(raw[:expected], self.dtype)
+                arr = arr.reshape(nrows, self.width * self.samples).copy()
+                rows.append(self._undo_predictor(arr))
+            out = np.concatenate(rows) if len(rows) > 1 else rows[0]
+            return out.reshape(self.shape)
+        tw, tl = self.tile_w, self.tile_l
+        across = -(-self.width // tw)
+        out = np.zeros(
+            (self.length, self.width * self.samples), self.dtype
+        )
+        for ti, (off, cnt) in enumerate(zip(self.offsets, self.counts)):
+            ty, tx = divmod(ti, across)
+            expected = tl * tw * item
+            raw = _decompress(
+                bytes(buf[off: off + cnt]), self.compression, expected
+            )
+            tile = np.frombuffer(raw[:expected], self.dtype)
+            tile = tile.reshape(tl, tw * self.samples).copy()
+            tile = self._undo_predictor(tile)
+            y0, x0 = ty * tl, tx * tw
+            ny = min(tl, self.length - y0)
+            nx = min(tw, self.width - x0) * self.samples
+            out[y0: y0 + ny, x0 * self.samples: x0 * self.samples + nx] = (
+                tile[:ny, :nx]
+            )
+        return out.reshape(self.shape)
+
+
+def _parse(buf):
+    """Parse header + IFD chain -> (pages, byte order)."""
+    order = {b"II": "<", b"MM": ">"}.get(bytes(buf[:2]))
+    if order is None:
+        raise ValueError("not a TIFF file")
+    magic = struct.unpack(order + "H", buf[2:4])[0]
+    if magic == 42:
+        big = False
+        (first,) = struct.unpack(order + "I", buf[4:8])
+    elif magic == 43:
+        big = True
+        off_size, zero = struct.unpack(order + "HH", buf[4:8])
+        if off_size != 8 or zero != 0:
+            raise ValueError("malformed BigTIFF header")
+        (first,) = struct.unpack(order + "Q", buf[8:16])
+    else:
+        raise ValueError(f"bad TIFF magic {magic}")
+
+    count_fmt = order + ("Q" if big else "H")
+    count_size = 8 if big else 2
+    entry_size = 20 if big else 12
+    off_fmt = order + ("Q" if big else "I")
+    inline = 8 if big else 4
+
+    pages = []
+    pos = first
+    while pos:
+        (n_entries,) = struct.unpack(
+            count_fmt, buf[pos: pos + count_size]
+        )
+        tags = {}
+        base = pos + count_size
+        for i in range(n_entries):
+            e = base + i * entry_size
+            tag, typ = struct.unpack(order + "HH", buf[e: e + 4])
+            (cnt,) = struct.unpack(off_fmt, buf[e + 4: e + 4 + inline])
+            vpos = e + 4 + inline
+            size = _TYPE_SIZES.get(typ, 1) * cnt
+            if size > inline:
+                (voff,) = struct.unpack(
+                    off_fmt, buf[vpos: vpos + inline]
+                )
+                raw = buf[voff: voff + size]
+            else:
+                raw = buf[vpos: vpos + size]
+            fmt = _TYPE_FMT.get(typ)
+            if fmt is None:
+                continue  # rationals/ascii: not needed for decode
+            tags[tag] = struct.unpack(order + fmt * cnt, bytes(raw))
+        next_pos = base + n_entries * entry_size
+        (pos,) = struct.unpack(off_fmt, buf[next_pos: next_pos + inline])
+        if _T_WIDTH in tags and _T_LENGTH in tags:
+            pages.append(_Page(tags, order))
+    return pages
+
+
+class TiffStack:
+    """Lazy multi-page TIFF: pages decode on first access.
+
+    Numpy-style indexing over (Z, H, W[, S]); ``[:]`` densifies. Pages
+    must share shape and dtype (scientific stacks do).
+    """
+
+    def __init__(self, buf):
+        self._buf = buf
+        self.pages = _parse(buf)
+        if not self.pages:
+            raise ValueError("TIFF contains no image pages")
+        p0 = self.pages[0]
+        for p in self.pages[1:]:
+            if p.shape != p0.shape or p.dtype != p0.dtype:
+                raise ValueError("pages differ in shape/dtype")
+        self.shape = (len(self.pages),) + p0.shape
+        self.dtype = p0.dtype.newbyteorder("=")
+        self._cache = {}
+
+    @property
+    def ndim(self):
+        return len(self.shape)
+
+    def __len__(self):
+        return self.shape[0]
+
+    def _page(self, i):
+        if i not in self._cache:
+            self._cache[i] = np.ascontiguousarray(
+                self.pages[i].read(self._buf), dtype=self.dtype
+            )
+        return self._cache[i]
+
+    def __getitem__(self, key):
+        if not isinstance(key, tuple):
+            key = (key,)
+        zkey = key[0] if key else slice(None)
+        rest = key[1:]
+        if isinstance(zkey, (int, np.integer)):
+            page = self._page(int(zkey) % self.shape[0])
+            return page[rest] if rest else page
+        idx = range(*zkey.indices(self.shape[0]))
+        stack = np.stack([self._page(i) for i in idx]) if len(idx) else (
+            np.empty((0,) + self.shape[1:], self.dtype)
+        )
+        return stack[(slice(None),) + rest] if rest else stack
+
+
+def read_tiff(path_or_bytes, lazy=False):
+    """Read a TIFF/BigTIFF into an ndarray (Z, H, W), (H, W), or, with
+    ``lazy=True`` and multiple pages, a page-on-demand :class:`TiffStack`.
+    """
+    if isinstance(path_or_bytes, (bytes, bytearray, memoryview)):
+        buf = memoryview(bytes(path_or_bytes))
+    else:
+        with open(path_or_bytes, "rb") as f:
+            buf = memoryview(f.read())
+    stack = TiffStack(buf)
+    if lazy and len(stack) > 1:
+        return stack
+    if len(stack) == 1:
+        return stack[0]
+    return stack[:]
+
+
+def write_tiff(path, array, bigtiff=None, compress=False):
+    """Write (Z, H, W) / (H, W) grayscale data as striped TIFF.
+
+    ``bigtiff=None`` selects BigTIFF automatically for >= 4 GB payloads;
+    ``compress=True`` deflates each page's single strip.
+    """
     array = np.asarray(array)
     if array.ndim == 2:
         array = array[None]
     if array.ndim != 3:
         raise ValueError(f"expected 2D/3D array, got {array.shape}")
-    frames = [Image.fromarray(p) for p in array]
-    frames[0].save(path, save_all=True, append_images=frames[1:])
+    if bigtiff is None:
+        bigtiff = array.nbytes >= (1 << 32) - (1 << 24)
+    dt = array.dtype
+    fmt_code = {"u": 1, "i": 2, "f": 3}.get(dt.kind)
+    if fmt_code is None:
+        raise ValueError(f"unsupported dtype {dt}")
+    order = "<"
+    arr = array.astype(dt.newbyteorder(order), copy=False)
+
+    off_fmt = "Q" if bigtiff else "I"
+    inline = 8 if bigtiff else 4
+    entry_size = 20 if bigtiff else 12
+    count_size = 8 if bigtiff else 2
+
+    def entry(tag, typ, count, value):
+        raw = struct.pack(order + "HH", tag, typ)
+        raw += struct.pack(order + off_fmt, count)
+        vraw = struct.pack(order + _TYPE_FMT[typ] * count, *value)
+        return raw + vraw.ljust(inline, b"\0")
+
+    header_size = 16 if bigtiff else 8
+    out = bytearray()
+    if bigtiff:
+        out += b"II" + struct.pack(order + "HHH", 43, 8, 0)
+        out += struct.pack(order + "Q", 0)  # first IFD offset (patched)
+    else:
+        out += b"II" + struct.pack(order + "H", 42)
+        out += struct.pack(order + "I", 0)
+    assert len(out) == header_size
+
+    z, h, w = arr.shape
+    val_t = 16 if bigtiff else 4  # LONG8 / LONG
+    ifd_offsets = []
+    prev_link = header_size - inline
+    for zi in range(z):
+        payload = arr[zi].tobytes()
+        if compress:
+            payload = zlib.compress(payload, 6)
+        data_off = len(out)
+        out += payload
+        if len(out) % 2:
+            out += b"\0"
+        ifd_off = len(out)
+        ifd_offsets.append(ifd_off)
+        tags = [
+            entry(_T_WIDTH, 4, 1, (w,)),
+            entry(_T_LENGTH, 4, 1, (h,)),
+            entry(_T_BITS, 3, 1, (dt.itemsize * 8,)),
+            entry(_T_COMPRESSION, 3, 1, (8 if compress else 1,)),
+            entry(_T_PHOTOMETRIC, 3, 1, (1,)),
+            entry(_T_STRIP_OFFSETS, val_t, 1, (data_off,)),
+            entry(_T_SAMPLES, 3, 1, (1,)),
+            entry(_T_ROWS_PER_STRIP, 4, 1, (h,)),
+            entry(_T_STRIP_COUNTS, val_t, 1, (len(payload),)),
+            entry(_T_SAMPLE_FORMAT, 3, 1, (fmt_code,)),
+        ]
+        out += struct.pack(order + ("Q" if bigtiff else "H"), len(tags))
+        for t in tags:
+            out += t
+        out += struct.pack(order + off_fmt, 0)  # next-IFD link
+        # patch the previous link to point here
+        struct.pack_into(order + off_fmt, out, prev_link, ifd_off)
+        prev_link = len(out) - inline
+    del count_size
+    with open(path, "wb") as f:
+        f.write(out)
     return path

@@ -257,3 +257,187 @@ class TestZarrPlaneWriter:
         np.testing.assert_array_equal(
             np.asarray(zarr_lite.open_zarr(path)[:]), vol
         )
+
+
+class TestTiffLite:
+    """In-tree TIFF/BigTIFF codec vs the Pillow oracle + self round-trip
+    (reference reads .tif through tifffile, img_util.py:100-121)."""
+
+    def _vol(self, dtype, seed=0):
+        rng = np.random.default_rng(seed)
+        if np.dtype(dtype).kind == "f":
+            return rng.normal(size=(4, 20, 17)).astype(dtype)
+        info = np.iinfo(dtype)
+        return rng.integers(
+            max(info.min, -1000), min(info.max, 4000), (4, 20, 17)
+        ).astype(dtype)
+
+    @pytest.mark.parametrize("dtype", ["uint8", "uint16", "float32"])
+    def test_reads_pillow_written(self, tmp_path, dtype):
+        from PIL import Image
+
+        from aind_exaspim_neuron_segmentation_tpu.io import tiff_lite
+
+        vol = self._vol(dtype)
+        path = str(tmp_path / "p.tif")
+        frames = [Image.fromarray(p) for p in vol]
+        frames[0].save(path, save_all=True, append_images=frames[1:])
+        np.testing.assert_array_equal(tiff_lite.read_tiff(path), vol)
+
+    @pytest.mark.parametrize(
+        "compression", ["tiff_lzw", "tiff_adobe_deflate", "packbits"]
+    )
+    def test_reads_pillow_compressed(self, tmp_path, compression):
+        from PIL import Image
+
+        from aind_exaspim_neuron_segmentation_tpu.io import tiff_lite
+
+        vol = self._vol("uint8", seed=2)
+        path = str(tmp_path / "c.tif")
+        frames = [Image.fromarray(p) for p in vol]
+        frames[0].save(
+            path, save_all=True, append_images=frames[1:],
+            compression=compression,
+        )
+        np.testing.assert_array_equal(tiff_lite.read_tiff(path), vol)
+
+    def test_pillow_reads_ours(self, tmp_path):
+        from PIL import Image
+
+        from aind_exaspim_neuron_segmentation_tpu.io import tiff_lite
+
+        vol = self._vol("uint16", seed=3)
+        path = str(tmp_path / "o.tif")
+        tiff_lite.write_tiff(path, vol)
+        with Image.open(path) as img:
+            pages = []
+            for i in range(img.n_frames):
+                img.seek(i)
+                pages.append(np.asarray(img))
+        np.testing.assert_array_equal(np.stack(pages), vol)
+
+    @pytest.mark.parametrize("compress", [False, True])
+    @pytest.mark.parametrize("dtype", ["uint8", "int16", "float64"])
+    def test_bigtiff_roundtrip(self, tmp_path, dtype, compress):
+        from aind_exaspim_neuron_segmentation_tpu.io import tiff_lite
+
+        vol = self._vol(dtype, seed=4)
+        path = str(tmp_path / "b.tif")
+        tiff_lite.write_tiff(path, vol, bigtiff=True, compress=compress)
+        with open(path, "rb") as f:
+            assert f.read(4) == b"II" + bytes([43, 0])  # BigTIFF magic
+        np.testing.assert_array_equal(tiff_lite.read_tiff(path), vol)
+
+    def test_lazy_stack_page_on_demand(self, tmp_path):
+        from aind_exaspim_neuron_segmentation_tpu.io import tiff_lite
+
+        vol = self._vol("uint16", seed=5)
+        path = str(tmp_path / "l.tif")
+        tiff_lite.write_tiff(path, vol)
+        stack = tiff_lite.read_tiff(path, lazy=True)
+        assert stack.shape == vol.shape and len(stack._cache) == 0
+        np.testing.assert_array_equal(stack[2], vol[2])
+        assert len(stack._cache) == 1  # only the touched page decoded
+        np.testing.assert_array_equal(stack[1:3, 5:9, 2:7],
+                                      vol[1:3, 5:9, 2:7])
+        np.testing.assert_array_equal(stack[:], vol)
+
+    def test_predictor2_deflate(self, tmp_path):
+        """Hand-built classic TIFF with predictor=2 (horizontal
+        differencing) + deflate, the common tifffile/libtiff output for
+        uint16 microscopy."""
+        import struct
+        import zlib
+
+        from aind_exaspim_neuron_segmentation_tpu.io import tiff_lite
+
+        vol = self._vol("uint16", seed=6)[0]  # one page (H, W)
+        diff = vol.astype(np.uint16).copy()
+        diff[:, 1:] = (vol[:, 1:].astype(np.int64)
+                       - vol[:, :-1].astype(np.int64)).astype(np.uint16)
+        payload = zlib.compress(diff.astype("<u2").tobytes())
+
+        def entry(tag, typ, count, value):
+            fmt = {3: "H", 4: "I"}[typ]
+            raw = struct.pack("<HHI", tag, typ, count)
+            return raw + struct.pack("<" + fmt, value).ljust(4, b"\0")
+
+        data_off = 8
+        ifd_off = data_off + len(payload) + (len(payload) % 2)
+        tags = [
+            entry(256, 4, 1, vol.shape[1]),
+            entry(257, 4, 1, vol.shape[0]),
+            entry(258, 3, 1, 16),
+            entry(259, 3, 1, 8),        # deflate
+            entry(262, 3, 1, 1),
+            entry(273, 4, 1, data_off),
+            entry(277, 3, 1, 1),
+            entry(278, 4, 1, vol.shape[0]),
+            entry(279, 4, 1, len(payload)),
+            entry(317, 3, 1, 2),        # predictor: horizontal diff
+            entry(339, 3, 1, 1),
+        ]
+        buf = b"II" + struct.pack("<HI", 42, ifd_off)
+        buf += payload + b"\0" * (len(payload) % 2)
+        buf += struct.pack("<H", len(tags)) + b"".join(tags)
+        buf += struct.pack("<I", 0)
+        got = tiff_lite.read_tiff(buf)
+        np.testing.assert_array_equal(got, vol)
+
+    def test_tiled_layout(self, tmp_path):
+        """Hand-built tiled TIFF (libtiff tile layout, 16x16 tiles)."""
+        import struct
+
+        from aind_exaspim_neuron_segmentation_tpu.io import tiff_lite
+
+        rng = np.random.default_rng(7)
+        vol = rng.integers(0, 255, (20, 25)).astype(np.uint8)
+        tw = tl = 16
+        tiles = []
+        for ty in range(2):
+            for tx in range(2):
+                tile = np.zeros((tl, tw), np.uint8)
+                ys = slice(ty * tl, min((ty + 1) * tl, 20))
+                xs = slice(tx * tw, min((tx + 1) * tw, 25))
+                tile[: ys.stop - ys.start, : xs.stop - xs.start] = (
+                    vol[ys, xs]
+                )
+                tiles.append(tile.tobytes())
+
+        def entry(tag, typ, count, value, extra_off=None):
+            fmt = {3: "H", 4: "I"}[typ]
+            raw = struct.pack("<HHI", tag, typ, count)
+            if count == 1:
+                return raw + struct.pack("<" + fmt, value).ljust(4, b"\0")
+            return raw + struct.pack("<I", extra_off)
+
+        header = 8
+        offs = []
+        pos = header
+        for t in tiles:
+            offs.append(pos)
+            pos += len(t)
+        arrays_off = pos
+        ifd_off = arrays_off + 2 * 4 * len(tiles)
+        tags = [
+            entry(256, 4, 1, 25),
+            entry(257, 4, 1, 20),
+            entry(258, 3, 1, 8),
+            entry(259, 3, 1, 1),
+            entry(262, 3, 1, 1),
+            entry(277, 3, 1, 1),
+            entry(322, 4, 1, tw),
+            entry(323, 4, 1, tl),
+            entry(324, 4, len(tiles), None, arrays_off),
+            entry(325, 4, len(tiles), None,
+                  arrays_off + 4 * len(tiles)),
+            entry(339, 3, 1, 1),
+        ]
+        buf = b"II" + struct.pack("<HI", 42, ifd_off)
+        buf += b"".join(tiles)
+        buf += struct.pack("<" + "I" * len(offs), *offs)
+        buf += struct.pack("<" + "I" * len(tiles),
+                           *[len(t) for t in tiles])
+        buf += struct.pack("<H", len(tags)) + b"".join(tags)
+        buf += struct.pack("<I", 0)
+        np.testing.assert_array_equal(tiff_lite.read_tiff(buf), vol)
