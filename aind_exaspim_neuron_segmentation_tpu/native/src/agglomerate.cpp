@@ -35,7 +35,6 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
-#include <queue>
 #include <thread>
 #include <unordered_map>
 #include <vector>
@@ -82,11 +81,103 @@ void parallel_blocks(int64_t n_blocks, Fn&& fn) {
 struct EdgeKey {
   uint32_t a, b;  // a < b (fragment root ids at creation time)
   bool operator==(const EdgeKey& o) const { return a == o.a && b == o.b; }
+  uint64_t packed() const {
+    return (static_cast<uint64_t>(a) << 32) | b;
+  }
 };
 
-struct EdgeKeyHash {
-  size_t operator()(const EdgeKey& k) const {
-    return (static_cast<size_t>(k.a) << 32) ^ k.b;
+// Open-addressing uint64 -> uint32 map. The RAG merge loop performs
+// tens of millions of erase/find/insert operations; std::unordered_map's
+// node allocations dominated the single-core profile, so edge keys live
+// in one flat probe array (linear probing, tombstone deletes, grow at
+// 60% load).
+class FlatMap {
+  static constexpr uint64_t kEmpty = ~0ull;
+  static constexpr uint64_t kTomb = ~0ull - 1;
+
+  std::vector<uint64_t> keys_;
+  std::vector<uint32_t> vals_;
+  size_t mask_;
+  size_t used_ = 0;   // live + tombstones
+  size_t live_ = 0;
+
+  static size_t mix(uint64_t k) {
+    k ^= k >> 33;
+    k *= 0xff51afd7ed558ccdULL;
+    k ^= k >> 29;
+    return static_cast<size_t>(k);
+  }
+
+  void grow() {
+    std::vector<uint64_t> ok = std::move(keys_);
+    std::vector<uint32_t> ov = std::move(vals_);
+    const size_t cap = ok.size() * 2;
+    keys_.assign(cap, kEmpty);
+    vals_.assign(cap, 0);
+    mask_ = cap - 1;
+    used_ = live_ = 0;
+    for (size_t i = 0; i < ok.size(); ++i) {
+      if (ok[i] != kEmpty && ok[i] != kTomb) insert(ok[i], ov[i]);
+    }
+  }
+
+ public:
+  explicit FlatMap(size_t hint = 16) {
+    size_t cap = 16;
+    while (cap < hint * 2) cap <<= 1;
+    keys_.assign(cap, kEmpty);
+    vals_.assign(cap, 0);
+    mask_ = cap - 1;
+  }
+
+  // Returns pointer to value or nullptr.
+  uint32_t* find(uint64_t key) {
+    size_t i = mix(key) & mask_;
+    while (true) {
+      const uint64_t k = keys_[i];
+      if (k == key) return &vals_[i];
+      if (k == kEmpty) return nullptr;
+      i = (i + 1) & mask_;
+    }
+  }
+
+  void insert(uint64_t key, uint32_t val) {
+    if ((used_ + 1) * 5 > keys_.size() * 3) grow();
+    size_t i = mix(key) & mask_;
+    size_t slot = SIZE_MAX;
+    while (true) {
+      const uint64_t k = keys_[i];
+      if (k == key) {
+        vals_[i] = val;
+        return;
+      }
+      if (k == kTomb && slot == SIZE_MAX) slot = i;
+      if (k == kEmpty) {
+        if (slot == SIZE_MAX) {
+          slot = i;
+          ++used_;
+        }
+        keys_[slot] = key;
+        vals_[slot] = val;
+        ++live_;
+        return;
+      }
+      i = (i + 1) & mask_;
+    }
+  }
+
+  void erase(uint64_t key) {
+    size_t i = mix(key) & mask_;
+    while (true) {
+      const uint64_t k = keys_[i];
+      if (k == key) {
+        keys_[i] = kTomb;
+        --live_;
+        return;
+      }
+      if (k == kEmpty) return;
+      i = (i + 1) & mask_;
+    }
   }
 };
 
@@ -98,13 +189,19 @@ struct EdgeKeyHash {
 // boundaries) -- identical quantile results either way, since both
 // representations hold the same 256-level quantization.
 struct Edge {
-  static constexpr size_t kInlineMax = 48;
+  // Inline sample buffer: most RAG edges between watershed fragments
+  // carry a handful of boundary voxels, so quantized samples live
+  // inside the struct (no per-edge heap allocation); edges that grow
+  // past kInlineMax (merged supervoxel boundaries) switch to a dense
+  // 256-bin histogram. Identical quantile results either way.
+  static constexpr size_t kInlineMax = 24;
 
   uint32_t a, b;
-  std::vector<uint8_t> samples;     // quantized affinities while small
-  std::vector<uint32_t> hist;       // dense histogram once large
   uint64_t count = 0;
-  float cached_score = -1.0f;  // invalidated on add/absorb
+  std::vector<uint32_t> hist;  // dense histogram once large
+  uint8_t inl[kInlineMax];     // quantized affinities while small
+  uint8_t n_inl = 0;
+  int16_t cached_bin = -1;     // invalidated on add/absorb
   bool alive = true;
 
   Edge(uint32_t a_, uint32_t b_) : a(a_), b(b_) {}
@@ -118,55 +215,55 @@ struct Edge {
 
   void to_hist() {
     hist.assign(kBins, 0);
-    for (uint8_t s : samples) ++hist[s];
-    samples.clear();
-    samples.shrink_to_fit();
+    for (int i = 0; i < n_inl; ++i) ++hist[inl[i]];
+    n_inl = 0;
   }
 
   void add(float aff) {
     const uint8_t q = quantize(aff);
     if (hist.empty()) {
-      samples.push_back(q);
-      if (samples.size() > kInlineMax) to_hist();
+      if (n_inl == kInlineMax) to_hist();
+    }
+    if (hist.empty()) {
+      inl[n_inl++] = q;
     } else {
       ++hist[q];
     }
     ++count;
-    cached_score = -1.0f;
+    cached_bin = -1;
   }
 
   void absorb(Edge& o) {
     if (hist.empty() && o.hist.empty() &&
-        samples.size() + o.samples.size() <= kInlineMax) {
-      samples.insert(samples.end(), o.samples.begin(), o.samples.end());
+        size_t(n_inl) + o.n_inl <= kInlineMax) {
+      std::memcpy(inl + n_inl, o.inl, o.n_inl);
+      n_inl = static_cast<uint8_t>(n_inl + o.n_inl);
     } else {
       if (hist.empty()) to_hist();
       if (!o.hist.empty()) {
         for (int i = 0; i < kBins; ++i) hist[i] += o.hist[i];
       } else {
-        for (uint8_t s : o.samples) ++hist[s];
+        for (int i = 0; i < o.n_inl; ++i) ++hist[o.inl[i]];
       }
     }
     count += o.count;
-    cached_score = -1.0f;
-    o.samples.clear();
-    o.samples.shrink_to_fit();
+    cached_bin = -1;
+    o.n_inl = 0;
     o.hist.clear();
     o.hist.shrink_to_fit();
   }
 
-  // score = 1 - q-quantile of the affinities (bin midpoint); cached
-  // until the distribution changes (pops re-check scores millions of
-  // times and must not rescan the histogram each time).
-  float score(int quantile_pct) {
-    if (cached_score >= 0.0f) return cached_score;
-    if (count == 0) return 1.0f;
+  // Quantile bin of the affinity distribution; cached until the
+  // distribution changes. score = 1 - (bin + 0.5)/256.
+  int score_bin(int quantile_pct) {
+    if (cached_bin >= 0) return cached_bin;
+    if (count == 0) return -1;  // empty: score 1.0
     const uint64_t target = (count - 1) * quantile_pct / 100;
     int bin;
     if (hist.empty()) {
-      // nth_element over the inline samples (tiny).
-      std::vector<uint8_t> tmp(samples);
-      std::nth_element(tmp.begin(), tmp.begin() + target, tmp.end());
+      uint8_t tmp[kInlineMax];
+      std::memcpy(tmp, inl, n_inl);
+      std::nth_element(tmp, tmp + target, tmp + n_inl);
       bin = tmp[target];
     } else {
       uint64_t seen = 0;
@@ -179,17 +276,14 @@ struct Edge {
         }
       }
     }
-    cached_score = 1.0f - (bin + 0.5f) / kBins;
-    return cached_score;
+    cached_bin = static_cast<int16_t>(bin);
+    return bin;
   }
-};
 
-struct QItem {
-  float score;
-  uint32_t edge_idx;
-  bool operator>(const QItem& o) const {
-    if (score != o.score) return score > o.score;
-    return edge_idx > o.edge_idx;  // deterministic order
+  float score(int quantile_pct) {
+    const int bin = score_bin(quantile_pct);
+    if (bin < 0) return 1.0f;
+    return 1.0f - (bin + 0.5f) / kBins;
   }
 };
 
@@ -316,8 +410,9 @@ EXA_API int64_t exa_agglomerate(const float* affs, int64_t D, int64_t H,
 
   const int64_t zz_per_block = std::max<int64_t>(1, D / 64);
   const int64_t n_blocks = (D + zz_per_block - 1) / zz_per_block;
-  std::vector<std::unordered_map<EdgeKey, uint32_t, EdgeKeyHash>> loc_index(
-      n_blocks);
+  std::vector<FlatMap> loc_index;
+  loc_index.reserve(n_blocks);
+  for (int64_t b = 0; b < n_blocks; ++b) loc_index.emplace_back(1024);
   std::vector<std::vector<Edge>> loc_edges(n_blocks);
   parallel_blocks(n_blocks, [&](int64_t blk) {
     auto& index = loc_index[blk];
@@ -337,34 +432,38 @@ EXA_API int64_t exa_agglomerate(const float* affs, int64_t D, int64_t H,
             const uint32_t fb = frag[v + strides[c]];
             if (fb == 0 || fb == fa) continue;
             EdgeKey key{std::min(fa, fb), std::max(fa, fb)};
-            auto it = index.find(key);
-            if (it == index.end()) {
-              it = index.emplace(key, local.size()).first;
+            uint32_t* slot = index.find(key.packed());
+            if (slot == nullptr) {
+              index.insert(key.packed(),
+                           static_cast<uint32_t>(local.size()));
               local.emplace_back(key.a, key.b);
+              slot = index.find(key.packed());
             }
-            local[it->second].add(aff_c[c][v]);
+            local[*slot].add(aff_c[c][v]);
           }
         }
       }
     }
   });
 
-  std::unordered_map<EdgeKey, uint32_t, EdgeKeyHash> edge_index;
+  FlatMap edge_index(1 << 16);
   std::vector<Edge> edges;
   for (int64_t blk = 0; blk < n_blocks; ++blk) {
     for (Edge& le : loc_edges[blk]) {
       EdgeKey key{le.a, le.b};
-      auto it = edge_index.find(key);
-      if (it == edge_index.end()) {
-        it = edge_index.emplace(key, edges.size()).first;
+      uint32_t* slot = edge_index.find(key.packed());
+      if (slot == nullptr) {
+        edge_index.insert(key.packed(),
+                          static_cast<uint32_t>(edges.size()));
         edges.emplace_back(key.a, key.b);
+        slot = edge_index.find(key.packed());
       }
-      edges[it->second].absorb(le);
+      edges[*slot].absorb(le);
     }
     loc_edges[blk].clear();
     loc_edges[blk].shrink_to_fit();
-    loc_index[blk].clear();
   }
+  loc_index.clear();
 
   // Adjacency: fragment root -> incident edge indices.
   exa::UnionFind uf(static_cast<size_t>(K) + 1);
@@ -374,9 +473,21 @@ EXA_API int64_t exa_agglomerate(const float* affs, int64_t D, int64_t H,
     incident[edges[ei].b].push_back(ei);
   }
 
-  std::priority_queue<QItem, std::vector<QItem>, std::greater<QItem>> pq;
+  // Bucket queue: scores are 256-level quantized, so a min-heap is
+  // overkill -- one FIFO bucket per score bin (ascending score order;
+  // bucket 256 holds empty-distribution edges at score 1.0). An edge is
+  // (re-)pushed into its current bucket whenever its distribution
+  // changes; pops whose bucket no longer matches the edge's bin are
+  // stale duplicates and skipped. FIFO order preserves the ascending
+  // edge-index tie-break of the initial fill.
+  std::vector<std::vector<uint32_t>> buckets(kBins + 1);
+  std::vector<size_t> heads(kBins + 1, 0);
+  auto bucket_of = [&](Edge& e) {
+    const int bin = e.score_bin(quantile_pct);
+    return bin < 0 ? kBins : (kBins - 1 - bin);
+  };
   for (uint32_t ei = 0; ei < edges.size(); ++ei) {
-    pq.push({edges[ei].score(quantile_pct), ei});
+    buckets[bucket_of(edges[ei])].push_back(ei);
   }
 
   auto snapshot = [&](uint32_t* dst) {
@@ -404,10 +515,16 @@ EXA_API int64_t exa_agglomerate(const float* affs, int64_t D, int64_t H,
     }
   };
 
-  while (!pq.empty() && t_idx < n_thresholds) {
-    QItem item = pq.top();
-    pq.pop();
-    Edge& e = edges[item.edge_idx];
+  int cur = 0;
+  while (cur <= kBins && t_idx < n_thresholds) {
+    if (heads[cur] >= buckets[cur].size()) {
+      buckets[cur].clear();
+      heads[cur] = 0;
+      ++cur;
+      continue;
+    }
+    const uint32_t eidx = buckets[cur][heads[cur]++];
+    Edge& e = edges[eidx];
     if (!e.alive) continue;
     const uint32_t ra = uf.find(e.a);
     const uint32_t rb = uf.find(e.b);
@@ -415,12 +532,8 @@ EXA_API int64_t exa_agglomerate(const float* affs, int64_t D, int64_t H,
       e.alive = false;
       continue;
     }
-    const float current = e.score(quantile_pct);
-    if (current != item.score) {  // stale entry: re-queue with new score
-      pq.push({current, item.edge_idx});
-      continue;
-    }
-    flush_thresholds(current);
+    if (bucket_of(e) != cur) continue;  // stale: fresh entry elsewhere
+    flush_thresholds(e.score(quantile_pct));
     if (t_idx >= n_thresholds) break;
 
     // Merge the side with the SMALLER adjacency list into the larger:
@@ -431,7 +544,7 @@ EXA_API int64_t exa_agglomerate(const float* affs, int64_t D, int64_t H,
     if (incident[keep].size() < incident[drop].size()) std::swap(keep, drop);
     uf.unite_into(keep, drop);
     e.alive = false;
-    edge_index.erase(EdgeKey{std::min(ra, rb), std::max(ra, rb)});
+    edge_index.erase(EdgeKey{std::min(ra, rb), std::max(ra, rb)}.packed());
 
     for (uint32_t ei : incident[drop]) {
       Edge& f = edges[ei];
@@ -443,17 +556,21 @@ EXA_API int64_t exa_agglomerate(const float* affs, int64_t D, int64_t H,
         continue;
       }
       const uint32_t peer = (fa == keep) ? fb : fa;
-      edge_index.erase(EdgeKey{std::min(drop, peer), std::max(drop, peer)});
+      edge_index.erase(
+          EdgeKey{std::min(drop, peer), std::max(drop, peer)}.packed());
       const EdgeKey new_key{std::min(keep, peer), std::max(keep, peer)};
-      auto it = edge_index.find(new_key);
-      if (it == edge_index.end() || !edges[it->second].alive) {
-        edge_index[new_key] = ei;
+      uint32_t* slot = edge_index.find(new_key.packed());
+      if (slot == nullptr || !edges[*slot].alive) {
+        edge_index.insert(new_key.packed(), ei);
         incident[keep].push_back(ei);
-      } else if (it->second != ei) {
-        Edge& g = edges[it->second];
+      } else if (*slot != ei) {
+        Edge& g = edges[*slot];
+        const uint32_t gi = *slot;
         g.absorb(f);
         f.alive = false;
-        pq.push({g.score(quantile_pct), it->second});
+        const int b = bucket_of(g);
+        buckets[b].push_back(gi);
+        if (b < cur) cur = b;  // score dropped: revisit earlier bucket
       }
     }
     incident[drop].clear();

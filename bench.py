@@ -152,19 +152,25 @@ def main_e2e():
     dim = (256, 256, 256)
     rng = np.random.default_rng(0)
     # Blobby foreground so watershed/agglomeration/TEASAR see realistic
-    # structure rather than pure noise.
+    # structure rather than pure noise (blobs evaluated in bounding
+    # boxes; a full-volume meshgrid costs minutes on this 1-core host).
     vol = rng.integers(0, 300, dim).astype(np.uint16)
-    zz, yy, xx = np.meshgrid(*(np.arange(d) for d in dim), indexing="ij")
+    r = 15
     for cz, cy, cx in rng.integers(30, 226, (40, 3)):
-        blob = ((zz - cz) ** 2 + (yy - cy) ** 2 + (xx - cx) ** 2) < 15**2
-        vol[blob] = 1200
+        sl = tuple(
+            slice(c - r, c + r + 1) for c in (cz, cy, cx)
+        )
+        zz, yy, xx = np.ogrid[-r: r + 1, -r: r + 1, -r: r + 1]
+        vol[sl][zz**2 + yy**2 + xx**2 < r**2] = 1200
     runner = inference.load_model(affinity_mode=True)
 
     t0 = time.time()
     aff = inference.predict(vol, runner, verbose=False)
     t1 = time.time()
+    print(f"# predict done in {t1 - t0:.0f}s", file=sys.stderr, flush=True)
     seg = inference.affinities_to_segmentation(np.asarray(aff))
     t2 = time.time()
+    print(f"# segment done in {t2 - t1:.0f}s", file=sys.stderr, flush=True)
     zip_path = os.path.join(tempfile.mkdtemp(), "swcs.zip")
     inference.segmentation_to_zipped_swcs(seg, zip_path)
     t3 = time.time()
