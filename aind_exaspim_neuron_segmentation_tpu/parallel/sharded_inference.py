@@ -121,6 +121,7 @@ def predict_sharded(
     blend_mode="uniform",
     blend_sigma=None,
     out_path=None,
+    max_band_rows=None,
 ):
     """predict() over a 1-D (Z) or 2-D (Z x Y) device mesh.
 
@@ -128,6 +129,16 @@ def predict_sharded(
     (``io.zarr_lite.LazyArray``); lazy sources are never densified.
     ``out_path`` streams the result into a Zarr store row-by-row and
     returns a lazy handle instead of an ndarray.
+
+    ``max_band_rows``: when set, the Z patch rows are processed in
+    bands of at most this many rows -- the mesh-wide analogue of
+    ``predict``'s ``max_slab_rows``. Each band runs the full sharded
+    kernel (one compile, reused: every band is padded to the same slab
+    geometry) and boundary rows are recomputed by the next band, so
+    device HBM holds only one band's slabs and accumulators at a time.
+    Volumes larger than the mesh's combined HBM stream through;
+    normalization switches from mesh order statistics to the exact
+    host-streaming radix percentile (same values to f32 rounding).
     """
     lazy = not isinstance(img, (np.ndarray, jnp.ndarray, list, tuple))
     if not lazy:
@@ -173,15 +184,47 @@ def predict_sharded(
             write_zarr(out_path, out)
             return read(out_path)
         return out
-    zp = _AxisPlan(ranges[0], patch_shape[0], overlap[0], trim, nz)
+    # --- Band plan over Z patch rows -----------------------------------
+    # Bands reuse single-device predict's slab planner: each band owns
+    # [own_lo, own_hi) of the output and recomputes the previous band's
+    # trailing rows whose trimmed output reaches into its range.
+    z_starts_all = list(ranges[0])
+    n_rows_all = len(z_starts_all)
+    if max_band_rows is None or max_band_rows >= n_rows_all:
+        band_plans = [dict(
+            rows=list(range(n_rows_all)), own=(0, dim[0]),
+            in_range=(z_starts_all[0], z_starts_all[-1] + patch_shape[0]),
+        )]
+    else:
+        from aind_exaspim_neuron_segmentation_tpu.inference import (
+            _slab_plan,
+        )
+
+        band_plans = _slab_plan(
+            z_starts_all, patch_shape[0], trim, dim[0], max_band_rows
+        )
+    banded = len(band_plans) > 1
+    max_band_nrows = max(len(p["rows"]) for p in band_plans)
+
+    # Geometry is uniform across bands (max_band_nrows rows padded with
+    # invalid rows), so the jitted kernel compiles once.
+    zp = _AxisPlan(
+        range(max_band_nrows), patch_shape[0], overlap[0], trim, nz
+    )
     yp = _AxisPlan(ranges[1], patch_shape[1], overlap[1], trim, ny)
 
     # Per-axis pad index maps (grid reflection + deep edge extension on
     # the sharded axes), used to slice each shard's slab from the source
     # without materializing a padded volume.
-    map_z = _axis_pad_map(
-        dim[0], patch_shape[0], ranges[0], zp.padded_len(dim[0])
+    z_map_len = max(
+        max(
+            p["in_range"][0] + (nz * zp.rpd - 1) * zp.stride
+            + patch_shape[0]
+            for p in band_plans
+        ),
+        dim[0],
     )
+    map_z = _axis_pad_map(dim[0], patch_shape[0], ranges[0], z_map_len)
     map_y = _axis_pad_map(
         dim[1], patch_shape[1], ranges[1], yp.padded_len(dim[1])
     )
@@ -191,9 +234,9 @@ def predict_sharded(
     )
     wp = len(map_x)
 
-    def load_slab(i, j):
+    def load_slab(i, j, in_lo):
         """One (slab_z, slab_y, wp) f32 slab, brightness-clipped."""
-        zsel = map_z[i * zp.own: i * zp.own + zp.slab]
+        zsel = map_z[in_lo + i * zp.own: in_lo + i * zp.own + zp.slab]
         ysel = map_y[j * yp.own: j * yp.own + yp.slab]
         z_lo, z_hi = int(zsel.min()), int(zsel.max()) + 1
         y_lo, y_hi = int(ysel.min()), int(ysel.max()) + 1
@@ -201,7 +244,6 @@ def predict_sharded(
         slab = block[np.ix_(zsel - z_lo, ysel - y_lo, map_x)]
         return np.minimum(slab, np.float32(brightness_clip))
 
-    # Ship per-device slabs one at a time: host memory stays O(1 slab).
     if y_axis is None:
         slab_spec = P(z_axis)
         gshape = (nz, zp.slab, yp.slab, wp)
@@ -210,97 +252,133 @@ def predict_sharded(
         gshape = (nz, ny, zp.slab, yp.slab, wp)
     slab_sharding = NamedSharding(mesh, slab_spec)
     dev_grid = mesh.devices.reshape(nz, ny)
-    # Multi-process meshes (parallel.mesh.initialize_distributed): each
-    # process reads ONLY the slabs its own devices hold -- process-local
-    # IO, no host ever sees the full volume.
     pid = jax.process_index()
-    pieces = []
-    for i in range(nz):
-        for j in range(ny):
-            if dev_grid[i, j].process_index != pid:
-                continue
-            block = load_slab(i, j)
-            lead = (1,) if y_axis is None else (1, 1)
-            pieces.append(
-                jax.device_put(block.reshape(lead + block.shape),
-                               dev_grid[i, j])
-            )
-    slabs = jax.make_array_from_single_device_arrays(
-        gshape, slab_sharding, pieces
-    )
+
+    def build_slabs(in_lo):
+        # Ship per-device slabs one at a time: host memory stays O(1
+        # slab). Multi-process meshes: each process reads ONLY the slabs
+        # its own devices hold (process-local IO).
+        pieces = []
+        for i in range(nz):
+            for j in range(ny):
+                if dev_grid[i, j].process_index != pid:
+                    continue
+                block = load_slab(i, j, in_lo)
+                lead = (1,) if y_axis is None else (1, 1)
+                pieces.append(
+                    jax.device_put(block.reshape(lead + block.shape),
+                                   dev_grid[i, j])
+                )
+        return jax.make_array_from_single_device_arrays(
+            gshape, slab_sharding, pieces
+        )
 
     mesh_axes = tuple(a for a in (z_axis, y_axis) if a)
 
-    # --- Normalization: exact global percentiles on device ------------
-    # Ranks per np.percentile's linear interpolation; masked radix
-    # order stats psum across the mesh; f64 interpolation on host.
-    n_total = int(np.prod(dim))
-    if n_total > np.iinfo(np.int32).max and not jax.config.jax_enable_x64:
-        raise ValueError(
-            f"{n_total} elements overflow int32 rank arithmetic; enable "
-            "jax_enable_x64"
+    # --- Normalization ------------------------------------------------
+    # Single band: exact global percentiles on device (masked radix
+    # order stats psum across the mesh, np.percentile's float64
+    # interpolation on the two fetched scalars -- no host pass).
+    # Banded: the band slabs never coexist on device, so the exact
+    # host-streaming radix percentile runs over the lazy source instead.
+    first_slabs = None
+    if banded:
+        from aind_exaspim_neuron_segmentation_tpu.core.normalize import (
+            streaming_percentile,
         )
-    q_plan = []
-    ks = []
-    for q in normalization_percentiles:
-        rank = (n_total - 1) * (float(q) / 100.0)
-        k_lo = int(np.floor(rank))
-        frac = rank - k_lo
-        idx_lo = len(ks)
-        ks.append(k_lo)
-        idx_hi = None
-        if frac > 0:
-            idx_hi = len(ks)
-            ks.append(k_lo + 1)
-        q_plan.append((idx_lo, idx_hi, frac))
 
-    def stats_body(slab):
-        s = slab.reshape(slab.shape[-3:])
-        iz = jax.lax.axis_index(z_axis)
-        iy = jax.lax.axis_index(y_axis) if y_axis else jnp.int32(0)
-        tz = jnp.arange(zp.slab)
-        mz = ((tz < zp.own) | (iz == nz - 1)) & (iz * zp.own + tz < dim[0])
-        ty = jnp.arange(yp.slab)
-        my = ((ty < yp.own) | (iy == ny - 1)) & (iy * yp.own + ty < dim[1])
-        mx = jnp.arange(wp) < dim[2]
-        mask = mz[:, None, None] & my[None, :, None] & mx[None, None, :]
-        vals = jnp.where(mask, s, jnp.inf)
-        return stats.order_stats_sharded(vals, tuple(ks), mesh_axes)
+        mn, mx = streaming_percentile(
+            img, normalization_percentiles,
+            transform=lambda b: np.minimum(b, brightness_clip),
+        )
+    else:
+        n_total = int(np.prod(dim))
+        if (n_total > np.iinfo(np.int32).max
+                and not jax.config.jax_enable_x64):
+            raise ValueError(
+                f"{n_total} elements overflow int32 rank arithmetic; "
+                "enable jax_enable_x64"
+            )
+        q_plan = []
+        ks = []
+        for q in normalization_percentiles:
+            rank = (n_total - 1) * (float(q) / 100.0)
+            k_lo = int(np.floor(rank))
+            frac = rank - k_lo
+            idx_lo = len(ks)
+            ks.append(k_lo)
+            idx_hi = None
+            if frac > 0:
+                idx_hi = len(ks)
+                ks.append(k_lo + 1)
+            q_plan.append((idx_lo, idx_hi, frac))
 
-    stats_fn = jax.jit(
-        shard_map(stats_body, mesh=mesh, in_specs=(slab_spec,),
-                  out_specs=P())
-    )
-    order_vals = np.asarray(stats_fn(slabs), np.float64)
-    bounds = []
-    for idx_lo, idx_hi, frac in q_plan:
-        v = order_vals[idx_lo]
-        if idx_hi is not None:
-            v = v + (order_vals[idx_hi] - v) * frac
-        bounds.append(v)
-    mn, mx = bounds
+        def stats_body(slab):
+            s = slab.reshape(slab.shape[-3:])
+            iz = jax.lax.axis_index(z_axis)
+            iy = jax.lax.axis_index(y_axis) if y_axis else jnp.int32(0)
+            tz = jnp.arange(zp.slab)
+            mz = (((tz < zp.own) | (iz == nz - 1))
+                  & (iz * zp.own + tz < dim[0]))
+            ty = jnp.arange(yp.slab)
+            my = (((ty < yp.own) | (iy == ny - 1))
+                  & (iy * yp.own + ty < dim[1]))
+            mx_ = jnp.arange(wp) < dim[2]
+            mask = (mz[:, None, None] & my[None, :, None]
+                    & mx_[None, None, :])
+            vals = jnp.where(mask, s, jnp.inf)
+            return stats.order_stats_sharded(vals, tuple(ks), mesh_axes)
+
+        stats_fn = jax.jit(
+            shard_map(stats_body, mesh=mesh, in_specs=(slab_spec,),
+                      out_specs=P())
+        )
+        first_slabs = build_slabs(band_plans[0]["in_range"][0])
+        order_vals = np.asarray(stats_fn(first_slabs), np.float64)
+        bounds = []
+        for idx_lo, idx_hi, frac in q_plan:
+            v = order_vals[idx_lo]
+            if idx_hi is not None:
+                v = v + (order_vals[idx_hi] - v) * frac
+            bounds.append(v)
+        mn, mx = bounds
     norm = jnp.asarray([mn, mx - mn + 1e-8], jnp.float32)
 
     # --- Patch starts / masks / blend weights -------------------------
+    # Starts are band-local and identical for every band (consecutive
+    # grid rows at uniform stride); only validity varies with the
+    # band's real row count.
     xs = list(ranges[2])
     per_dev = zp.rpd * yp.rpd * len(xs)
     pad_n = (-per_dev) % batch_size
     n_local = per_dev + pad_n
     starts = np.zeros((nz, ny, n_local, 3), np.int32)
-    valid = np.zeros((nz, ny, n_local), np.float32)
     for i in range(nz):
         for j in range(ny):
             k = 0
             for rz in range(zp.rpd):
                 for ry in range(yp.rpd):
                     for x in xs:
-                        starts[i, j, k] = (rz * zp.stride, ry * yp.stride, x)
-                        ok = (
-                            i * zp.rpd + rz < len(zp.starts)
-                            and j * yp.rpd + ry < len(yp.starts)
+                        starts[i, j, k] = (
+                            rz * zp.stride, ry * yp.stride, x
                         )
-                        valid[i, j, k] = 1.0 if ok else 0.0
                         k += 1
+
+    def build_valid(n_rows_b):
+        valid = np.zeros((nz, ny, n_local), np.float32)
+        for i in range(nz):
+            for j in range(ny):
+                k = 0
+                for rz in range(zp.rpd):
+                    for ry in range(yp.rpd):
+                        for _x in xs:
+                            ok = (
+                                i * zp.rpd + rz < n_rows_b
+                                and j * yp.rpd + ry < len(yp.starts)
+                            )
+                            valid[i, j, k] = 1.0 if ok else 0.0
+                            k += 1
+        return valid
 
     if blend_mode == "gaussian":
         sigmas = [(blend_sigma or p / 6.0) for p in patch_shape]
@@ -315,25 +393,30 @@ def predict_sharded(
     else:
         raise ValueError(f"unknown blend_mode {blend_mode!r}")
 
-    # Per-slot weight slices over the kept (own + spill) windows.
+    # Per-slot weight slices over the kept (own + spill) windows; the
+    # global per-axis weight vectors are sliced at each band's offset.
     wz, wy, wx = stitch.separable_weights(
         dim, patch_shape, overlap, trim, windows=host_windows
     )
+    wz_ext = np.concatenate([
+        wz, np.zeros(z_map_len + zp.patch, np.float32)
+    ])
 
-    def shard_weights(w, plan):
-        ext = np.concatenate([
-            w,
-            np.zeros(plan.n_dev * plan.own + plan.spill + plan.patch,
-                     np.float32),
-        ])
+    def shard_weights_z(in_lo):
         return np.stack([
-            ext[d * plan.own + trim:
-                d * plan.own + trim + plan.own + plan.spill]
-            for d in range(plan.n_dev)
+            wz_ext[in_lo + d * zp.own + trim:
+                   in_lo + d * zp.own + trim + zp.own + zp.spill]
+            for d in range(nz)
         ])
 
-    wz_shards = shard_weights(wz, zp)  # (nz, own_z + spill_z)
-    wy_shards = shard_weights(wy, yp)  # (ny, own_y + spill_y)
+    wy_ext = np.concatenate([
+        wy, np.zeros(ny * yp.own + yp.spill + yp.patch, np.float32)
+    ])
+    wy_shards = np.stack([
+        wy_ext[d * yp.own + trim:
+               d * yp.own + trim + yp.own + yp.spill]
+        for d in range(ny)
+    ])
     wx_pad = np.concatenate([wx, np.zeros(wp - len(wx), np.float32)])
 
     module = runner.module
@@ -398,32 +481,7 @@ def predict_sharded(
             arr.shape, NamedSharding(mesh, spec), lambda idx: arr[idx]
         )
 
-    if y_axis is None:  # drop the ny=1 axis: 1-D mesh shards 1-D stacks
-        starts, valid = starts[:, 0], valid[:, 0]
-
-    out_shards = fn(
-        runner.variables,
-        norm,
-        slabs,
-        put(starts, slab_spec),
-        put(valid, slab_spec),
-        put(wz_shards, wz_spec),
-        put(wy_shards, wy_spec),
-        jnp.asarray(wx_pad),
-    )
-    # global result: (nz[, ny], C, own_z + spill_z, own_y + spill_y, wp)
-
-    # --- Assembly: fetch one Z row of shards at a time -----------------
-    # Each slot owns [base, base + own); the last real slot along each
-    # axis also keeps its unsent spill (the grid's tail). Z rows are
-    # materialized in order so out_path streaming stays O(one row).
-    shard_data = {}
-    for s in out_shards.addressable_shards:
-        idx = tuple(sl.start or 0 for sl in s.index)
-        i = idx[0]
-        j = idx[1] if y_axis is not None else 0
-        shard_data[(i, j)] = s.data
-
+    # --- Output sinks --------------------------------------------------
     multiproc = jax.process_count() > 1
     writer = None
     plane_writer = None
@@ -461,53 +519,112 @@ def predict_sharded(
         def emit(z_lo, z_hi, block):
             out[:, z_lo:z_hi] = block
 
+    # --- Band loop ------------------------------------------------------
     next_z = 0
-    for i in range(nz):
-        z_base = i * zp.own + trim
-        if z_base >= dim[0]:
-            break
-        last_z = i == nz - 1 or (i + 1) * zp.own + trim >= dim[0]
-        z_hi = min(z_base + zp.own + (zp.spill if last_z else 0), dim[0])
-        local_js = [j for j in range(ny) if (i, j) in shard_data]
-        if multiproc and not local_js:
-            next_z = z_hi
-            if last_z:
+    dense_starts = starts[:, 0] if y_axis is None else starts
+    for plan in band_plans:
+        in_lo = plan["in_range"][0]
+        own_lo, own_hi = plan["own"]
+        n_rows_b = len(plan["rows"])
+        valid = build_valid(n_rows_b)
+        slabs = (
+            first_slabs
+            if (first_slabs is not None and plan is band_plans[0])
+            else build_slabs(in_lo)
+        )
+        first_slabs = None  # free after use
+        valid_in = valid[:, 0] if y_axis is None else valid
+        out_shards = fn(
+            runner.variables,
+            norm,
+            slabs,
+            put(dense_starts, slab_spec),
+            put(valid_in, slab_spec),
+            put(shard_weights_z(in_lo), wz_spec),
+            put(wy_shards, wy_spec),
+            jnp.asarray(wx_pad),
+        )
+        del slabs
+        # (nz[, ny], C, own_z + spill_z, own_y + spill_y, wp)
+
+        shard_data = {}
+        for sh in out_shards.addressable_shards:
+            idx = tuple(sl.start or 0 for sl in sh.index)
+            i = idx[0]
+            j = idx[1] if y_axis is not None else 0
+            shard_data[(i, j)] = sh.data
+
+        # Assembly: each slot owns [z_base, z_base + own) clipped to the
+        # band's owned range; the band's last real slot also keeps its
+        # unsent spill. Rows materialize in Z order (one row dense at a
+        # time) so out_path streaming stays O(one row).
+        for i in range(nz):
+            z_base = in_lo + i * zp.own + trim
+            hard_hi = min(own_hi, dim[0])
+            if z_base >= hard_hi:
                 break
-            continue
-        if multiproc and len(local_js) != ny:
-            raise ValueError(
-                "multi-process predict_sharded needs whole Z rows on one "
-                "process (Z-major process-to-mesh layout); row "
-                f"{i} is split across processes"
+            last_b = (
+                i == nz - 1
+                or in_lo + (i + 1) * zp.own + trim >= hard_hi
             )
-        row = np.zeros((out_channels, z_hi - next_z, dim[1], dim[2]),
-                       np.float32)
-        row_off = z_base - next_z  # leading trim gap on the first row
-        for j in range(ny):
-            y_base = j * yp.own + trim
-            if y_base >= dim[1]:
+            z_hi_dev = min(
+                z_base + zp.own + (zp.spill if last_b else 0), hard_hi
+            )
+            if z_hi_dev <= next_z:
+                if last_b:
+                    break
+                continue
+            local_js = [j for j in range(ny) if (i, j) in shard_data]
+            if multiproc and not local_js:
+                next_z = z_hi_dev
+                if last_b:
+                    break
+                continue
+            if multiproc and len(local_js) != ny:
+                raise ValueError(
+                    "multi-process predict_sharded needs whole Z rows "
+                    "on one process (Z-major process-to-mesh layout); "
+                    f"row {i} is split across processes"
+                )
+            row = np.zeros(
+                (out_channels, z_hi_dev - next_z, dim[1], dim[2]),
+                np.float32,
+            )
+            row_off = max(z_base - next_z, 0)  # leading trim gap
+            src_z0 = max(next_z - z_base, 0)   # skip recomputed planes
+            for j in range(ny):
+                y_base = j * yp.own + trim
+                if y_base >= dim[1]:
+                    break
+                last_y = (
+                    j == ny - 1 or (j + 1) * yp.own + trim >= dim[1]
+                )
+                y_hi = min(
+                    y_base + yp.own + (yp.spill if last_y else 0), dim[1]
+                )
+                data = np.asarray(shard_data[(i, j)])
+                data = data.reshape(data.shape[-4:])
+                n_planes = z_hi_dev - max(z_base, next_z)
+                row[:, row_off:, y_base:y_hi] = data[
+                    :, src_z0: src_z0 + n_planes, : y_hi - y_base,
+                    : dim[2]
+                ]
+                if last_y:
+                    break
+            if multiproc and out_path is not None:
+                # skip leading gaps: those planes belong to the zarr
+                # fill value or to rows another process owns
+                emit(next_z + row_off, z_hi_dev, row[:, row_off:])
+            else:
+                emit(next_z, z_hi_dev, row)
+            next_z = z_hi_dev
+            if last_b:
                 break
-            last_y = j == ny - 1 or (j + 1) * yp.own + trim >= dim[1]
-            y_hi = min(y_base + yp.own + (yp.spill if last_y else 0), dim[1])
-            data = np.asarray(shard_data[(i, j)])
-            data = data.reshape(data.shape[-4:])
-            row[:, row_off:, y_base:y_hi] = data[
-                :, : z_hi - z_base, : y_hi - y_base, : dim[2]
-            ]
-            if last_y:
-                break
-        if multiproc and out_path is not None:
-            # skip the leading trim gap: those planes belong to the
-            # zarr fill value, and another process may own nothing there
-            emit(z_base, z_hi, row[:, row_off:])
-        else:
-            emit(next_z, z_hi, row)
-        next_z = z_hi
-        if last_z:
-            break
+
     if writer is not None and next_z < dim[0]:
-        # trailing never-covered trim planes (append writer must cover
-        # the full declared extent; the plane writer reads them as fill)
+        # trailing never-covered trim planes (the append writer must
+        # cover the full declared extent; the plane writer reads them
+        # as fill; dense output is already zero there)
         emit(
             next_z, dim[0],
             np.zeros((out_channels, dim[0] - next_z, dim[1], dim[2]),

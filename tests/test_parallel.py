@@ -323,3 +323,45 @@ class TestDistributedInit:
         assert len([h for h in os.environ.get(
             "TPU_WORKER_HOSTNAMES", "").split(",") if h]) <= 1
         assert initialize_distributed() is False
+
+
+class TestBandedSharded:
+    """Z-band streaming (max_band_rows): bounded device memory with
+    boundary-row recompute between bands -- must match single-device
+    predict exactly like the one-shot path does."""
+
+    @pytest.fixture(scope="class")
+    def volume(self):
+        rng = np.random.default_rng(33)
+        return rng.integers(0, 2000, (96, 56, 40)).astype(np.uint16)
+
+    @pytest.fixture(scope="class")
+    def want(self, runner, volume):
+        return inference.predict(
+            volume, runner, patch_shape=PATCH, overlap=OVERLAP, trim=TRIM,
+            batch_size=4, verbose=False,
+        )
+
+    @pytest.mark.parametrize("band_rows", [1, 2])
+    def test_banded_matches_single_device(self, runner, volume, want,
+                                          band_rows):
+        got = parallel.predict_sharded(
+            volume, runner, mesh=parallel.make_mesh(2), patch_shape=PATCH,
+            overlap=OVERLAP, trim=TRIM, batch_size=4,
+            max_band_rows=band_rows,
+        )
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_banded_2d_lazy_zarr_out(self, runner, volume, want, tmp_path):
+        from aind_exaspim_neuron_segmentation_tpu.io import zarr_lite
+
+        in_path = str(tmp_path / "in.zarr")
+        zarr_lite.write_zarr(in_path, volume, chunks=(32, 32, 32))
+        lazy = zarr_lite.open_zarr(in_path)
+        out_path = str(tmp_path / "out.zarr")
+        got = parallel.predict_sharded(
+            lazy, runner, mesh=parallel.make_mesh_2d((2, 2)),
+            patch_shape=PATCH, overlap=OVERLAP, trim=TRIM, batch_size=4,
+            max_band_rows=2, out_path=out_path,
+        )
+        np.testing.assert_allclose(np.asarray(got[:]), want, atol=1e-6)
