@@ -31,6 +31,8 @@
 
 #include <algorithm>
 #include <atomic>
+#include <chrono>
+#include <cstdio>
 #include <cmath>
 #include <cstdint>
 #include <cstdlib>
@@ -95,8 +97,14 @@ class FlatMap {
   static constexpr uint64_t kEmpty = ~0ull;
   static constexpr uint64_t kTomb = ~0ull - 1;
 
-  std::vector<uint64_t> keys_;
-  std::vector<uint32_t> vals_;
+  struct Entry {
+    uint64_t key;
+    uint32_t val;
+    uint32_t pad;
+  };  // 16 B: one cache line covers four slots -- a probe touches one
+      // line instead of two separate key/value arrays
+
+  std::vector<Entry> slots_;
   size_t mask_;
   size_t used_ = 0;   // live + tombstones
   size_t live_ = 0;
@@ -109,15 +117,13 @@ class FlatMap {
   }
 
   void grow() {
-    std::vector<uint64_t> ok = std::move(keys_);
-    std::vector<uint32_t> ov = std::move(vals_);
-    const size_t cap = ok.size() * 2;
-    keys_.assign(cap, kEmpty);
-    vals_.assign(cap, 0);
+    std::vector<Entry> old = std::move(slots_);
+    const size_t cap = old.size() * 2;
+    slots_.assign(cap, Entry{kEmpty, 0, 0});
     mask_ = cap - 1;
     used_ = live_ = 0;
-    for (size_t i = 0; i < ok.size(); ++i) {
-      if (ok[i] != kEmpty && ok[i] != kTomb) insert(ok[i], ov[i]);
+    for (const Entry& e : old) {
+      if (e.key != kEmpty && e.key != kTomb) insert(e.key, e.val);
     }
   }
 
@@ -125,8 +131,7 @@ class FlatMap {
   explicit FlatMap(size_t hint = 16) {
     size_t cap = 16;
     while (cap < hint * 2) cap <<= 1;
-    keys_.assign(cap, kEmpty);
-    vals_.assign(cap, 0);
+    slots_.assign(cap, Entry{kEmpty, 0, 0});
     mask_ = cap - 1;
   }
 
@@ -134,48 +139,50 @@ class FlatMap {
   uint32_t* find(uint64_t key) {
     size_t i = mix(key) & mask_;
     while (true) {
-      const uint64_t k = keys_[i];
-      if (k == key) return &vals_[i];
-      if (k == kEmpty) return nullptr;
+      Entry& e = slots_[i];
+      if (e.key == key) return &e.val;
+      if (e.key == kEmpty) return nullptr;
+      i = (i + 1) & mask_;
+    }
+  }
+
+  // One probe sequence: existing slot, or insert val_if_new.
+  // Returns (value pointer, inserted?).
+  std::pair<uint32_t*, bool> find_or_insert(uint64_t key,
+                                            uint32_t val_if_new) {
+    if ((used_ + 1) * 2 > slots_.size()) grow();
+    size_t i = mix(key) & mask_;
+    size_t tomb = SIZE_MAX;
+    while (true) {
+      Entry& e = slots_[i];
+      if (e.key == key) return {&e.val, false};
+      if (e.key == kTomb && tomb == SIZE_MAX) tomb = i;
+      if (e.key == kEmpty) {
+        size_t slot = tomb != SIZE_MAX ? tomb : i;
+        if (tomb == SIZE_MAX) ++used_;
+        slots_[slot] = Entry{key, val_if_new, 0};
+        ++live_;
+        return {&slots_[slot].val, true};
+      }
       i = (i + 1) & mask_;
     }
   }
 
   void insert(uint64_t key, uint32_t val) {
-    if ((used_ + 1) * 5 > keys_.size() * 3) grow();
-    size_t i = mix(key) & mask_;
-    size_t slot = SIZE_MAX;
-    while (true) {
-      const uint64_t k = keys_[i];
-      if (k == key) {
-        vals_[i] = val;
-        return;
-      }
-      if (k == kTomb && slot == SIZE_MAX) slot = i;
-      if (k == kEmpty) {
-        if (slot == SIZE_MAX) {
-          slot = i;
-          ++used_;
-        }
-        keys_[slot] = key;
-        vals_[slot] = val;
-        ++live_;
-        return;
-      }
-      i = (i + 1) & mask_;
-    }
+    auto [ptr, inserted] = find_or_insert(key, val);
+    if (!inserted) *ptr = val;
   }
 
   void erase(uint64_t key) {
     size_t i = mix(key) & mask_;
     while (true) {
-      const uint64_t k = keys_[i];
-      if (k == key) {
-        keys_[i] = kTomb;
+      Entry& e = slots_[i];
+      if (e.key == key) {
+        e.key = kTomb;
         --live_;
         return;
       }
-      if (k == kEmpty) return;
+      if (e.key == kEmpty) return;
       i = (i + 1) & mask_;
     }
   }
@@ -392,9 +399,17 @@ EXA_API int64_t exa_agglomerate(const float* affs, int64_t D, int64_t H,
                                 int64_t n_thresholds, float low, float high,
                                 int32_t quantile_pct, uint32_t* out) {
   const int64_t N = D * H * W;
+  const bool dbg = std::getenv("EXA_DEBUG_TIMING") != nullptr;
+  auto now = []() { return std::chrono::steady_clock::now(); };
+  auto secs = [](auto a, auto b) {
+    return std::chrono::duration<double>(b - a).count();
+  };
+  auto t0 = now();
   std::vector<uint32_t> frag(N);
   const int64_t K = exa_watershed(affs, D, H, W, low, high, frag.data());
   if (K < 0) return -1;
+  auto t1 = now();
+  if (dbg) std::fprintf(stderr, "[exa] watershed %.2fs K=%lld\n", secs(t0, t1), (long long)K);
 
   // Build the RAG over fragments: each Z-slab builds a local edge map
   // in scan order (parallel), then slabs merge in ascending-Z order.
@@ -432,13 +447,9 @@ EXA_API int64_t exa_agglomerate(const float* affs, int64_t D, int64_t H,
             const uint32_t fb = frag[v + strides[c]];
             if (fb == 0 || fb == fa) continue;
             EdgeKey key{std::min(fa, fb), std::max(fa, fb)};
-            uint32_t* slot = index.find(key.packed());
-            if (slot == nullptr) {
-              index.insert(key.packed(),
-                           static_cast<uint32_t>(local.size()));
-              local.emplace_back(key.a, key.b);
-              slot = index.find(key.packed());
-            }
+            auto [slot, fresh] = index.find_or_insert(
+                key.packed(), static_cast<uint32_t>(local.size()));
+            if (fresh) local.emplace_back(key.a, key.b);
             local[*slot].add(aff_c[c][v]);
           }
         }
@@ -446,18 +457,22 @@ EXA_API int64_t exa_agglomerate(const float* affs, int64_t D, int64_t H,
     }
   });
 
-  FlatMap edge_index(1 << 16);
+  auto t2 = now();
+  if (dbg) std::fprintf(stderr, "[exa] rag-local %.2fs\n", secs(t1, t2));
+  // Pre-size to the upper bound (sum of per-block uniques): FlatMap
+  // regrowth re-hashes every entry and vector regrowth copies every
+  // Edge -- at tens of millions of edges both dominated this phase.
+  size_t edge_upper = 0;
+  for (const auto& le : loc_edges) edge_upper += le.size();
+  FlatMap edge_index(edge_upper + 1);
   std::vector<Edge> edges;
+  edges.reserve(edge_upper);
   for (int64_t blk = 0; blk < n_blocks; ++blk) {
     for (Edge& le : loc_edges[blk]) {
       EdgeKey key{le.a, le.b};
-      uint32_t* slot = edge_index.find(key.packed());
-      if (slot == nullptr) {
-        edge_index.insert(key.packed(),
-                          static_cast<uint32_t>(edges.size()));
-        edges.emplace_back(key.a, key.b);
-        slot = edge_index.find(key.packed());
-      }
+      auto [slot, fresh] = edge_index.find_or_insert(
+          key.packed(), static_cast<uint32_t>(edges.size()));
+      if (fresh) edges.emplace_back(key.a, key.b);
       edges[*slot].absorb(le);
     }
     loc_edges[blk].clear();
@@ -465,6 +480,8 @@ EXA_API int64_t exa_agglomerate(const float* affs, int64_t D, int64_t H,
   }
   loc_index.clear();
 
+  auto t3 = now();
+  if (dbg) std::fprintf(stderr, "[exa] rag-merge %.2fs E=%zu\n", secs(t2, t3), edges.size());
   // Adjacency: fragment root -> incident edge indices.
   exa::UnionFind uf(static_cast<size_t>(K) + 1);
   std::vector<std::vector<uint32_t>> incident(K + 1);
@@ -515,6 +532,9 @@ EXA_API int64_t exa_agglomerate(const float* affs, int64_t D, int64_t H,
     }
   };
 
+  auto t4 = now();
+  if (dbg) std::fprintf(stderr, "[exa] adjacency+fill %.2fs\n", secs(t3, t4));
+  int64_t snap_total_ns = 0;
   int cur = 0;
   while (cur <= kBins && t_idx < n_thresholds) {
     if (heads[cur] >= buckets[cur].size()) {
@@ -576,10 +596,14 @@ EXA_API int64_t exa_agglomerate(const float* affs, int64_t D, int64_t H,
     incident[drop].clear();
     incident[drop].shrink_to_fit();
   }
+  auto t5 = now();
+  if (dbg) std::fprintf(stderr, "[exa] merge-loop %.2fs\n", secs(t4, t5));
   flush_thresholds(2.0f);  // emit any remaining snapshots
   while (t_idx < n_thresholds) {
     snapshot(out + t_idx * N);
     ++t_idx;
   }
+  (void)snap_total_ns;
+  if (dbg) std::fprintf(stderr, "[exa] tail-snapshots %.2fs\n", secs(t5, now()));
   return K;
 }
