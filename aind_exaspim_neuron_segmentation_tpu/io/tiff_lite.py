@@ -360,8 +360,6 @@ def write_tiff(path, array, bigtiff=None, compress=False):
 
     off_fmt = "Q" if bigtiff else "I"
     inline = 8 if bigtiff else 4
-    entry_size = 20 if bigtiff else 12
-    count_size = 8 if bigtiff else 2
 
     def entry(tag, typ, count, value):
         raw = struct.pack(order + "HH", tag, typ)
@@ -412,7 +410,6 @@ def write_tiff(path, array, bigtiff=None, compress=False):
         # patch the previous link to point here
         struct.pack_into(order + off_fmt, out, prev_link, ifd_off)
         prev_link = len(out) - inline
-    del count_size
     with open(path, "wb") as f:
         f.write(out)
     return path
