@@ -107,6 +107,20 @@ def _axis_pad_map(dim, patch, starts, total_len):
     return idx[:total_len]
 
 
+def _auto_band_rows(n_rows, nz, stride_z, patch_z, plane_bytes,
+                    budget=4 * 1024**3):
+    """Largest Z-row count whose per-device slab + accumulator fit the
+    HBM ``budget`` (input f32 + 3-channel f32 accumulator per plane).
+
+    Returns ``None`` when every row fits in one band (the common case,
+    which keeps mesh-order-statistics normalization).
+    """
+    per_dev_z_budget = budget // max(plane_bytes, 1)
+    rpd = max(int((per_dev_z_budget - patch_z) // max(stride_z, 1)), 1)
+    rows = rpd * nz
+    return None if rows >= n_rows else rows
+
+
 def predict_sharded(
     img,
     model,
@@ -130,9 +144,12 @@ def predict_sharded(
     ``out_path`` streams the result into a Zarr store row-by-row and
     returns a lazy handle instead of an ndarray.
 
-    ``max_band_rows``: when set, the Z patch rows are processed in
-    bands of at most this many rows -- the mesh-wide analogue of
-    ``predict``'s ``max_slab_rows``. Each band runs the full sharded
+    ``max_band_rows``: the Z patch rows are processed in bands of at
+    most this many rows -- the mesh-wide analogue of ``predict``'s
+    ``max_slab_rows``. Default ``None`` auto-sizes: one band whenever
+    the per-device slab + accumulator fit a ~4 GiB HBM budget (the
+    common case), else the largest band that does. Pass ``0`` to force
+    a single band regardless. Each band runs the full sharded
     kernel (one compile, reused: every band is padded to the same slab
     geometry) and boundary rows are recomputed by the next band, so
     device HBM holds only one band's slabs and accumulators at a time.
@@ -190,7 +207,15 @@ def predict_sharded(
     # trailing rows whose trimmed output reaches into its range.
     z_starts_all = list(ranges[0])
     n_rows_all = len(z_starts_all)
-    if max_band_rows is None or max_band_rows >= n_rows_all:
+    if max_band_rows is None:
+        plane_bytes = 4 * (1 + out_channels) * dim[1] * max(
+            dim[2], ranges[2][-1] + patch_shape[2]
+        )
+        max_band_rows = _auto_band_rows(
+            n_rows_all, nz, patch_shape[0] - overlap[0], patch_shape[0],
+            plane_bytes,
+        )
+    if not max_band_rows or max_band_rows >= n_rows_all:
         band_plans = [dict(
             rows=list(range(n_rows_all)), own=(0, dim[0]),
             in_range=(z_starts_all[0], z_starts_all[-1] + patch_shape[0]),

@@ -365,3 +365,34 @@ class TestBandedSharded:
             max_band_rows=2, out_path=out_path,
         )
         np.testing.assert_allclose(np.asarray(got[:]), want, atol=1e-6)
+
+
+class TestAutoBanding:
+    def test_auto_band_rows_fits(self):
+        from aind_exaspim_neuron_segmentation_tpu.parallel.sharded_inference import (  # noqa: E501
+            _auto_band_rows,
+        )
+
+        # small volume: everything fits -> single band
+        assert _auto_band_rows(10, 4, 64, 96, 4 * 4 * 256 * 256) is None
+        # large plane: budget forces banding, rows a multiple of nz
+        plane = 4 * 4 * 1024 * 1024  # ~16.8 MB per z plane per device
+        rows = _auto_band_rows(200, 4, 64, 96, plane,
+                               budget=4 * 1024**3)
+        assert rows is not None and rows % 4 == 0 and rows < 200
+        # per-device z extent fits the budget
+        per_dev_z = (rows // 4) * 64 + 96
+        assert per_dev_z * plane <= 4 * 1024**3
+
+    def test_forced_single_band(self, runner):
+        rng = np.random.default_rng(40)
+        vol = rng.integers(0, 2000, (64, 40, 32)).astype(np.uint16)
+        want = inference.predict(
+            vol, runner, patch_shape=PATCH, overlap=OVERLAP, trim=TRIM,
+            batch_size=4, verbose=False,
+        )
+        got = parallel.predict_sharded(
+            vol, runner, mesh=parallel.make_mesh(2), patch_shape=PATCH,
+            overlap=OVERLAP, trim=TRIM, batch_size=4, max_band_rows=0,
+        )
+        np.testing.assert_allclose(got, want, atol=1e-6)
