@@ -312,17 +312,36 @@ class Trainer:
         mask = np.concatenate(
             [np.ones(n_real, np.float32), np.zeros(pad, np.float32)]
         )
-        return (
-            jax.device_put(xs, self._batch_sharding),
-            jax.device_put(ys, self._batch_sharding),
-            jax.device_put(
-                mask, jax.sharding.NamedSharding(
-                    self.mesh, jax.sharding.PartitionSpec(
-                        self.mesh.axis_names[0]
-                    )
-                )
-            ),
+        mask_sharding = jax.sharding.NamedSharding(
+            self.mesh,
+            jax.sharding.PartitionSpec(self.mesh.axis_names[0]),
         )
+
+        # make_array_from_callback works on multi-process meshes (each
+        # process materializes only its addressable batch shards of the
+        # identical host batch); single-process it equals device_put.
+        def put(arr, sharding):
+            return jax.make_array_from_callback(
+                arr.shape, sharding, lambda idx: arr[idx]
+            )
+
+        return (
+            put(xs, self._batch_sharding),
+            put(ys, self._batch_sharding),
+            put(mask, mask_sharding),
+        )
+
+    def _fetch_metric(self, arr):
+        """Per-example metric vector as numpy; on multi-process meshes
+        the batch axis spans processes, so an allgather materializes the
+        global vector on every host first."""
+        if self.mesh is not None and jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            return np.asarray(
+                multihost_utils.process_allgather(arr, tiled=True)
+            )
+        return np.asarray(arr)
 
     def train_step(self, train_dataset, epoch):
         import time as _time
@@ -361,8 +380,12 @@ class Trainer:
             t_wait = _time.perf_counter()
         for n_real, loss, precision, recall in pending:
             stats["loss"].append(float(loss))
-            stats["precision"].extend(np.asarray(precision)[:n_real].tolist())
-            stats["recall"].extend(np.asarray(recall)[:n_real].tolist())
+            stats["precision"].extend(
+                self._fetch_metric(precision)[:n_real].tolist()
+            )
+            stats["recall"].extend(
+                self._fetch_metric(recall)[:n_real].tolist()
+            )
         self.update_tensorboard(stats, epoch, "train_")
         return stats
 
@@ -387,8 +410,12 @@ class Trainer:
             )
         for n_real, loss, precision, recall in pending:
             stats["loss"].append(float(loss))
-            stats["precision"].extend(np.asarray(precision)[:n_real].tolist())
-            stats["recall"].extend(np.asarray(recall)[:n_real].tolist())
+            stats["precision"].extend(
+                self._fetch_metric(precision)[:n_real].tolist()
+            )
+            stats["recall"].extend(
+                self._fetch_metric(recall)[:n_real].tolist()
+            )
         self.update_tensorboard(stats, epoch, "val_")
         if stats["f1"] > self.best_f1:
             self.best_f1 = stats["f1"]

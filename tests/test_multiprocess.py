@@ -95,3 +95,115 @@ def test_two_process_sharded_predict(tmp_path):
     )
     got = np.asarray(zarr_lite.open_zarr(out_path)[:])
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+_TRAIN_WORKER = """
+import os, sys
+pid = int(sys.argv[1])
+port = sys.argv[2]
+out_dir = sys.argv[3]
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address=f"localhost:{port}", num_processes=2,
+    process_id=pid, local_device_ids=list(range(4)),
+)
+import numpy as np
+from aind_exaspim_neuron_segmentation_tpu.machine_learning import (
+    data_handling,
+)
+from aind_exaspim_neuron_segmentation_tpu.machine_learning.train import (
+    Trainer,
+)
+from aind_exaspim_neuron_segmentation_tpu.parallel import make_mesh
+
+rng = np.random.default_rng(0)
+imgs, labs = [], []
+for k in range(2):
+    lab = np.zeros((48, 48, 48), np.uint32)
+    lab[8:40, 8 + 4 * k: 24 + 4 * k, 8:40] = k + 1
+    img = rng.uniform(0, 80, (48, 48, 48)).astype(np.float32)
+    img[lab > 0] += 400
+    imgs.append(img)
+    labs.append(lab)
+tr = data_handling.TrainDataset(
+    imgs, labs, patch_shape=(16, 16, 16), seed=1
+)
+val = data_handling.ValidateDataset(
+    imgs, labs, patch_shape=(16, 16, 16), containment_buffer=0
+)
+t = Trainer(
+    out_dir, batch_size=8, max_epochs=1, width_multiplier=0.25,
+    use_amp=False, mesh=make_mesh(8),
+)
+t.run(tr, val)
+leaves = jax.tree_util.tree_leaves(t.params)
+digest = float(sum(np.abs(np.asarray(x)).sum() for x in leaves))
+print(f"PARAM_DIGEST {digest:.10e}", flush=True)
+"""
+
+
+def test_two_process_dp_training(tmp_path):
+    """Two real processes train data-parallel over a joint 8-device
+    mesh (gradient psum rides the cross-process runtime); both must end
+    with identical parameters, equal to a single-process 8-device run
+    of the same seeded setup."""
+    port = str(_free_port())
+    env = dict(os.environ)
+    env["PYTHONPATH"] = (
+        "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+    )
+    worker = tmp_path / "train_worker.py"
+    worker.write_text(_TRAIN_WORKER)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(pid), port,
+             str(tmp_path / f"p{pid}")],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for pid in (0, 1)
+    ]
+    digests = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        assert p.returncode == 0, out[-3000:]
+        line = [ln for ln in out.splitlines()
+                if ln.startswith("PARAM_DIGEST")][0]
+        digests.append(float(line.split()[1]))
+    assert digests[0] == digests[1]
+
+    # single-process 8-device reference run with identical seeds
+    from aind_exaspim_neuron_segmentation_tpu.machine_learning import (
+        data_handling,
+    )
+    from aind_exaspim_neuron_segmentation_tpu.machine_learning.train import (
+        Trainer,
+    )
+    from aind_exaspim_neuron_segmentation_tpu import parallel
+    import jax
+
+    rng = np.random.default_rng(0)
+    imgs, labs = [], []
+    for k in range(2):
+        lab = np.zeros((48, 48, 48), np.uint32)
+        lab[8:40, 8 + 4 * k: 24 + 4 * k, 8:40] = k + 1
+        img = rng.uniform(0, 80, (48, 48, 48)).astype(np.float32)
+        img[lab > 0] += 400
+        imgs.append(img)
+        labs.append(lab)
+    tr = data_handling.TrainDataset(
+        imgs, labs, patch_shape=(16, 16, 16), seed=1
+    )
+    val = data_handling.ValidateDataset(
+        imgs, labs, patch_shape=(16, 16, 16), containment_buffer=0
+    )
+    t = Trainer(
+        str(tmp_path / "single"), batch_size=8, max_epochs=1,
+        width_multiplier=0.25, use_amp=False, mesh=parallel.make_mesh(8),
+    )
+    t.run(tr, val)
+    leaves = jax.tree_util.tree_leaves(t.params)
+    digest = float(sum(np.abs(np.asarray(x)).sum() for x in leaves))
+    np.testing.assert_allclose(digest, digests[0], rtol=1e-6)
