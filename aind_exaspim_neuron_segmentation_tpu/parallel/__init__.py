@@ -5,6 +5,7 @@ All new architecture relative to the single-device reference
 """
 
 from aind_exaspim_neuron_segmentation_tpu.parallel.mesh import (  # noqa: F401
+    initialize_distributed,
     make_mesh,
     make_mesh_2d,
     replicated,
