@@ -396,3 +396,21 @@ class TestAutoBanding:
             overlap=OVERLAP, trim=TRIM, batch_size=4, max_band_rows=0,
         )
         np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+class TestForegroundModeSharded:
+    def test_non_affinity_matches_single_device(self):
+        rng = np.random.default_rng(50)
+        vol = rng.integers(0, 2000, (64, 40, 32)).astype(np.uint16)
+        fg_runner = inference.load_model(
+            affinity_mode=False, width_multiplier=0.25,
+            dtype=np.float32,
+        )
+        kw = dict(patch_shape=PATCH, overlap=OVERLAP, trim=TRIM,
+                  batch_size=4, affinity_mode=False)
+        want = inference.predict(vol, fg_runner, verbose=False, **kw)
+        got = parallel.predict_sharded(
+            vol, fg_runner, mesh=parallel.make_mesh(4), **kw
+        )
+        assert got.ndim == 3  # (D, H, W) like predict
+        np.testing.assert_allclose(got, want, atol=1e-6)
