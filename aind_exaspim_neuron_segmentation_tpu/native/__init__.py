@@ -51,6 +51,14 @@ def _lib():
             u8p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
             u8p, ctypes.c_int64,
         ]
+        lib.exa_zstd_decompress.restype = ctypes.c_int64
+        lib.exa_zstd_decompress.argtypes = [
+            u8p, ctypes.c_int64, u8p, ctypes.c_int64,
+        ]
+        lib.exa_zstd_compress.restype = ctypes.c_int64
+        lib.exa_zstd_compress.argtypes = [
+            u8p, ctypes.c_int64, u8p, ctypes.c_int64, ctypes.c_int32,
+        ]
         lib._exa_bound = True
     return lib
 
@@ -89,6 +97,41 @@ def blosc_decompress(data):
     if rc < 0:
         raise ValueError(_BLOSC_ERRORS.get(rc, f"blosc error {rc}"))
     return out.tobytes()
+
+
+def zstd_decompress(data, expected_size):
+    """Raw zstd frame decode (zarr v3 'zstd' codec)."""
+    lib = _lib()
+    data = bytes(data)
+    src = (ctypes.c_uint8 * max(len(data), 1)).from_buffer_copy(
+        data or b"\0"
+    )
+    out = np.empty(expected_size, np.uint8)
+    rc = lib.exa_zstd_decompress(
+        src, len(data),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), expected_size,
+    )
+    if rc < 0:
+        raise ValueError("corrupt zstd frame")
+    return out[:rc].tobytes()
+
+
+def zstd_compress(data, level=5):
+    """Raw zstd frame encode (zarr v3 'zstd' codec)."""
+    lib = _lib()
+    data = bytes(data)
+    cap = len(data) + len(data) // 2 + 256
+    src = (ctypes.c_uint8 * max(len(data), 1)).from_buffer_copy(
+        data or b"\0"
+    )
+    out = np.empty(cap, np.uint8)
+    rc = lib.exa_zstd_compress(
+        src, len(data),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap, level,
+    )
+    if rc < 0:
+        raise ValueError("zstd compression failed")
+    return out[:rc].tobytes()
 
 
 def blosc_compress(data, typesize=1, shuffle=1):

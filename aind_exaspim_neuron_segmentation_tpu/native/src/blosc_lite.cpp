@@ -401,3 +401,21 @@ EXA_API int64_t exa_blosc_compress(const uint8_t* src, int64_t nbytes,
   store_le32(header + 12, uint32_t(off));
   return off;
 }
+
+// Raw zstd frame codec (zarr v3 "zstd" bytes->bytes codec; distinct
+// from zstd-inside-blosc above). Thin wrappers over the system libzstd.
+EXA_API int64_t exa_zstd_decompress(const uint8_t* src, int64_t srclen,
+                                    uint8_t* dest, int64_t destcap) {
+  size_t r = ZSTD_decompress(dest, size_t(destcap), src, size_t(srclen));
+  if (ZSTD_isError(r)) return kErrCorrupt;
+  return int64_t(r);
+}
+
+EXA_API int64_t exa_zstd_compress(const uint8_t* src, int64_t srclen,
+                                  uint8_t* dest, int64_t destcap,
+                                  int32_t level) {
+  size_t r = ZSTD_compress(dest, size_t(destcap), src, size_t(srclen),
+                           level);
+  if (ZSTD_isError(r)) return kErrDestSize;
+  return int64_t(r);
+}

@@ -441,3 +441,127 @@ class TestTiffLite:
         buf += struct.pack("<H", len(tags)) + b"".join(tags)
         buf += struct.pack("<I", 0)
         np.testing.assert_array_equal(tiff_lite.read_tiff(buf), vol)
+
+
+class TestZarr3:
+    """Zarr v3 reader (zarr.json stores, hand-built per the v3 spec)."""
+
+    def _write_store(self, root, vol, chunks, codecs, key_style="default",
+                     sep="/"):
+        import json
+
+        from aind_exaspim_neuron_segmentation_tpu import native
+
+        root.mkdir(parents=True, exist_ok=True)
+        meta = {
+            "zarr_format": 3,
+            "node_type": "array",
+            "shape": list(vol.shape),
+            "data_type": str(vol.dtype.newbyteorder("=").name),
+            "chunk_grid": {"name": "regular",
+                           "configuration": {"chunk_shape": list(chunks)}},
+            "chunk_key_encoding": {"name": key_style,
+                                   "configuration": {"separator": sep}},
+            "fill_value": 0,
+            "codecs": codecs,
+        }
+        (root / "zarr.json").write_text(json.dumps(meta))
+        grid = [-(-s // c) for s, c in zip(vol.shape, chunks)]
+        endian = next(
+            (c["configuration"].get("endian", "little")
+             for c in codecs if c["name"] == "bytes"), "little",
+        )
+        order = {"little": "<", "big": ">"}[endian]
+        for idx in np.ndindex(*grid):
+            block = np.zeros(chunks, vol.dtype)
+            sl = tuple(
+                slice(i * c, min((i + 1) * c, s))
+                for i, c, s in zip(idx, chunks, vol.shape)
+            )
+            block[tuple(slice(0, s.stop - s.start) for s in sl)] = vol[sl]
+            data = block.astype(
+                vol.dtype.newbyteorder(order), copy=False
+            ).tobytes()
+            for c in codecs:
+                if c["name"] == "gzip":
+                    import gzip
+
+                    data = gzip.compress(data, 5)
+                elif c["name"] == "zstd":
+                    data = native.zstd_compress(data)
+                elif c["name"] == "blosc":
+                    conf = c["configuration"]
+                    data = native.blosc_compress(
+                        data, typesize=conf.get("typesize", 1),
+                        shuffle=1 if conf.get("shuffle") == "shuffle"
+                        else 0,
+                    )
+            if key_style == "v2":
+                key = sep.join(str(i) for i in idx)
+            else:
+                key = "c" + sep + sep.join(str(i) for i in idx)
+            path = root / key
+            path.parent.mkdir(parents=True, exist_ok=True)
+            path.write_bytes(data)
+
+    @pytest.mark.parametrize("codecs", [
+        [{"name": "bytes", "configuration": {"endian": "little"}}],
+        [{"name": "bytes", "configuration": {"endian": "big"}}],
+        [{"name": "bytes", "configuration": {"endian": "little"}},
+         {"name": "gzip", "configuration": {"level": 5}}],
+        [{"name": "bytes", "configuration": {"endian": "little"}},
+         {"name": "zstd", "configuration": {"level": 5}}],
+        [{"name": "bytes", "configuration": {"endian": "little"}},
+         {"name": "blosc", "configuration": {
+             "cname": "lz4", "clevel": 5, "shuffle": "shuffle",
+             "typesize": 2}}],
+    ])
+    def test_codec_pipelines(self, tmp_path, codecs):
+        from aind_exaspim_neuron_segmentation_tpu.io import zarr_lite
+
+        rng = np.random.default_rng(0)
+        vol = rng.integers(0, 3000, (20, 17, 12)).astype(np.uint16)
+        root = tmp_path / "v3.zarr"
+        self._write_store(root, vol, (8, 8, 8), codecs)
+        arr = zarr_lite.open_zarr(str(root))
+        assert arr.dtype == np.dtype("uint16")
+        np.testing.assert_array_equal(arr[:], vol)
+        np.testing.assert_array_equal(arr[3:15, 2:16, 1:9],
+                                      vol[3:15, 2:16, 1:9])
+
+    def test_v2_key_encoding_and_missing_chunks(self, tmp_path):
+        from aind_exaspim_neuron_segmentation_tpu.io import zarr_lite
+
+        rng = np.random.default_rng(1)
+        vol = rng.normal(size=(10, 8)).astype(np.float32)
+        root = tmp_path / "v3b.zarr"
+        self._write_store(
+            root, vol, (4, 4),
+            [{"name": "bytes", "configuration": {"endian": "little"}}],
+            key_style="v2", sep=".",
+        )
+        # delete one chunk: reads as fill_value
+        (root / "1.1").unlink()
+        arr = zarr_lite.open_zarr(str(root))
+        expect = vol.copy()
+        expect[4:8, 4:8] = 0
+        np.testing.assert_array_equal(arr[:], expect)
+
+    def test_sharding_codec_rejected(self, tmp_path):
+        import json
+
+        from aind_exaspim_neuron_segmentation_tpu.io import zarr_lite
+
+        root = tmp_path / "v3c.zarr"
+        root.mkdir()
+        (root / "zarr.json").write_text(json.dumps({
+            "zarr_format": 3, "node_type": "array", "shape": [4],
+            "data_type": "uint8",
+            "chunk_grid": {"name": "regular",
+                           "configuration": {"chunk_shape": [4]}},
+            "fill_value": 0,
+            "codecs": [{"name": "sharding_indexed",
+                        "configuration": {}}],
+        }))
+        with pytest.raises(ValueError, match="codec"):
+            zarr_lite.open_zarr(str(root))
