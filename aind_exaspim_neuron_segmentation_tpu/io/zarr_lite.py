@@ -240,15 +240,63 @@ class N5Array(LazyArray):
         return full
 
 
+def _parse_v3_codecs(codecs):
+    """Split a zarr v3 codec list into (endian, bytes->bytes codecs).
+
+    ``sharding_indexed`` is handled by the caller; anything else
+    unknown is rejected with a clear message.
+    """
+    endian = "little"
+    bytes_codecs = []
+    for c in codecs:
+        name = c.get("name")
+        conf = c.get("configuration", {}) or {}
+        if name == "bytes":
+            endian = conf.get("endian", "little")
+        elif name in ("blosc", "gzip", "zstd", "crc32c"):
+            bytes_codecs.append((name, conf))
+        else:
+            raise ValueError(
+                f"unsupported zarr v3 codec {name!r} (supported: bytes, "
+                "blosc, gzip, zstd, crc32c, sharding_indexed)"
+            )
+    return endian, bytes_codecs
+
+
+def _decode_v3(data, bytes_codecs, nbytes):
+    """Run bytes->bytes codecs in decode order (outermost last)."""
+    for name, conf in reversed(bytes_codecs):
+        if name == "crc32c":
+            data = data[:-4]  # stdlib lacks crc32c; strip the checksum
+        elif name == "gzip":
+            data = _gzip.decompress(data)
+        elif name == "zstd":
+            from aind_exaspim_neuron_segmentation_tpu import native
+
+            data = native.zstd_decompress(data, nbytes)
+        elif name == "blosc":
+            from aind_exaspim_neuron_segmentation_tpu import native
+
+            if conf.get("shuffle") == "bitshuffle":
+                raise ValueError(
+                    "blosc bit-shuffle is not supported by this build"
+                )
+            data = native.blosc_decompress(data)
+    return data
+
+
 class Zarr3Array(LazyArray):
     """Read-only Zarr v3 array (zarr.json metadata).
 
     Forward-compat for stores written by zarr-python 3 (the reference's
     zarr dependency is migrating there). Supported: regular chunk grid,
     default/v2 chunk key encodings, codec pipeline ``bytes`` (either
-    endian) followed by any of ``blosc`` / ``gzip`` / ``zstd`` /
-    ``crc32c`` (checksum verified); ``transpose`` and
-    ``sharding_indexed`` are rejected with a clear message.
+    endian, normalized to native on read) followed by any of ``blosc``
+    / ``gzip`` / ``zstd`` / ``crc32c``, and the ``sharding_indexed``
+    codec (read): inner chunks resolve through the shard's
+    offset/length index (end or start location), with the last-touched
+    shard's index cached for sequential reads. ``transpose`` is
+    rejected with a clear message.
     """
 
     _DTYPES = {
@@ -265,7 +313,7 @@ class Zarr3Array(LazyArray):
         grid = meta["chunk_grid"]
         if grid.get("name") != "regular":
             raise ValueError(f"unsupported chunk grid {grid.get('name')!r}")
-        self.chunks = tuple(grid["configuration"]["chunk_shape"])
+        outer = tuple(grid["configuration"]["chunk_shape"])
         fv = meta.get("fill_value", 0)
         self.fill_value = 0 if fv is None else fv
         key_enc = meta.get(
@@ -280,58 +328,93 @@ class Zarr3Array(LazyArray):
             )
 
         codecs = list(meta.get("codecs", []))
+        self._sharding = None
+        if codecs and codecs[0].get("name") == "sharding_indexed":
+            conf = codecs[0]["configuration"]
+            inner = tuple(conf["chunk_shape"])
+            if any(o % i for o, i in zip(outer, inner)):
+                raise ValueError(
+                    f"shard shape {outer} not divisible by inner chunk "
+                    f"shape {inner}"
+                )
+            ratio = tuple(o // i for o, i in zip(outer, inner))
+            _, index_codecs = _parse_v3_codecs(
+                conf.get("index_codecs", [{"name": "bytes"}])
+            )
+            index_size = int(np.prod(ratio)) * 16 + sum(
+                4 for name, _ in index_codecs if name == "crc32c"
+            )
+            self._sharding = {
+                "ratio": ratio,
+                "location": conf.get("index_location", "end"),
+                "index_codecs": index_codecs,
+                "index_size": index_size,
+                "cache_key": None,
+                "cache": None,  # (shard bytes, index array)
+            }
+            endian, bytes_codecs = _parse_v3_codecs(
+                conf.get("codecs", [{"name": "bytes"}])
+            )
+            self.chunks = inner  # LazyArray walks inner chunks
+            self._outer = outer
+        else:
+            endian, bytes_codecs = _parse_v3_codecs(codecs)
+            self.chunks = outer
+            self._outer = outer
+        self._bytes_codecs = bytes_codecs
+
         dt = self._DTYPES.get(meta["data_type"])
         if dt is None:
             raise ValueError(f"unsupported data_type {meta['data_type']!r}")
-        endian = "little"
-        self._bytes_codecs = []
-        for c in codecs:
-            name = c.get("name")
-            conf = c.get("configuration", {}) or {}
-            if name == "bytes":
-                endian = conf.get("endian", "little")
-            elif name in ("blosc", "gzip", "zstd", "crc32c"):
-                self._bytes_codecs.append((name, conf))
-            else:
-                raise ValueError(
-                    f"unsupported zarr v3 codec {name!r} (supported: "
-                    "bytes, blosc, gzip, zstd, crc32c)"
-                )
         order = {"little": "<", "big": ">"}[endian]
         self._stored_dtype = np.dtype(
             dt if dt.startswith("|") else order + dt
         )
         self.dtype = self._stored_dtype.newbyteorder("=")
 
-    def _chunk(self, idx):
-        data = self.store.get(self._key(idx))
+    def _shard_index(self, shard_idx):
+        """(shard bytes, (..., 2) uint64 offset/length index) or None."""
+        sh = self._sharding
+        if sh["cache_key"] == shard_idx:
+            return sh["cache"]
+        data = self.store.get(self._key(shard_idx))
         if data is None:
-            return np.full(self.chunks, self.fill_value, self.dtype)
+            sh["cache_key"] = shard_idx
+            sh["cache"] = None
+            return None
+        data = bytes(data)
+        n = sh["index_size"]
+        raw = data[-n:] if sh["location"] == "end" else data[:n]
+        nbytes = int(np.prod(sh["ratio"])) * 16
+        raw = _decode_v3(raw, sh["index_codecs"], nbytes)
+        index = np.frombuffer(raw[:nbytes], "<u8").reshape(
+            sh["ratio"] + (2,)
+        )
+        sh["cache_key"] = shard_idx
+        sh["cache"] = (data, index)
+        return sh["cache"]
+
+    def _chunk(self, idx):
         nbytes = int(np.prod(self.chunks)) * self.dtype.itemsize
-        # bytes->bytes codecs reverse in decode order (outermost last)
-        for name, conf in reversed(self._bytes_codecs):
-            if name == "crc32c":
-                import struct as _struct
-
-                body, crc = data[:-4], data[-4:]
-                # crc32c requires a lookup; verify length only when the
-                # algorithm is unavailable (stdlib has no crc32c)
-                del crc, _struct
-                data = body
-            elif name == "gzip":
-                data = _gzip.decompress(data)
-            elif name == "zstd":
-                from aind_exaspim_neuron_segmentation_tpu import native
-
-                data = native.zstd_decompress(data, nbytes)
-            elif name == "blosc":
-                from aind_exaspim_neuron_segmentation_tpu import native
-
-                if conf.get("shuffle") == "bitshuffle":
-                    raise ValueError(
-                        "blosc bit-shuffle is not supported by this build"
-                    )
-                data = native.blosc_decompress(data)
+        if self._sharding is None:
+            data = self.store.get(self._key(idx))
+            if data is None:
+                return np.full(self.chunks, self.fill_value, self.dtype)
+            data = _decode_v3(bytes(data), self._bytes_codecs, nbytes)
+        else:
+            ratio = self._sharding["ratio"]
+            shard_idx = tuple(i // r for i, r in zip(idx, ratio))
+            within = tuple(i % r for i, r in zip(idx, ratio))
+            entry = self._shard_index(shard_idx)
+            if entry is None:
+                return np.full(self.chunks, self.fill_value, self.dtype)
+            shard, index = entry
+            off, length = (int(v) for v in index[within])
+            if off == 2**64 - 1:  # missing inner chunk sentinel
+                return np.full(self.chunks, self.fill_value, self.dtype)
+            data = _decode_v3(
+                shard[off: off + length], self._bytes_codecs, nbytes
+            )
         arr = np.frombuffer(bytes(data)[:nbytes], self._stored_dtype)
         return np.ascontiguousarray(
             arr.reshape(self.chunks), dtype=self.dtype

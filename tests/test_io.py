@@ -547,7 +547,7 @@ class TestZarr3:
         expect[4:8, 4:8] = 0
         np.testing.assert_array_equal(arr[:], expect)
 
-    def test_sharding_codec_rejected(self, tmp_path):
+    def test_transpose_codec_rejected(self, tmp_path):
         import json
 
         from aind_exaspim_neuron_segmentation_tpu.io import zarr_lite
@@ -560,8 +560,101 @@ class TestZarr3:
             "chunk_grid": {"name": "regular",
                            "configuration": {"chunk_shape": [4]}},
             "fill_value": 0,
-            "codecs": [{"name": "sharding_indexed",
-                        "configuration": {}}],
+            "codecs": [{"name": "transpose",
+                        "configuration": {"order": [0]}}],
         }))
         with pytest.raises(ValueError, match="codec"):
             zarr_lite.open_zarr(str(root))
+
+    def _write_sharded_store(self, root, vol, outer, inner, missing=()):
+        """Hand-built sharding_indexed store: gzip inner chunks, index
+        (offset,length u64 pairs + crc32c placeholder) at shard end."""
+        import gzip
+        import json
+
+        root.mkdir(parents=True, exist_ok=True)
+        meta = {
+            "zarr_format": 3, "node_type": "array",
+            "shape": list(vol.shape),
+            "data_type": str(vol.dtype.name),
+            "chunk_grid": {"name": "regular",
+                           "configuration": {"chunk_shape": list(outer)}},
+            "chunk_key_encoding": {"name": "default",
+                                   "configuration": {"separator": "/"}},
+            "fill_value": 0,
+            "codecs": [{
+                "name": "sharding_indexed",
+                "configuration": {
+                    "chunk_shape": list(inner),
+                    "codecs": [
+                        {"name": "bytes",
+                         "configuration": {"endian": "little"}},
+                        {"name": "gzip", "configuration": {"level": 5}},
+                    ],
+                    "index_codecs": [
+                        {"name": "bytes",
+                         "configuration": {"endian": "little"}},
+                        {"name": "crc32c"},
+                    ],
+                    "index_location": "end",
+                },
+            }],
+        }
+        (root / "zarr.json").write_text(json.dumps(meta))
+        grid = [-(-s // c) for s, c in zip(vol.shape, outer)]
+        ratio = [o // i for o, i in zip(outer, inner)]
+        for sidx in np.ndindex(*grid):
+            payload = b""
+            index = np.full(tuple(ratio) + (2,), 2**64 - 1, "<u8")
+            for widx in np.ndindex(*ratio):
+                gidx = tuple(
+                    s * r + w for s, r, w in zip(sidx, ratio, widx)
+                )
+                if gidx in missing:
+                    continue
+                block = np.zeros(inner, vol.dtype)
+                sl = tuple(
+                    slice(s * o + w * i, min(s * o + (w + 1) * i, d))
+                    for s, o, w, i, d in zip(
+                        sidx, outer, widx, inner, vol.shape
+                    )
+                )
+                if any(a.stop <= a.start for a in sl):
+                    continue
+                block[tuple(
+                    slice(0, a.stop - a.start) for a in sl
+                )] = vol[sl]
+                enc = gzip.compress(block.tobytes(), 5)
+                index[widx] = (len(payload), len(enc))
+                payload += enc
+            raw_index = index.tobytes() + b"\0\0\0\0"  # crc32c slot
+            key = root / "c" / "/".join(str(i) for i in sidx)
+            key.parent.mkdir(parents=True, exist_ok=True)
+            key.write_bytes(payload + raw_index)
+
+    def test_sharding_indexed_read(self, tmp_path):
+        from aind_exaspim_neuron_segmentation_tpu.io import zarr_lite
+
+        rng = np.random.default_rng(3)
+        vol = rng.integers(0, 60000, (24, 20, 12)).astype(np.uint16)
+        root = tmp_path / "sharded.zarr"
+        self._write_sharded_store(root, vol, (16, 16, 8), (8, 8, 4))
+        arr = zarr_lite.open_zarr(str(root))
+        assert arr.chunks == (8, 8, 4)  # inner chunks drive reads
+        np.testing.assert_array_equal(arr[:], vol)
+        np.testing.assert_array_equal(arr[5:20, 3:18, 2:10],
+                                      vol[5:20, 3:18, 2:10])
+
+    def test_sharding_missing_inner_chunk(self, tmp_path):
+        from aind_exaspim_neuron_segmentation_tpu.io import zarr_lite
+
+        rng = np.random.default_rng(4)
+        vol = rng.integers(1, 100, (16, 16)).astype(np.uint8)
+        root = tmp_path / "sharded2.zarr"
+        self._write_sharded_store(
+            root, vol, (16, 16), (8, 8), missing={(1, 1)},
+        )
+        arr = zarr_lite.open_zarr(str(root))
+        expect = vol.copy()
+        expect[8:16, 8:16] = 0  # missing inner chunk -> fill value
+        np.testing.assert_array_equal(arr[:], expect)
