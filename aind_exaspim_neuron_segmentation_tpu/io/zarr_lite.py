@@ -267,7 +267,17 @@ def _decode_v3(data, bytes_codecs, nbytes):
     """Run bytes->bytes codecs in decode order (outermost last)."""
     for name, conf in reversed(bytes_codecs):
         if name == "crc32c":
-            data = data[:-4]  # stdlib lacks crc32c; strip the checksum
+            from aind_exaspim_neuron_segmentation_tpu import native
+
+            body, stored = data[:-4], data[-4:]
+            got = native.crc32c(body)
+            want = int.from_bytes(bytes(stored), "little")
+            if got != want:
+                raise ValueError(
+                    f"crc32c mismatch: stored {want:#010x}, computed "
+                    f"{got:#010x} (corrupt chunk)"
+                )
+            data = body
         elif name == "gzip":
             data = _gzip.decompress(data)
         elif name == "zstd":

@@ -59,6 +59,8 @@ def _lib():
         lib.exa_zstd_compress.argtypes = [
             u8p, ctypes.c_int64, u8p, ctypes.c_int64, ctypes.c_int32,
         ]
+        lib.exa_crc32c.restype = ctypes.c_uint32
+        lib.exa_crc32c.argtypes = [u8p, ctypes.c_int64]
         lib._exa_bound = True
     return lib
 
@@ -132,6 +134,15 @@ def zstd_compress(data, level=5):
     if rc < 0:
         raise ValueError("zstd compression failed")
     return out[:rc].tobytes()
+
+
+def crc32c(data):
+    """CRC-32C (Castagnoli) checksum -- zarr v3 'crc32c' codec."""
+    data = bytes(data)
+    src = (ctypes.c_uint8 * max(len(data), 1)).from_buffer_copy(
+        data or b"\0"
+    )
+    return int(_lib().exa_crc32c(src, len(data)))
 
 
 def blosc_compress(data, typesize=1, shuffle=1):

@@ -419,3 +419,25 @@ EXA_API int64_t exa_zstd_compress(const uint8_t* src, int64_t srclen,
   if (ZSTD_isError(r)) return kErrDestSize;
   return int64_t(r);
 }
+
+// CRC-32C (Castagnoli, reflected poly 0x82F63B78) -- zarr v3's checksum
+// codec. Table-driven; table built on first use.
+EXA_API uint32_t exa_crc32c(const uint8_t* src, int64_t n) {
+  static uint32_t table[256];
+  static bool init = false;
+  if (!init) {
+    for (uint32_t i = 0; i < 256; ++i) {
+      uint32_t c = i;
+      for (int k = 0; k < 8; ++k) {
+        c = (c & 1) ? (0x82F63B78u ^ (c >> 1)) : (c >> 1);
+      }
+      table[i] = c;
+    }
+    init = true;
+  }
+  uint32_t crc = 0xFFFFFFFFu;
+  for (int64_t i = 0; i < n; ++i) {
+    crc = table[(crc ^ src[i]) & 0xFF] ^ (crc >> 8);
+  }
+  return crc ^ 0xFFFFFFFFu;
+}

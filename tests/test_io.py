@@ -627,7 +627,10 @@ class TestZarr3:
                 enc = gzip.compress(block.tobytes(), 5)
                 index[widx] = (len(payload), len(enc))
                 payload += enc
-            raw_index = index.tobytes() + b"\0\0\0\0"  # crc32c slot
+            from aind_exaspim_neuron_segmentation_tpu import native
+
+            crc = native.crc32c(index.tobytes())
+            raw_index = index.tobytes() + crc.to_bytes(4, "little")
             key = root / "c" / "/".join(str(i) for i in sidx)
             key.parent.mkdir(parents=True, exist_ok=True)
             key.write_bytes(payload + raw_index)
@@ -658,3 +661,46 @@ class TestZarr3:
         expect = vol.copy()
         expect[8:16, 8:16] = 0  # missing inner chunk -> fill value
         np.testing.assert_array_equal(arr[:], expect)
+
+
+class TestCrc32c:
+    def test_known_answer(self):
+        from aind_exaspim_neuron_segmentation_tpu import native
+
+        assert native.crc32c(b"123456789") == 0xE3069283  # RFC 3720
+        assert native.crc32c(b"") == 0
+
+    def test_corrupt_chunk_detected(self, tmp_path):
+        import json
+
+        from aind_exaspim_neuron_segmentation_tpu import native
+        from aind_exaspim_neuron_segmentation_tpu.io import zarr_lite
+
+        root = tmp_path / "crc.zarr"
+        root.mkdir()
+        vol = np.arange(16, dtype=np.uint8)
+        (root / "zarr.json").write_text(json.dumps({
+            "zarr_format": 3, "node_type": "array", "shape": [16],
+            "data_type": "uint8",
+            "chunk_grid": {"name": "regular",
+                           "configuration": {"chunk_shape": [16]}},
+            "fill_value": 0,
+            "codecs": [
+                {"name": "bytes",
+                 "configuration": {"endian": "little"}},
+                {"name": "crc32c"},
+            ],
+        }))
+        body = vol.tobytes()
+        chunk = body + native.crc32c(body).to_bytes(4, "little")
+        (root / "c").mkdir()
+        (root / "c" / "0").write_bytes(chunk)
+        arr = zarr_lite.open_zarr(str(root))
+        np.testing.assert_array_equal(arr[:], vol)
+        # flip one byte: read must fail loudly
+        bad = bytearray(chunk)
+        bad[3] ^= 0xFF
+        (root / "c" / "0").write_bytes(bytes(bad))
+        arr2 = zarr_lite.open_zarr(str(root))
+        with pytest.raises(ValueError, match="crc32c mismatch"):
+            arr2[:]
