@@ -446,6 +446,82 @@ def open_zarr(path, mode="r"):
     raise FileNotFoundError(f"no .zarray or zarr.json at {path}")
 
 
+def write_zarr3(path, array, chunks=None, codecs=None):
+    """Write a numpy array as a Zarr v3 store (zarr.json metadata).
+
+    Default codec pipeline: little-endian ``bytes`` + ``zstd`` level 5
+    (the zarr-python 3 ecosystem default); pass ``codecs=[...]`` with
+    names from bytes/gzip/zstd/blosc to override. Round-trips through
+    :class:`Zarr3Array` and is readable by zarr-python 3.
+    """
+    array = np.asarray(array)
+    chunks = tuple(chunks or (min(64, s) for s in array.shape))
+    if codecs is None:
+        codecs = [
+            {"name": "bytes", "configuration": {"endian": "little"}},
+            {"name": "zstd", "configuration": {"level": 5,
+                                               "checksum": False}},
+        ]
+    native_dt = array.dtype.newbyteorder("=")
+    meta = {
+        "zarr_format": 3,
+        "node_type": "array",
+        "shape": list(array.shape),
+        "data_type": str(native_dt.name),
+        "chunk_grid": {"name": "regular",
+                       "configuration": {"chunk_shape": list(chunks)}},
+        "chunk_key_encoding": {"name": "default",
+                               "configuration": {"separator": "/"}},
+        "fill_value": 0,
+        "codecs": codecs,
+    }
+    store = open_store(path)
+    store.put("zarr.json", json.dumps(meta).encode())
+    endian = next(
+        (c.get("configuration", {}).get("endian", "little")
+         for c in codecs if c.get("name") == "bytes"), "little",
+    )
+    order = {"little": "<", "big": ">"}[endian]
+    out_dt = (native_dt if native_dt.itemsize == 1
+              else native_dt.newbyteorder(order))
+    grid = [math.ceil(s / c) for s, c in zip(array.shape, chunks)]
+    for idx in np.ndindex(*grid):
+        block = np.zeros(chunks, array.dtype)
+        sl = tuple(
+            slice(i * c, min((i + 1) * c, s))
+            for i, c, s in zip(idx, chunks, array.shape)
+        )
+        block[tuple(slice(0, a.stop - a.start) for a in sl)] = array[sl]
+        data = block.astype(out_dt, copy=False).tobytes()
+        for c in codecs:
+            name = c.get("name")
+            conf = c.get("configuration", {}) or {}
+            if name == "bytes":
+                continue
+            if name == "gzip":
+                data = _gzip.compress(data, conf.get("level", 5))
+            elif name == "zstd":
+                from aind_exaspim_neuron_segmentation_tpu import native
+
+                data = native.zstd_compress(data, conf.get("level", 5))
+            elif name == "blosc":
+                from aind_exaspim_neuron_segmentation_tpu import native
+
+                data = native.blosc_compress(
+                    data, typesize=array.dtype.itemsize,
+                    shuffle=1 if conf.get("shuffle", "shuffle")
+                    == "shuffle" else 0,
+                )
+            elif name == "crc32c":
+                from aind_exaspim_neuron_segmentation_tpu import native
+
+                data = data + native.crc32c(data).to_bytes(4, "little")
+            else:
+                raise ValueError(f"unsupported writer codec {name!r}")
+        store.put("c/" + "/".join(str(i) for i in idx), data)
+    return path
+
+
 def open_n5(path):
     """Open an N5 dataset (the store root must hold ``attributes.json``)."""
     store = open_store(path)

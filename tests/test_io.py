@@ -704,3 +704,50 @@ class TestCrc32c:
         arr2 = zarr_lite.open_zarr(str(root))
         with pytest.raises(ValueError, match="crc32c mismatch"):
             arr2[:]
+
+
+class TestZarr3Writer:
+    @pytest.mark.parametrize("codecs", [
+        None,  # default: bytes + zstd
+        [{"name": "bytes", "configuration": {"endian": "little"}}],
+        [{"name": "bytes", "configuration": {"endian": "big"}},
+         {"name": "gzip", "configuration": {"level": 3}}],
+        [{"name": "bytes", "configuration": {"endian": "little"}},
+         {"name": "blosc", "configuration": {
+             "cname": "lz4", "clevel": 5, "shuffle": "shuffle",
+             "typesize": 4}}],
+        [{"name": "bytes", "configuration": {"endian": "little"}},
+         {"name": "zstd", "configuration": {"level": 5}},
+         {"name": "crc32c"}],
+    ])
+    def test_roundtrip(self, tmp_path, codecs):
+        from aind_exaspim_neuron_segmentation_tpu.io import zarr_lite
+
+        rng = np.random.default_rng(9)
+        vol = rng.normal(size=(20, 17, 12)).astype(np.float32)
+        path = str(tmp_path / "w3.zarr")
+        zarr_lite.write_zarr3(path, vol, chunks=(8, 8, 8), codecs=codecs)
+        arr = zarr_lite.open_zarr(path)
+        assert arr.dtype == np.float32
+        np.testing.assert_array_equal(arr[:], vol)
+
+    def test_predict_reads_v3_store(self, tmp_path):
+        """The flagship pipeline consumes a v3 store lazily."""
+        import jax
+
+        from aind_exaspim_neuron_segmentation_tpu import inference
+        from aind_exaspim_neuron_segmentation_tpu.io import zarr_lite
+
+        rng = np.random.default_rng(10)
+        vol = rng.integers(0, 1500, (32, 32, 20)).astype(np.uint16)
+        path = str(tmp_path / "v3vol.zarr")
+        zarr_lite.write_zarr3(path, vol, chunks=(16, 16, 16))
+        lazy = zarr_lite.open_zarr(path)
+        runner = inference.load_model(
+            width_multiplier=0.25, dtype=jax.numpy.float32
+        )
+        kw = dict(patch_shape=(16, 16, 16), overlap=(8, 8, 4), trim=2,
+                  batch_size=4, verbose=False)
+        want = inference.predict(vol, runner, **kw)
+        got = inference.predict(lazy, runner, **kw)
+        np.testing.assert_allclose(got, want, atol=1e-6)
