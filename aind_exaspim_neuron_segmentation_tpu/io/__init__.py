@@ -11,6 +11,7 @@ from aind_exaspim_neuron_segmentation_tpu.io.zarr_lite import (  # noqa: F401
     open_zarr,
     write_n5,
     write_zarr,
+    write_zarr3,
 )
 from aind_exaspim_neuron_segmentation_tpu.io.tiff_lite import (  # noqa: F401
     read_tiff,
