@@ -287,10 +287,6 @@ def _decode_v3(data, bytes_codecs, nbytes):
         elif name == "blosc":
             from aind_exaspim_neuron_segmentation_tpu import native
 
-            if conf.get("shuffle") == "bitshuffle":
-                raise ValueError(
-                    "blosc bit-shuffle is not supported by this build"
-                )
             data = native.blosc_decompress(data)
     return data
 

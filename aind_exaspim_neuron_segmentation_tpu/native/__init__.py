@@ -70,7 +70,7 @@ _BLOSC_ERRORS = {
     -2: "destination buffer too small",
     -3: "corrupt blosc chunk",
     -4: "unsupported blosc inner codec (blosclz/snappy)",
-    -5: "blosc bit-shuffle is not supported by this build",
+    -5: "blosc bit-shuffle decode error",
     -6: "unsupported blosc format version",
 }
 
@@ -148,12 +148,12 @@ def crc32c(data):
 def blosc_compress(data, typesize=1, shuffle=1):
     """Encode bytes as a Blosc1 chunk (inner LZ4, optional byte shuffle).
 
-    ``shuffle``: 0 = none, 1 = byte shuffle (numcodecs.Blosc codes;
-    2 = bit shuffle is rejected). The output decodes under libblosc
-    and under :func:`blosc_decompress`.
+    ``shuffle``: numcodecs.Blosc codes -- 0 = none, 1 = byte shuffle,
+    2 = bit shuffle. The output decodes under libblosc and under
+    :func:`blosc_decompress`.
     """
-    if shuffle not in (0, 1):
-        raise ValueError("shuffle must be 0 (none) or 1 (byte shuffle)")
+    if shuffle not in (0, 1, 2):
+        raise ValueError("shuffle must be 0 (none), 1 (byte), 2 (bit)")
     lib = _lib()
     data = bytes(data)
     n = len(data)

@@ -101,6 +101,59 @@ void unshuffle_block(const uint8_t* src, uint8_t* dest, int64_t size,
   std::memcpy(dest + n * typesize, src + n * typesize, size - n * typesize);
 }
 
+// ------------------------------------------------------------- bitshuffle
+
+// Bit-transpose of one block (bitshuffle semantics as embedded in
+// c-blosc): the body (size rounded down to a multiple of typesize*8
+// bytes) transposes exactly; the tail is copied verbatim. Layout:
+// output plane (j, b) holds bit b of byte j of every element, packed
+// by element order. Bit order pinned against the system libblosc
+// oracle in tests/test_blosc.py.
+void bitshuffle_block(const uint8_t* src, uint8_t* dest, int64_t size,
+                      int typesize) {
+  const int64_t unit = int64_t(typesize) * 8;
+  const int64_t n_elem = (size / unit) * 8;  // elements in the body
+  const int64_t body = n_elem * typesize;
+  const int64_t groups = n_elem / 8;
+  for (int j = 0; j < typesize; ++j) {
+    for (int b = 0; b < 8; ++b) {
+      uint8_t* out_plane = dest + (int64_t(j) * 8 + b) * groups;
+      for (int64_t g = 0; g < groups; ++g) {
+        uint8_t o = 0;
+        const uint8_t* base = src + (g * 8) * typesize + j;
+        for (int t = 0; t < 8; ++t) {
+          o = uint8_t(o | (((base[t * typesize] >> b) & 1) << t));
+        }
+        out_plane[g] = o;
+      }
+    }
+  }
+  std::memcpy(dest + body, src + body, size - body);
+}
+
+void bitunshuffle_block(const uint8_t* src, uint8_t* dest, int64_t size,
+                        int typesize) {
+  const int64_t unit = int64_t(typesize) * 8;
+  const int64_t n_elem = (size / unit) * 8;
+  const int64_t body = n_elem * typesize;
+  const int64_t groups = n_elem / 8;
+  std::memset(dest, 0, size_t(body));
+  for (int j = 0; j < typesize; ++j) {
+    for (int b = 0; b < 8; ++b) {
+      const uint8_t* in_plane = src + (int64_t(j) * 8 + b) * groups;
+      for (int64_t g = 0; g < groups; ++g) {
+        const uint8_t o = in_plane[g];
+        uint8_t* base = dest + (g * 8) * typesize + j;
+        for (int t = 0; t < 8; ++t) {
+          base[t * typesize] =
+              uint8_t(base[t * typesize] | (((o >> t) & 1) << b));
+        }
+      }
+    }
+  }
+  std::memcpy(dest + body, src + body, size - body);
+}
+
 // ------------------------------------------------------------------- LZ4
 
 // LZ4 block-format decoder (safe: every read/write bounds-checked).
@@ -295,7 +348,6 @@ EXA_API int64_t exa_blosc_decompress(const uint8_t* src, int64_t srclen,
     std::memcpy(dest, src + kHeaderSize, size_t(nbytes));
     return nbytes;
   }
-  if (flags & kFlagBitShuffle) return kErrBitShuffle;
   if (blocksize <= 0) return kErrCorrupt;
 
   const int codec = (flags >> 5) & 0x7;
@@ -306,14 +358,16 @@ EXA_API int64_t exa_blosc_decompress(const uint8_t* src, int64_t srclen,
 
   std::vector<uint8_t> tmp;
   const bool shuffled = (flags & kFlagShuffle) && typesize > 1;
-  if (shuffled) tmp.resize(size_t(blocksize));
+  const bool bitshuffled = (flags & kFlagBitShuffle) != 0;
+  if (shuffled || bitshuffled) tmp.resize(size_t(blocksize));
 
   for (int64_t b = 0; b < nblocks; ++b) {
     const bool is_leftover = (b == nblocks - 1) && leftover != 0;
     const int64_t bsize = is_leftover ? leftover : blocksize;
     int64_t off = load_le32(bstarts + 4 * b);
     if (off < 0 || off > srclen) return kErrCorrupt;
-    uint8_t* block_dest = shuffled ? tmp.data() : dest + b * blocksize;
+    uint8_t* block_dest =
+        (shuffled || bitshuffled) ? tmp.data() : dest + b * blocksize;
 
     const int nsplits = nsplits_for(flags, typesize, blocksize, is_leftover);
     const int64_t neblock = bsize / nsplits;
@@ -331,8 +385,21 @@ EXA_API int64_t exa_blosc_decompress(const uint8_t* src, int64_t srclen,
       }
       off += csize;
     }
-    if (shuffled)
+    if (shuffled) {
       unshuffle_block(tmp.data(), dest + b * blocksize, bsize, typesize);
+    } else if (bitshuffled) {
+      // c-blosc skips the bit transpose for blocks under
+      // BLOSC_MIN_BUFFERSIZE or whose element count is not a multiple
+      // of 8 (oracle-pinned, tests/test_blosc.py); the ragged tail
+      // past the last full 8-element group is copied verbatim.
+      const int64_t n_el = bsize / typesize;
+      if (bsize >= kMinBufferSize && n_el % 8 == 0) {
+        bitunshuffle_block(tmp.data(), dest + b * blocksize, bsize,
+                           typesize);
+      } else {
+        std::memcpy(dest + b * blocksize, tmp.data(), size_t(bsize));
+      }
+    }
   }
   return nbytes;
 }
@@ -354,14 +421,16 @@ EXA_API int64_t exa_blosc_compress(const uint8_t* src, int64_t nbytes,
   if (blocksize > unit) blocksize -= blocksize % unit;
   if (blocksize <= 0) blocksize = nbytes > 0 ? nbytes : 1;
 
-  const bool shuffle = doshuffle != 0 && typesize > 1;
+  const bool shuffle = doshuffle == 1 && typesize > 1;
+  const bool bitshuffle = doshuffle == 2;
   const int64_t nblocks =
       nbytes == 0 ? 0 : (nbytes + blocksize - 1) / blocksize;
 
   uint8_t* header = dest;
   header[0] = 2;  // format version
   header[1] = 1;  // lz4 codec format version
-  header[2] = uint8_t((shuffle ? kFlagShuffle : 0) | kFlagDontSplit |
+  header[2] = uint8_t((shuffle ? kFlagShuffle : 0) |
+                      (bitshuffle ? kFlagBitShuffle : 0) | kFlagDontSplit |
                       (1 << 5));  // lz4
   header[3] = uint8_t(typesize);
   store_le32(header + 4, uint32_t(nbytes));
@@ -369,7 +438,8 @@ EXA_API int64_t exa_blosc_compress(const uint8_t* src, int64_t nbytes,
 
   uint8_t* bstarts = dest + kHeaderSize;
   int64_t off = kHeaderSize + 4 * nblocks;
-  std::vector<uint8_t> tmp(shuffle ? size_t(blocksize) : 0);
+  std::vector<uint8_t> tmp(
+      (shuffle || bitshuffle) ? size_t(blocksize) : 0);
 
   for (int64_t b = 0; b < nblocks; ++b) {
     const int64_t bsize = std::min(blocksize, nbytes - b * blocksize);
@@ -377,6 +447,12 @@ EXA_API int64_t exa_blosc_compress(const uint8_t* src, int64_t nbytes,
     if (shuffle) {
       shuffle_block(block_src, tmp.data(), bsize, typesize);
       block_src = tmp.data();
+    } else if (bitshuffle) {
+      const int64_t n_el = bsize / typesize;
+      if (bsize >= kMinBufferSize && n_el % 8 == 0) {
+        bitshuffle_block(block_src, tmp.data(), bsize, typesize);
+        block_src = tmp.data();
+      }
     }
     if (off + 4 + bsize > destcap) return kErrDestSize;
     store_le32(bstarts + 4 * b, uint32_t(off));

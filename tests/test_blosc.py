@@ -2,7 +2,8 @@
 
 The reference reads AIND zarr stores through numcodecs, whose default
 compressor is Blosc(cname='lz4', clevel=5, shuffle=SHUFFLE) (reference
-utils/img_util.py:53-75). These tests pin the in-tree decoder/encoder
+utils/img_util.py:53-75); BITSHUFFLE appears in ome-zarr writers. These
+tests pin the in-tree decoder/encoder
 (native/src/blosc_lite.cpp) against the real c-blosc implementation that
 happens to be baked into this image -- used strictly as a test oracle,
 never on the production path.
@@ -82,15 +83,17 @@ class TestRoundTrip:
             c = native.blosc_compress(raw, typesize=ts, shuffle=shuffle)
             assert native.blosc_decompress(c) == raw
 
-    def test_bitshuffle_rejected(self):
-        with pytest.raises(ValueError):
-            native.blosc_compress(b"abcd" * 100, typesize=4, shuffle=2)
+    def test_bitshuffle_roundtrip(self):
+        raw = _payload(300_000)
+        for ts in (1, 2, 4, 8):
+            c = native.blosc_compress(raw, typesize=ts, shuffle=2)
+            assert native.blosc_decompress(c) == raw
 
 
 @needs_oracle
 class TestOracleConformance:
     @pytest.mark.parametrize("cname", [b"lz4", b"lz4hc", b"zstd", b"zlib"])
-    @pytest.mark.parametrize("shuffle", [0, 1])
+    @pytest.mark.parametrize("shuffle", [0, 1, 2])
     @pytest.mark.parametrize("typesize", [1, 2, 4, 8])
     def test_decode_system_chunks(self, cname, shuffle, typesize):
         """Every (codec, shuffle, typesize) the pipeline can meet decodes
@@ -117,9 +120,19 @@ class TestOracleConformance:
 
     def test_system_decodes_our_chunks(self):
         raw = _payload(250_000, seed=3)
-        for shuffle, ts in ((0, 1), (1, 4), (1, 8)):
+        for shuffle, ts in ((0, 1), (1, 4), (1, 8), (2, 2), (2, 4)):
             c = native.blosc_compress(raw, typesize=ts, shuffle=shuffle)
             assert oracle_decompress(c, len(raw)) == raw
+
+    @pytest.mark.parametrize("ts,n", [(2, 130), (8, 516), (4, 100),
+                                      (4, 131072 + 77)])
+    def test_bitshuffle_ragged_blocks(self, ts, n):
+        """c-blosc skips the bit transpose for blocks < 128 bytes or
+        with a non-multiple-of-8 element count (oracle-pinned rule);
+        ragged tails copy verbatim."""
+        raw = _payload(n, seed=n)
+        chunk = oracle_compress(raw, shuffle=2, typesize=ts)
+        assert native.blosc_decompress(chunk) == raw
 
     def test_blosclz_rejected_clearly(self):
         raw = _payload(100_000)
