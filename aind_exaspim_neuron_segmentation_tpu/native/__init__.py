@@ -69,7 +69,7 @@ _BLOSC_ERRORS = {
     -1: "truncated blosc chunk",
     -2: "destination buffer too small",
     -3: "corrupt blosc chunk",
-    -4: "unsupported blosc inner codec (blosclz/snappy)",
+    -4: "unsupported blosc inner codec (snappy)",
     -5: "blosc bit-shuffle decode error",
     -6: "unsupported blosc format version",
 }

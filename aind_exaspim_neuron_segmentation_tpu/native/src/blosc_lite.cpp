@@ -25,9 +25,9 @@
 //   else 1.  Shuffling (byte transpose) is applied per block.
 //
 // Inner codecs: LZ4 block format is implemented in-tree below (decode +
-// a greedy encoder); zlib and zstd streams are delegated to the system
-// libz / libzstd (baked into this image).  blosclz / snappy / bitshuffle
-// are rejected with distinct error codes so callers can report clearly.
+// a greedy encoder) along with a blosclz 2.x decoder and full
+// byte-/bit-shuffle; zlib and zstd streams are delegated to the system
+// libz / libzstd (baked into this image). Only snappy is rejected.
 //
 // Conformance is tested against the system libblosc 1.21 oracle
 // (tests/test_blosc.py): system-compressed chunks across codecs,
@@ -152,6 +152,63 @@ void bitunshuffle_block(const uint8_t* src, uint8_t* dest, int64_t size,
     }
   }
   std::memcpy(dest + body, src + body, size - body);
+}
+
+// --------------------------------------------------------------- blosclz
+
+// blosclz 2.x decoder (c-blosc's default inner codec, cname='blosclz').
+// Token stream: ctrl < 32 -> literal run of ctrl+1 bytes; else a match
+// of length (ctrl >> 5) + 2 (7 -> extended by 255-continuation bytes)
+// at distance ((ctrl & 31) << 8 | next) + 1, with the 31/255 pattern
+// escaping to a 16-bit far distance + MAX_DISTANCE offset. Verified
+// against the libblosc oracle across clevels (tests/test_blosc.py).
+int64_t blosclz_decompress(const uint8_t* src, int64_t srclen,
+                           uint8_t* dest, int64_t destcap) {
+  const uint8_t* ip = src;
+  const uint8_t* iend = src + srclen;
+  uint8_t* op = dest;
+  uint8_t* oend = dest + destcap;
+  if (ip >= iend) return 0;
+  uint32_t ctrl = *ip++ & 0x1f;  // first token is always a literal run
+  while (true) {
+    if (ctrl >= 32) {
+      int64_t len = (ctrl >> 5) - 1;
+      int64_t ofs = int64_t(ctrl & 0x1f) << 8;
+      if (len == 7 - 1) {
+        uint8_t code;
+        do {
+          if (ip >= iend) return kErrTruncated;
+          code = *ip++;
+          len += code;
+        } while (code == 255);
+      }
+      if (ip >= iend) return kErrTruncated;
+      uint8_t code = *ip++;
+      len += 3;
+      ofs += code;
+      if (code == 255 && (ctrl & 0x1f) == 0x1f) {
+        // far match: explicit 16-bit distance + MAX_DISTANCE
+        if (ip + 2 > iend) return kErrTruncated;
+        ofs = (int64_t(ip[0]) << 8) | ip[1];
+        ip += 2;
+        ofs += 8191;  // MAX_DISTANCE = 8191
+      }
+      const int64_t dist = ofs + 1;
+      if (op - dest < dist || op + len > oend) return kErrCorrupt;
+      const uint8_t* ref = op - dist;
+      for (int64_t i = 0; i < len; ++i) op[i] = ref[i];  // may overlap
+      op += len;
+    } else {
+      int64_t run = int64_t(ctrl) + 1;
+      if (ip + run > iend || op + run > oend) return kErrTruncated;
+      std::memcpy(op, ip, size_t(run));
+      ip += run;
+      op += run;
+    }
+    if (ip >= iend) break;
+    ctrl = *ip++;
+  }
+  return op - dest;
 }
 
 // ------------------------------------------------------------------- LZ4
@@ -282,6 +339,10 @@ int64_t lz4_compress(const uint8_t* src, int64_t n, uint8_t* dest,
 int64_t inner_decompress(int codec, const uint8_t* src, int64_t srclen,
                          uint8_t* dest, int64_t destlen) {
   switch (codec) {
+    case 0: {  // blosclz
+      int64_t r = blosclz_decompress(src, srclen, dest, destlen);
+      return r == destlen ? r : (r < 0 ? r : kErrCorrupt);
+    }
     case 1: {  // lz4 / lz4hc
       int64_t r = lz4_decompress(src, srclen, dest, destlen);
       return r == destlen ? r : (r < 0 ? r : kErrCorrupt);
@@ -299,7 +360,7 @@ int64_t inner_decompress(int codec, const uint8_t* src, int64_t srclen,
       return destlen;
     }
     default:
-      return kErrCodec;  // blosclz(0), snappy(2), unknown
+      return kErrCodec;  // snappy(2), unknown
   }
 }
 

@@ -134,11 +134,29 @@ class TestOracleConformance:
         chunk = oracle_compress(raw, shuffle=2, typesize=ts)
         assert native.blosc_decompress(chunk) == raw
 
-    def test_blosclz_rejected_clearly(self):
-        raw = _payload(100_000)
-        chunk = oracle_compress(raw, cname=b"blosclz")
+    @pytest.mark.parametrize("clevel", [1, 5, 9])
+    @pytest.mark.parametrize("shuffle", [0, 1, 2])
+    def test_decode_blosclz(self, clevel, shuffle):
+        """c-blosc's default cname decodes bit-exactly (token stream
+        incl. 255-extended lengths and 16-bit far matches)."""
+        raw = _payload(400_000, seed=11)
+        chunk = oracle_compress(raw, cname=b"blosclz", clevel=clevel,
+                                shuffle=shuffle, typesize=4)
+        assert native.blosc_decompress(chunk) == raw
+
+    def test_decode_blosclz_small(self):
+        for n in (1, 100, 5000, 131072 + 77):
+            raw = _payload(n, np.uint16, seed=n)
+            chunk = oracle_compress(raw, cname=b"blosclz", typesize=2)
+            assert native.blosc_decompress(chunk) == raw
+
+    def test_snappy_rejected_clearly(self):
+        """snappy is the one remaining unsupported inner codec; reject
+        with a clear message (hand-built header: codec id 2)."""
+        chunk = bytearray(oracle_compress(_payload(100_000)))
+        chunk[2] = (chunk[2] & 0x1F) | (2 << 5)  # rewrite codec bits
         with pytest.raises(ValueError, match="inner codec"):
-            native.blosc_decompress(chunk)
+            native.blosc_decompress(bytes(chunk))
 
 
 class TestZarrBlosc:
