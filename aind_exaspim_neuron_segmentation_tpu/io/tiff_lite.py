@@ -171,8 +171,16 @@ class _Page:
         return base if self.samples == 1 else base + (self.samples,)
 
     def _undo_predictor(self, arr):
+        # TIFF 6.0 predictor 2 differences per sample: with contiguous
+        # multi-sample rows the cumsum must run over the width axis only,
+        # not across interleaved channels.
         if self.predictor == 2:
-            np.cumsum(arr, axis=1, dtype=arr.dtype, out=arr)
+            if self.samples > 1:
+                rows = arr.shape[0]
+                v = arr.reshape(rows, -1, self.samples)
+                np.cumsum(v, axis=1, dtype=arr.dtype, out=v)
+            else:
+                np.cumsum(arr, axis=1, dtype=arr.dtype, out=arr)
         elif self.predictor != 1:
             raise ValueError(f"unsupported predictor {self.predictor}")
         return arr

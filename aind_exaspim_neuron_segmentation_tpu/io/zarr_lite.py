@@ -503,10 +503,16 @@ def write_zarr3(path, array, chunks=None, codecs=None):
             elif name == "blosc":
                 from aind_exaspim_neuron_segmentation_tpu import native
 
+                shuf_name = conf.get("shuffle", "shuffle")
+                shuf = {"noshuffle": 0, "shuffle": 1, "bitshuffle": 2}.get(
+                    shuf_name
+                )
+                if shuf is None:
+                    raise ValueError(
+                        f"unsupported blosc shuffle {shuf_name!r}"
+                    )
                 data = native.blosc_compress(
-                    data, typesize=array.dtype.itemsize,
-                    shuffle=1 if conf.get("shuffle", "shuffle")
-                    == "shuffle" else 0,
+                    data, typesize=array.dtype.itemsize, shuffle=shuf,
                 )
             elif name == "crc32c":
                 from aind_exaspim_neuron_segmentation_tpu import native

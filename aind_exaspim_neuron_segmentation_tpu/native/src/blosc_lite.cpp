@@ -239,9 +239,11 @@ int64_t lz4_decompress(const uint8_t* src, int64_t srclen, uint8_t* dest,
     if (ip >= iend) break;  // last sequence: literals only
     // match
     if (ip + 2 > iend) return kErrTruncated;
-    const int64_t offset = load_le32(ip - 2) >> 16;  // avoid: read 2 bytes
+    // Read the 2-byte little-endian offset directly; a wide load at
+    // ip - 2 would touch one byte before the buffer when the first
+    // sequence has zero literals.
+    const int64_t off = int64_t(ip[0]) | (int64_t(ip[1]) << 8);
     ip += 2;
-    const int64_t off = offset & 0xffff;
     if (off == 0 || op - dest < off) return kErrCorrupt;
     int64_t matchlen = (token & 15) + 4;
     if ((token & 15) == 15) {

@@ -384,6 +384,49 @@ class TestTiffLite:
         got = tiff_lite.read_tiff(buf)
         np.testing.assert_array_equal(got, vol)
 
+    def test_predictor2_multisample(self, tmp_path):
+        """Predictor=2 with contiguous RGB samples: TIFF 6.0 differences
+        per sample, so the undo must not mix interleaved channels."""
+        import struct
+        import zlib
+
+        from aind_exaspim_neuron_segmentation_tpu.io import tiff_lite
+
+        rng = np.random.default_rng(11)
+        vol = rng.integers(0, 255, (5, 7, 3)).astype(np.uint8)
+        diff = vol.copy()
+        diff[:, 1:, :] = (vol[:, 1:, :].astype(np.int64)
+                          - vol[:, :-1, :].astype(np.int64)).astype(np.uint8)
+        payload = zlib.compress(diff.tobytes())
+
+        def entry(tag, typ, count, value):
+            fmt = {3: "H", 4: "I"}[typ]
+            raw = struct.pack("<HHI", tag, typ, count)
+            return raw + struct.pack("<" + fmt, value).ljust(4, b"\0")
+
+        data_off = 8
+        ifd_off = data_off + len(payload) + (len(payload) % 2)
+        tags = [
+            entry(256, 4, 1, vol.shape[1]),
+            entry(257, 4, 1, vol.shape[0]),
+            entry(258, 3, 1, 8),
+            entry(259, 3, 1, 8),        # deflate
+            entry(262, 3, 1, 2),        # RGB
+            entry(273, 4, 1, data_off),
+            entry(277, 3, 1, 3),        # samples per pixel
+            entry(278, 4, 1, vol.shape[0]),
+            entry(279, 4, 1, len(payload)),
+            entry(284, 3, 1, 1),        # contiguous planar config
+            entry(317, 3, 1, 2),        # predictor: horizontal diff
+            entry(339, 3, 1, 1),
+        ]
+        buf = b"II" + struct.pack("<HI", 42, ifd_off)
+        buf += payload + b"\0" * (len(payload) % 2)
+        buf += struct.pack("<H", len(tags)) + b"".join(tags)
+        buf += struct.pack("<I", 0)
+        got = tiff_lite.read_tiff(buf)
+        np.testing.assert_array_equal(got, vol)
+
     def test_tiled_layout(self, tmp_path):
         """Hand-built tiled TIFF (libtiff tile layout, 16x16 tiles)."""
         import struct
@@ -719,6 +762,10 @@ class TestZarr3Writer:
         [{"name": "bytes", "configuration": {"endian": "little"}},
          {"name": "zstd", "configuration": {"level": 5}},
          {"name": "crc32c"}],
+        [{"name": "bytes", "configuration": {"endian": "little"}},
+         {"name": "blosc", "configuration": {
+             "cname": "lz4", "clevel": 5, "shuffle": "bitshuffle",
+             "typesize": 4}}],
     ])
     def test_roundtrip(self, tmp_path, codecs):
         from aind_exaspim_neuron_segmentation_tpu.io import zarr_lite
