@@ -1,4 +1,13 @@
-"""Pallas TPU kernel: fused overlap-blend scatter-accumulate.
+"""EXPERIMENTAL -- not on any production path.
+
+Pallas TPU kernel: fused overlap-blend scatter-accumulate. Compiled-TPU
+use is blocked by a Mosaic constraint (HBM DMA slices need provably
+128-lane-aligned last-dim offsets, and the blend writes at arbitrary
+``start + trim`` offsets); aligned widened-window workarounds cost ~3x
+the HBM traffic of XLA's dynamic-update-slice loop, so
+:mod:`..stitch` (XLA) is the production path (see BASELINE.md "Pallas
+kernel findings"). Kept here, interpreter-validated, as the starting
+point for a future aligned variant on full-bandwidth hardware.
 
 Replaces the XLA ``fori_loop`` of paired dynamic_slice /
 dynamic_update_slice in :mod:`.stitch` with one kernel that walks the
@@ -72,10 +81,10 @@ def pallas_scatter_batch(acc, probs, starts, *, trim, interpret=False):
         num_scalar_prefetch=1,
         grid=(batch,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
         scratch_shapes=[
             pltpu.VMEM((1,) + core, jnp.float32),
             pltpu.VMEM((1,) + core, jnp.float32),

@@ -4,7 +4,7 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from aind_exaspim_neuron_segmentation_tpu.ops.pallas_stitch import (
+from aind_exaspim_neuron_segmentation_tpu.ops.experimental.pallas_stitch import (
     pallas_scatter_batch,
 )
 from aind_exaspim_neuron_segmentation_tpu.ops.stitch import scatter_batch
