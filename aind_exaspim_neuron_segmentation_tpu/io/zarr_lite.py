@@ -51,6 +51,50 @@ def _decompress(data, compressor):
     )
 
 
+_SUPPORTED_FILTERS = ("delta", "fixedscaleoffset", "astype", "quantize")
+
+
+def _filter_decode(conf, buf):
+    """Undo one numcodecs array-to-array filter (decode direction).
+
+    Semantics match numcodecs' Delta / FixedScaleOffset / AsType /
+    Quantize codecs (the filter chains common in AIND/OME zarr v2
+    stores the reference opens via ``zarr.open``,
+    reference utils/img_util.py:53-75). ``buf`` is bytes or an ndarray
+    from the next filter's decode; returns a 1-D ndarray in this
+    filter's output dtype.
+    """
+    if isinstance(buf, np.ndarray):
+        buf = buf.tobytes()
+    fid = conf.get("id")
+    if fid == "delta":
+        dtype = np.dtype(conf["dtype"])
+        astype = np.dtype(conf.get("astype") or dtype)
+        enc = np.frombuffer(buf, astype)
+        dec = np.empty(enc.shape, dtype)
+        np.cumsum(enc, out=dec)
+        return dec
+    if fid == "fixedscaleoffset":
+        dtype = np.dtype(conf["dtype"])
+        astype = np.dtype(conf.get("astype") or dtype)
+        enc = np.frombuffer(buf, astype)
+        dec = enc / conf["scale"] + conf["offset"]
+        return dec.astype(dtype)
+    if fid == "astype":
+        enc = np.frombuffer(buf, np.dtype(conf["encode_dtype"]))
+        return enc.astype(np.dtype(conf["decode_dtype"]))
+    if fid == "quantize":
+        # encode does the rounding; decode is a pure dtype cast
+        dtype = np.dtype(conf["dtype"])
+        astype = np.dtype(conf.get("astype") or dtype)
+        return np.frombuffer(buf, astype).astype(dtype)
+    raise ValueError(
+        f"unsupported zarr filter {fid!r}: this build decodes "
+        f"{'/'.join(_SUPPORTED_FILTERS)} chains (numcodecs is not "
+        "installed)"
+    )
+
+
 def _compress(data, compressor):
     if compressor is None:
         return data
@@ -169,12 +213,14 @@ class ZarrArray(LazyArray):
         self.fill_value = meta.get("fill_value", 0) or 0
         self.order = meta.get("order", "C")
         self.sep = meta.get("dimension_separator", ".")
-        if meta.get("filters"):
-            raise ValueError(
-                f"unsupported zarr filters {meta['filters']!r}: this "
-                "build decodes compressor-only stores (numcodecs is not "
-                "installed)"
-            )
+        self.filters = list(meta.get("filters") or [])
+        for f in self.filters:
+            if f.get("id") not in _SUPPORTED_FILTERS:
+                raise ValueError(
+                    f"unsupported zarr filter {f.get('id')!r}: this "
+                    f"build decodes {'/'.join(_SUPPORTED_FILTERS)} "
+                    "chains (numcodecs is not installed)"
+                )
 
     def _chunk(self, idx):
         key = self.sep.join(str(i) for i in idx)
@@ -183,7 +229,12 @@ class ZarrArray(LazyArray):
         if data is None:
             return np.full(cshape, self.fill_value, self.dtype)
         raw = _decompress(data, self.compressor)
-        arr = np.frombuffer(raw, dtype=self.dtype)
+        # filters applied in listed order at encode time: undo reversed
+        for conf in reversed(self.filters):
+            raw = _filter_decode(conf, raw)
+        arr = np.frombuffer(raw, dtype=self.dtype) \
+            if not isinstance(raw, np.ndarray) else raw.astype(
+                self.dtype, copy=False)
         return arr.reshape(cshape, order=self.order)
 
 

@@ -200,16 +200,103 @@ class TestDispatchSubpaths:
         vio.write_n5(sub, vol)
         np.testing.assert_array_equal(vio.read(sub)[:], vol)
 
-    def test_filters_raise(self, tmp_path, vol):
+    def test_unknown_filter_raises(self, tmp_path, vol):
         import json as _json
 
         path = tmp_path / "f.zarr"
         vio.write_zarr(str(path), vol)
         meta = _json.loads((path / ".zarray").read_text())
-        meta["filters"] = [{"id": "delta", "dtype": "<u2"}]
+        meta["filters"] = [{"id": "packbits"}]
         (path / ".zarray").write_text(_json.dumps(meta))
-        with pytest.raises(ValueError, match="filters"):
+        with pytest.raises(ValueError, match="filter"):
             vio.read(str(path))
+
+    @staticmethod
+    def _encode_filter(conf, arr):
+        """numcodecs-semantics encoder for fixture stores."""
+        fid = conf["id"]
+        flat = arr.reshape(-1)
+        if fid == "delta":
+            astype = np.dtype(conf.get("astype") or conf["dtype"])
+            enc = np.empty(flat.shape, astype)
+            enc[0] = flat[0]
+            np.subtract(flat[1:], flat[:-1], out=enc[1:], casting="unsafe")
+            return enc
+        if fid == "fixedscaleoffset":
+            astype = np.dtype(conf.get("astype") or conf["dtype"])
+            enc = (flat - conf["offset"]) * conf["scale"]
+            return np.around(enc).astype(astype)
+        if fid == "astype":
+            return flat.astype(np.dtype(conf["encode_dtype"]))
+        if fid == "quantize":
+            astype = np.dtype(conf.get("astype") or conf["dtype"])
+            precision = 10.0 ** -conf["digits"]
+            exp = np.floor(np.log10(precision))
+            bits = np.ceil(np.log2(10.0 ** -exp))
+            scale = 2.0 ** bits
+            return (np.around(scale * flat) / scale).astype(astype)
+        raise AssertionError(fid)
+
+    def _filtered_store(self, tmp_path, data, filters, zdtype):
+        """Hand-build a single-chunk zlib v2 store with a filter chain."""
+        import json as _json
+        import zlib
+
+        path = tmp_path / "filt.zarr"
+        path.mkdir()
+        enc = np.asarray(data)
+        for conf in filters:
+            enc = self._encode_filter(conf, enc)
+        (path / ".zarray").write_text(_json.dumps({
+            "zarr_format": 2, "shape": list(data.shape),
+            "chunks": list(data.shape), "dtype": zdtype,
+            "compressor": {"id": "zlib", "level": 1},
+            "fill_value": 0, "order": "C", "filters": filters,
+        }))
+        key = ".".join("0" for _ in data.shape)
+        (path / key).write_bytes(zlib.compress(enc.tobytes()))
+        return str(path)
+
+    def test_delta_filter(self, tmp_path):
+        rng = np.random.default_rng(3)
+        data = rng.integers(0, 5000, (6, 7, 8)).astype("<u2")
+        path = self._filtered_store(
+            tmp_path, data,
+            [{"id": "delta", "dtype": "<u2", "astype": "<i4"}], "<u2",
+        )
+        np.testing.assert_array_equal(vio.read(path)[:], data)
+
+    def test_fixedscaleoffset_filter(self, tmp_path):
+        rng = np.random.default_rng(4)
+        data = np.around(
+            1000 + 50 * rng.standard_normal((5, 6)), 2
+        ).astype("<f8")
+        conf = {"id": "fixedscaleoffset", "offset": 1000, "scale": 100,
+                "dtype": "<f8", "astype": "<i2"}
+        path = self._filtered_store(tmp_path, data, [conf], "<f8")
+        got = vio.read(path)[:]
+        np.testing.assert_allclose(got, data, atol=0.5 / 100)
+
+    def test_astype_and_delta_chain(self, tmp_path):
+        """Two filters in sequence: decode must run reversed."""
+        rng = np.random.default_rng(5)
+        data = rng.integers(0, 200, (4, 9)).astype("<i4")
+        chain = [
+            {"id": "delta", "dtype": "<i4", "astype": "<i4"},
+            {"id": "astype", "encode_dtype": "<i2",
+             "decode_dtype": "<i4"},
+        ]
+        path = self._filtered_store(tmp_path, data, chain, "<i4")
+        np.testing.assert_array_equal(vio.read(path)[:], data)
+
+    def test_quantize_filter(self, tmp_path):
+        rng = np.random.default_rng(6)
+        data = rng.standard_normal((3, 4, 5)).astype("<f8")
+        conf = {"id": "quantize", "digits": 3, "dtype": "<f8",
+                "astype": "<f4"}
+        path = self._filtered_store(tmp_path, data, [conf], "<f8")
+        got = vio.read(path)[:]
+        np.testing.assert_allclose(got, data, atol=1e-3)
 
     def test_int_index_bounds(self, tmp_path, vol):
         path = str(tmp_path / "b.zarr")
