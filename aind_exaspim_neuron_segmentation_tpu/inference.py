@@ -52,6 +52,7 @@ class ModelRunner:
 
     @property
     def output_channels(self):
+        """Number of prediction channels (3 affinity or 1 mask)."""
         return self.module.output_channels
 
     def __call__(self, x):

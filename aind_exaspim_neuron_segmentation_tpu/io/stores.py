@@ -17,6 +17,7 @@ class LocalStore:
         self.root = root
 
     def get(self, key):
+        """Return the bytes at ``key`` or None when absent."""
         path = os.path.join(self.root, key)
         if not os.path.exists(path):
             return None
@@ -24,12 +25,14 @@ class LocalStore:
             return f.read()
 
     def put(self, key, data):
+        """Write ``data`` at ``key``, creating parent directories."""
         path = os.path.join(self.root, key)
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         with open(path, "wb") as f:
             f.write(data)
 
     def exists(self, key):
+        """True when ``key`` is present in the store."""
         return os.path.exists(os.path.join(self.root, key))
 
 
@@ -49,6 +52,7 @@ class FsspecStore:
             return f.read()
 
     def get(self, key):
+        """Return the bytes at ``key`` or None when absent (with retry)."""
         from aind_exaspim_neuron_segmentation_tpu.utils.retry import retry
 
         path = f"{self.root}/{key}"
@@ -62,11 +66,13 @@ class FsspecStore:
             f.write(data)
 
     def put(self, key, data):
+        """Write ``data`` at ``key`` on the remote filesystem (with retry)."""
         from aind_exaspim_neuron_segmentation_tpu.utils.retry import retry
 
         retry(self._write, f"{self.root}/{key}", data)
 
     def exists(self, key):
+        """True when ``key`` is present on the remote filesystem."""
         return self.fs.exists(f"{self.root}/{key}")
 
 

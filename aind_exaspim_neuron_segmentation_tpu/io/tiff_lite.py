@@ -167,6 +167,7 @@ class _Page:
 
     @property
     def shape(self):
+        """Page shape: (H, W) or (H, W, samples)."""
         base = (self.length, self.width)
         return base if self.samples == 1 else base + (self.samples,)
 
@@ -186,6 +187,7 @@ class _Page:
         return arr
 
     def read(self, buf):
+        """Decode this page from the file buffer into an ndarray."""
         item = self.dtype.itemsize * self.samples
         if not self.tiled:
             rows = []
@@ -302,6 +304,7 @@ class TiffStack:
 
     @property
     def ndim(self):
+        """Number of stack dimensions."""
         return len(self.shape)
 
     def __len__(self):

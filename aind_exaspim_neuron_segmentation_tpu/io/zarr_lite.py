@@ -124,6 +124,7 @@ class LazyArray:
 
     @property
     def ndim(self):
+        """Number of array dimensions."""
         return len(self.shape)
 
     def __len__(self):

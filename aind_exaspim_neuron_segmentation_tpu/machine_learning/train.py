@@ -344,6 +344,7 @@ class Trainer:
         return np.asarray(arr)
 
     def train_step(self, train_dataset, epoch):
+        """Run one training epoch; returns the epoch's metric stats."""
         import time as _time
 
         from aind_exaspim_neuron_segmentation_tpu.machine_learning.data_handling import (  # noqa: E501
@@ -390,6 +391,7 @@ class Trainer:
         return stats
 
     def validate_step(self, val_dataset, epoch):
+        """Run one validation epoch; returns the epoch's metric stats."""
         from aind_exaspim_neuron_segmentation_tpu.machine_learning.data_handling import (  # noqa: E501
             prefetch_batches,
         )
@@ -426,6 +428,7 @@ class Trainer:
     # --- reporting / checkpoints ---
 
     def report_stats(self, stats, is_train=True):
+        """Print one-line epoch metrics (reference train.py formatting)."""
         summary = "   Train: " if is_train else "   Val: "
         summary += ", ".join(f"{k}={v:.4f}" for k, v in stats.items())
         print(summary)

@@ -52,6 +52,7 @@ def _source_hash():
 
 
 def lib_path():
+    """Path of the built shared library (name keyed by source hash)."""
     return os.path.join(_HERE, f"libexaspim_native_{_source_hash()}.so")
 
 

@@ -1,0 +1,1 @@
+"""Device-side ops: stitching, upsampling, on-device augmentation."""

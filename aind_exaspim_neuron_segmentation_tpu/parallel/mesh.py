@@ -79,8 +79,10 @@ def make_mesh_2d(shape, axis_names=("z", "y"), devices=None):
 
 
 def replicated(mesh):
+    """Fully replicated NamedSharding on ``mesh``."""
     return NamedSharding(mesh, P())
 
 
 def sharded_first_axis(mesh, axis_name="shard"):
+    """NamedSharding splitting the leading array axis over ``axis_name``."""
     return NamedSharding(mesh, P(axis_name))

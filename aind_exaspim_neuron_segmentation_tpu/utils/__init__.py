@@ -1,0 +1,1 @@
+"""Utility helpers: IO facades, profiling, retry, caching, misc."""

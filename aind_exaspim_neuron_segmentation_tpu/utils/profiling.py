@@ -34,6 +34,7 @@ class StageTimer:
 
     @contextlib.contextmanager
     def stage(self, name):
+        """Context manager timing one named stage (device-synced)."""
         if self.sync:
             jax.effects_barrier()
         t0 = time.perf_counter()
@@ -47,6 +48,7 @@ class StageTimer:
             self.counts[name] = self.counts.get(name, 0) + 1
 
     def summary(self):
+        """Human-readable per-stage totals/averages/percentages."""
         lines = []
         total = sum(self.totals.values())
         for name, t in self.totals.items():
@@ -58,6 +60,7 @@ class StageTimer:
         return "\n".join(lines)
 
     def as_dict(self):
+        """Stage-name -> total-seconds mapping."""
         return dict(self.totals)
 
 
