@@ -190,6 +190,7 @@ def predict(
     blend_mode="uniform",
     blend_sigma=None,
     out_path=None,
+    predigest=False,
 ):
     """Sliding-window affinity / foreground prediction.
 
@@ -214,6 +215,14 @@ def predict(
     this path as they finish (at most one slab + one chunk row of the
     output resident in host RAM -- volumes larger than memory are fine)
     and the return value is a lazy Zarr handle instead of an ndarray.
+
+    ``predigest``: affinity mode only -- digest each slab ON DEVICE
+    into the native postprocess inputs (:mod:`.ops.predigest`) and
+    return ``(plan uint8 (D, H, W), qaff uint8 (3, D, H, W))`` instead
+    of float affinities: 4 bytes/voxel fetched instead of 12, and
+    ``affinities_to_segmentation((plan, qaff))`` then skips every float
+    read on the host. Uses the default watershed thresholds
+    (low=0.1, high=0.9999). Incompatible with ``out_path``.
     """
     # Lazy (chunked) inputs stream slab-by-slab; in-memory arrays follow
     # the reference's dense path exactly (inference.py:79-80). Both give
@@ -257,12 +266,23 @@ def predict(
             f"model has {runner.output_channels} output channels, "
             f"affinity_mode={affinity_mode} needs {out_channels}"
         )
+    if predigest:
+        if not affinity_mode:
+            raise ValueError("predigest requires affinity_mode=True")
+        if out_path is not None:
+            raise ValueError("predigest is incompatible with out_path")
+        from aind_exaspim_neuron_segmentation_tpu.ops.predigest import (
+            predigest_slab,
+        )
 
     dim = img.shape
     ranges = patch_grid_ranges(dim, patch_shape, overlap)
     if any(len(r) == 0 for r in ranges):
         # An axis shorter than the overlap yields an empty grid: the
         # reference's patch loop never runs and returns zeros.
+        if predigest:
+            return (np.zeros(tuple(dim), np.uint8),
+                    np.zeros((3,) + tuple(dim), np.uint8))
         out = np.zeros((out_channels,) + tuple(dim), np.float32)
         return out if affinity_mode else out[0]
     z_starts = list(ranges[0])
@@ -305,6 +325,11 @@ def predict(
         )
         writer = ZarrAppendWriter(out_path, out_shape, np.float32)
         out = None
+    elif predigest:
+        writer = None
+        out = None
+        plan_out = np.zeros(dim, np.uint8)
+        qaff_out = np.zeros((3,) + dim, np.uint8)
     else:
         writer = None
         out = np.zeros((out_channels,) + dim, dtype=np.float32)
@@ -319,15 +344,20 @@ def predict(
     # One-slab-deep pipeline: dispatch slab i+1's device work (all JAX
     # calls are async) before fetching slab i's result, so the device
     # queue stays fed while the host copies results out.
-    pending = None  # (own_lo, own_hi, device array)
+    pending = None  # (own_lo, own_hi, device payload)
+    prev_plane = None  # predigest: previous slab's last z-aff plane
 
     def fetch(entry):
-        own_lo, own_hi, blended = entry
-        if writer is not None:
-            block = np.asarray(blended)
+        own_lo, own_hi, payload = entry
+        if predigest:
+            plan_dev, qaff_dev = payload
+            plan_out[own_lo:own_hi] = np.asarray(plan_dev)
+            qaff_out[:, own_lo:own_hi] = np.asarray(qaff_dev)
+        elif writer is not None:
+            block = np.asarray(payload)
             writer.append(block if affinity_mode else block[0])
         else:
-            out[:, own_lo:own_hi] = np.asarray(blended)
+            out[:, own_lo:own_hi] = np.asarray(payload)
         if pbar is not None:
             planes = own_hi - own_lo
             est = int(
@@ -379,9 +409,21 @@ def predict(
             jnp.asarray(wy),
             jnp.asarray(wx),
         )
+        if predigest:
+            # Device-side digest of the FINAL slab values; the previous
+            # slab's last z-affinity plane supplies the incoming -z
+            # candidate at this slab's first plane.
+            plan_dev, qaff_dev = predigest_slab(
+                blended, prev_plane,
+                first_slab=(own_lo == 0), last_slab=(own_hi == dim[0]),
+            )
+            prev_plane = blended[0, -1]
+            payload = (plan_dev, qaff_dev)
+        else:
+            payload = blended
         if pending is not None:
             fetch(pending)
-        pending = (own_lo, own_hi, blended)
+        pending = (own_lo, own_hi, payload)
     if pending is not None:
         fetch(pending)
     if pbar is not None:
@@ -394,6 +436,8 @@ def predict(
 
         writer.close()
         return read(out_path)
+    if predigest:
+        return plan_out, qaff_out
     return out if affinity_mode else out[0]
 
 
@@ -413,8 +457,31 @@ def affinities_to_segmentation(
     supervoxel agglomeration over the requested thresholds, keeping only
     the final threshold's segmentation, then dropping segments of
     ``<= min_segment_size`` voxels and renumbering contiguously.
+
+    ``affinities`` may be the float32 (3, D, H, W) volume, or the
+    ``(plan, qaff)`` uint8 pair from ``predict(..., predigest=True)``
+    (:mod:`.ops.predigest`): the TPU already reduced the float volume
+    to per-voxel watershed decisions + 256-bin quantized affinities,
+    so the host replays pure integer work with zero float reads --
+    bit-identical output. The low/high thresholds are baked into the
+    plan bytes at digest time; passing non-default ``aff_threshold_*``
+    with a pre-digest pair is an error.
     """
-    from aind_exaspim_neuron_segmentation_tpu import postprocess
+    from aind_exaspim_neuron_segmentation_tpu import native, postprocess
+
+    if isinstance(affinities, tuple) and len(affinities) == 2:
+        plan, qaff = affinities
+        if (aff_threshold_low, aff_threshold_high) != (0.1, 0.9999):
+            raise ValueError(
+                "aff thresholds are baked into the plan bytes at digest "
+                "time; re-digest with ops.predigest for non-defaults"
+            )
+        segs = native.agglomerate_all_pre(
+            plan, qaff, list(agglomeration_thresholds)
+        )
+        return postprocess.remove_small_segments(
+            segs[-1], min_segment_size
+        )
 
     affinities = np.ascontiguousarray(affinities, dtype=np.float32)
     seg = None

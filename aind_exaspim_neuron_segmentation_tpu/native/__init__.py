@@ -40,6 +40,15 @@ def _lib():
             ctypes.c_int32, u32p,
         ]
         u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.exa_watershed_plan.restype = ctypes.c_int64
+        lib.exa_watershed_plan.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, u32p,
+        ]
+        lib.exa_agglomerate_pre.restype = ctypes.c_int64
+        lib.exa_agglomerate_pre.argtypes = [
+            u8p, u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            f32p, ctypes.c_int64, ctypes.c_int32, u32p,
+        ]
         lib.exa_blosc_info.restype = ctypes.c_int64
         lib.exa_blosc_info.argtypes = [u8p, ctypes.c_int64, i64p]
         lib.exa_blosc_decompress.restype = ctypes.c_int64
@@ -235,6 +244,58 @@ def watershed(affinities, aff_threshold_low=0.1, aff_threshold_high=0.9999):
     )
     if k < 0:
         raise RuntimeError("watershed failed")
+    return out
+
+
+def _u8p(arr):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def watershed_plan(plan):
+    """Watershed fragments from device-predigested plan bytes.
+
+    ``plan``: uint8 (D, H, W) from :func:`ops.predigest.predigest` --
+    pure integer replay, bit-identical to :func:`watershed` on the
+    float volume the plan was digested from.
+    """
+    plan = np.ascontiguousarray(plan, dtype=np.uint8)
+    if plan.ndim != 3:
+        raise ValueError(f"expected (D, H, W) plan bytes, got {plan.shape}")
+    out = np.empty(plan.shape, np.uint32)
+    k = _lib().exa_watershed_plan(
+        _u8p(plan), *plan.shape, _u32(out.ravel())
+    )
+    if k < 0:
+        raise RuntimeError("watershed replay failed")
+    return out
+
+
+def agglomerate_all_pre(plan, qaff, thresholds, quantile_pct=85):
+    """All per-threshold segmentations from device pre-digests.
+
+    ``plan`` uint8 (D, H, W) + ``qaff`` uint8 (3, D, H, W) from
+    :func:`ops.predigest.predigest`; bit-identical to
+    :func:`agglomerate_all` on the float volume they were digested
+    from (the low/high thresholds are baked into the plan bytes).
+    """
+    plan = np.ascontiguousarray(plan, dtype=np.uint8)
+    qaff = np.ascontiguousarray(qaff, dtype=np.uint8)
+    if plan.ndim != 3:
+        raise ValueError(f"expected (D, H, W) plan bytes, got {plan.shape}")
+    if qaff.shape != (3,) + plan.shape:
+        raise ValueError(
+            f"qaff shape {qaff.shape} does not match plan {plan.shape}"
+        )
+    th = np.ascontiguousarray(thresholds, dtype=np.float32)
+    if len(th) == 0 or np.any(np.diff(th) < 0):
+        raise ValueError("thresholds must be non-empty and ascending")
+    out = np.empty((len(th),) + plan.shape, np.uint32)
+    k = _lib().exa_agglomerate_pre(
+        _u8p(plan), _u8p(qaff), *plan.shape, _f32(th), len(th),
+        quantile_pct, _u32(out.ravel()),
+    )
+    if k < 0:
+        raise RuntimeError("agglomeration failed")
     return out
 
 

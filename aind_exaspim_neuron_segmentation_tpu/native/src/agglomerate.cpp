@@ -226,8 +226,7 @@ struct Edge {
     n_inl = 0;
   }
 
-  void add(float aff) {
-    const uint8_t q = quantize(aff);
+  void add_bin(uint8_t q) {
     if (hist.empty()) {
       if (n_inl == kInlineMax) to_hist();
     }
@@ -239,6 +238,8 @@ struct Edge {
     ++count;
     cached_bin = -1;
   }
+
+  void add(float aff) { add_bin(quantize(aff)); }
 
   void absorb(Edge& o) {
     if (hist.empty() && o.hist.empty() &&
@@ -298,64 +299,20 @@ inline int64_t vox(int64_t z, int64_t y, int64_t x, int64_t H, int64_t W) {
   return (z * H + y) * W + x;
 }
 
-}  // namespace
-
-// Watershed fragments only (exposed for testing / reuse).
-// out: uint32 (D*H*W), 0 = background, fragments renumbered 1..K.
-// Returns K.
-EXA_API int64_t exa_watershed(const float* affs, int64_t D, int64_t H,
-                              int64_t W, float low, float high,
-                              uint32_t* out) {
+// Pass 1b + renumber: replay recorded union decisions (one byte per
+// voxel: bits 0-2 outgoing >= high flags, bits 3-5 steepest direction)
+// and renumber foreground roots 1..K in scan order. Shared by the
+// float path (exa_watershed, which builds the bytes in pass 1a) and
+// the device pre-digest path (exa_watershed_plan, where the TPU built
+// them).
+int64_t watershed_replay(const uint8_t* plan, int64_t D, int64_t H,
+                         int64_t W, uint32_t* out) {
   const int64_t N = D * H * W;
   const int64_t strides[3] = {H * W, W, 1};
-  const float* aff_c[3] = {affs, affs + N, affs + 2 * N};
-
   exa::UnionFind uf(static_cast<size_t>(N));
-
-  // Pass 1a (parallel over Z-slabs): the affinity scan -- ~7 float
-  // reads + compares per voxel, the bandwidth-bound part -- records
-  // each voxel's decisions in one byte: bits 0-2 flag outgoing
-  // >= high edges along z/y/x; bits 3-5 encode the steepest >= low
-  // neighbor as a direction (0 = background, 1..6 = +z,+y,+x,-z,-y,-x).
-  // Per-voxel writes are disjoint, so any thread count gives identical
-  // bytes. Pass 1b (serial) replays the recorded unions -- cheap
-  // integer work with no affinity reads.
-  std::vector<uint8_t> plan_bytes(N, 0);
-  parallel_blocks(D, [&](int64_t z) {
-    for (int64_t y = 0; y < H; ++y) {
-      for (int64_t x = 0; x < W; ++x) {
-        const int64_t v = vox(z, y, x, H, W);
-        float best = -1.0f;
-        int dir = 0;
-        const int64_t coord[3] = {z, y, x};
-        const int64_t dims[3] = {D, H, W};
-        uint8_t flags = 0;
-        // outgoing edges (v, v+e_c) stored at v; incoming stored at v-e_c
-        for (int c = 0; c < 3; ++c) {
-          if (coord[c] + 1 < dims[c]) {
-            float a = aff_c[c][v];
-            if (a >= high) flags |= static_cast<uint8_t>(1 << c);
-            if (a >= low && a > best) {
-              best = a;
-              dir = 1 + c;
-            }
-          }
-          if (coord[c] - 1 >= 0) {
-            float a = aff_c[c][v - strides[c]];
-            if (a >= low && a > best) {
-              best = a;
-              dir = 4 + c;
-            }
-          }
-        }
-        plan_bytes[v] = flags | static_cast<uint8_t>(dir << 3);
-      }
-    }
-  });
-
   std::vector<uint8_t> foreground(N, 0);
   for (int64_t v = 0; v < N; ++v) {
-    const uint8_t pb = plan_bytes[v];
+    const uint8_t pb = plan[v];
     for (int c = 0; c < 3; ++c) {
       if (pb & (1 << c)) {
         uf.unite(static_cast<uint32_t>(v),
@@ -370,8 +327,6 @@ EXA_API int64_t exa_watershed(const float* affs, int64_t D, int64_t H,
       uf.unite(static_cast<uint32_t>(v), static_cast<uint32_t>(u));
     }
   }
-  plan_bytes.clear();
-  plan_bytes.shrink_to_fit();
 
   // Renumber fragment roots (foreground only) to 1..K in scan order.
   std::unordered_map<uint32_t, uint32_t> root_to_id;
@@ -390,27 +345,25 @@ EXA_API int64_t exa_watershed(const float* affs, int64_t D, int64_t H,
   return static_cast<int64_t>(next - 1);
 }
 
-// Full pipeline: watershed + agglomeration snapshots.
-// out: uint32 (n_thresholds * D*H*W), one labeling per threshold
-// (thresholds must be ascending). Returns the fragment count K (>=0) or
-// -1 on error.
-EXA_API int64_t exa_agglomerate(const float* affs, int64_t D, int64_t H,
-                                int64_t W, const float* thresholds,
-                                int64_t n_thresholds, float low, float high,
-                                int32_t quantile_pct, uint32_t* out) {
+// RAG build + hierarchical agglomeration over precomputed fragments.
+// SampleFn(c, v) -> uint8 quantized affinity bin of the outgoing edge
+// along axis c stored at voxel v; the merge machinery operates purely
+// on 256-level bins, so float and u8-pre-digested sources share this
+// path bit-for-bit.
+template <typename SampleFn>
+int64_t agglomerate_over_fragments(
+    const uint32_t* frag, int64_t K, int64_t D, int64_t H, int64_t W,
+    const float* thresholds, int64_t n_thresholds, int32_t quantile_pct,
+    uint32_t* out, SampleFn&& sample) {
   const int64_t N = D * H * W;
   const bool dbg = std::getenv("EXA_DEBUG_TIMING") != nullptr;
   auto now = []() { return std::chrono::steady_clock::now(); };
   auto secs = [](auto a, auto b) {
     return std::chrono::duration<double>(b - a).count();
   };
-  auto t0 = now();
-  std::vector<uint32_t> frag(N);
-  const int64_t K = exa_watershed(affs, D, H, W, low, high, frag.data());
-  if (K < 0) return -1;
-  auto t1 = now();
-  if (dbg) std::fprintf(stderr, "[exa] watershed %.2fs K=%lld\n", secs(t0, t1), (long long)K);
+  const int64_t strides[3] = {H * W, W, 1};
 
+  auto t1 = now();
   // Build the RAG over fragments: each Z-slab builds a local edge map
   // in scan order (parallel), then slabs merge in ascending-Z order.
   // A voxel owns only its OUTGOING edges, so every RAG contribution is
@@ -420,9 +373,6 @@ EXA_API int64_t exa_agglomerate(const float* affs, int64_t D, int64_t H,
   // order: edge indices, sample order, and therefore quantile
   // tie-breaks are bit-identical to the serial build for ANY thread or
   // block count.
-  const int64_t strides[3] = {H * W, W, 1};
-  const float* aff_c[3] = {affs, affs + N, affs + 2 * N};
-
   const int64_t zz_per_block = std::max<int64_t>(1, D / 64);
   const int64_t n_blocks = (D + zz_per_block - 1) / zz_per_block;
   std::vector<FlatMap> loc_index;
@@ -450,7 +400,7 @@ EXA_API int64_t exa_agglomerate(const float* affs, int64_t D, int64_t H,
             auto [slot, fresh] = index.find_or_insert(
                 key.packed(), static_cast<uint32_t>(local.size()));
             if (fresh) local.emplace_back(key.a, key.b);
-            local[*slot].add(aff_c[c][v]);
+            local[*slot].add_bin(sample(c, v));
           }
         }
       }
@@ -534,7 +484,6 @@ EXA_API int64_t exa_agglomerate(const float* affs, int64_t D, int64_t H,
 
   auto t4 = now();
   if (dbg) std::fprintf(stderr, "[exa] adjacency+fill %.2fs\n", secs(t3, t4));
-  int64_t snap_total_ns = 0;
   int cur = 0;
   while (cur <= kBins && t_idx < n_thresholds) {
     if (heads[cur] >= buckets[cur].size()) {
@@ -603,7 +552,130 @@ EXA_API int64_t exa_agglomerate(const float* affs, int64_t D, int64_t H,
     snapshot(out + t_idx * N);
     ++t_idx;
   }
-  (void)snap_total_ns;
   if (dbg) std::fprintf(stderr, "[exa] tail-snapshots %.2fs\n", secs(t5, now()));
   return K;
+}
+
+}  // namespace
+
+// Watershed fragments only (exposed for testing / reuse).
+// out: uint32 (D*H*W), 0 = background, fragments renumbered 1..K.
+// Returns K.
+EXA_API int64_t exa_watershed(const float* affs, int64_t D, int64_t H,
+                              int64_t W, float low, float high,
+                              uint32_t* out) {
+  const int64_t N = D * H * W;
+  const int64_t strides[3] = {H * W, W, 1};
+  const float* aff_c[3] = {affs, affs + N, affs + 2 * N};
+
+  // Pass 1a (parallel over Z-slabs): the affinity scan -- ~7 float
+  // reads + compares per voxel, the bandwidth-bound part -- records
+  // each voxel's decisions in one byte: bits 0-2 flag outgoing
+  // >= high edges along z/y/x; bits 3-5 encode the steepest >= low
+  // neighbor as a direction (0 = background, 1..6 = +z,+y,+x,-z,-y,-x).
+  // Per-voxel writes are disjoint, so any thread count gives identical
+  // bytes. Pass 1b (serial, watershed_replay) replays the recorded
+  // unions -- cheap integer work with no affinity reads. The TPU
+  // pre-digest path (ops/predigest.py) computes the identical bytes on
+  // device and enters at exa_watershed_plan, skipping 1a entirely.
+  std::vector<uint8_t> plan_bytes(N, 0);
+  parallel_blocks(D, [&](int64_t z) {
+    for (int64_t y = 0; y < H; ++y) {
+      for (int64_t x = 0; x < W; ++x) {
+        const int64_t v = vox(z, y, x, H, W);
+        float best = -1.0f;
+        int dir = 0;
+        const int64_t coord[3] = {z, y, x};
+        const int64_t dims[3] = {D, H, W};
+        uint8_t flags = 0;
+        // outgoing edges (v, v+e_c) stored at v; incoming stored at v-e_c
+        for (int c = 0; c < 3; ++c) {
+          if (coord[c] + 1 < dims[c]) {
+            float a = aff_c[c][v];
+            if (a >= high) flags |= static_cast<uint8_t>(1 << c);
+            if (a >= low && a > best) {
+              best = a;
+              dir = 1 + c;
+            }
+          }
+          if (coord[c] - 1 >= 0) {
+            float a = aff_c[c][v - strides[c]];
+            if (a >= low && a > best) {
+              best = a;
+              dir = 4 + c;
+            }
+          }
+        }
+        plan_bytes[v] = flags | static_cast<uint8_t>(dir << 3);
+      }
+    }
+  });
+
+  return watershed_replay(plan_bytes.data(), D, H, W, out);
+}
+
+// Watershed from device-predigested plan bytes (ops/predigest.py):
+// pure integer replay, zero float reads. Same output contract as
+// exa_watershed.
+EXA_API int64_t exa_watershed_plan(const uint8_t* plan, int64_t D,
+                                   int64_t H, int64_t W, uint32_t* out) {
+  return watershed_replay(plan, D, H, W, out);
+}
+
+// Full pipeline: watershed + agglomeration snapshots.
+// out: uint32 (n_thresholds * D*H*W), one labeling per threshold
+// (thresholds must be ascending). Returns the fragment count K (>=0) or
+// -1 on error.
+EXA_API int64_t exa_agglomerate(const float* affs, int64_t D, int64_t H,
+                                int64_t W, const float* thresholds,
+                                int64_t n_thresholds, float low, float high,
+                                int32_t quantile_pct, uint32_t* out) {
+  const int64_t N = D * H * W;
+  const bool dbg = std::getenv("EXA_DEBUG_TIMING") != nullptr;
+  auto now = []() { return std::chrono::steady_clock::now(); };
+  auto secs = [](auto a, auto b) {
+    return std::chrono::duration<double>(b - a).count();
+  };
+  auto t0 = now();
+  std::vector<uint32_t> frag(N);
+  const int64_t K = exa_watershed(affs, D, H, W, low, high, frag.data());
+  if (K < 0) return -1;
+  auto t1 = now();
+  if (dbg) std::fprintf(stderr, "[exa] watershed %.2fs K=%lld\n", secs(t0, t1), (long long)K);
+
+  const float* aff_c[3] = {affs, affs + N, affs + 2 * N};
+  return agglomerate_over_fragments(
+      frag.data(), K, D, H, W, thresholds, n_thresholds, quantile_pct,
+      out, [&](int c, int64_t v) { return Edge::quantize(aff_c[c][v]); });
+}
+
+// Full pipeline from device pre-digests (ops/predigest.py): plan bytes
+// drive the watershed replay (zero float reads) and u8-quantized
+// affinities feed the RAG histograms directly (1 byte per sample
+// instead of 4). Bit-identical to exa_agglomerate on the same float
+// volume: the plan bytes replicate pass 1a's f32 compares on device
+// and qaff replicates Edge::quantize.
+EXA_API int64_t exa_agglomerate_pre(const uint8_t* plan,
+                                    const uint8_t* qaff, int64_t D,
+                                    int64_t H, int64_t W,
+                                    const float* thresholds,
+                                    int64_t n_thresholds,
+                                    int32_t quantile_pct, uint32_t* out) {
+  const int64_t N = D * H * W;
+  const bool dbg = std::getenv("EXA_DEBUG_TIMING") != nullptr;
+  auto now = []() { return std::chrono::steady_clock::now(); };
+  auto secs = [](auto a, auto b) {
+    return std::chrono::duration<double>(b - a).count();
+  };
+  auto t0 = now();
+  std::vector<uint32_t> frag(N);
+  const int64_t K = watershed_replay(plan, D, H, W, frag.data());
+  if (K < 0) return -1;
+  auto t1 = now();
+  if (dbg) std::fprintf(stderr, "[exa] watershed-replay %.2fs K=%lld\n", secs(t0, t1), (long long)K);
+
+  const uint8_t* q_c[3] = {qaff, qaff + N, qaff + 2 * N};
+  return agglomerate_over_fragments(
+      frag.data(), K, D, H, W, thresholds, n_thresholds, quantile_pct,
+      out, [&](int c, int64_t v) { return q_c[c][v]; });
 }

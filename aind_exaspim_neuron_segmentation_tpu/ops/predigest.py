@@ -1,0 +1,127 @@
+"""On-device affinity pre-digest for the native postprocess engines.
+
+The TPU computes the stitched affinity volume; the host watershed's
+pass 1a (``native/src/agglomerate.cpp`` ``exa_watershed``) then re-reads
+~7 float32 values per voxel just to reduce them to one decision byte,
+and the RAG build re-reads 12 bytes/voxel of floats only to quantize
+them to 256 bins (reference pipeline: inference.py:196-237 densifies
+float affinities for waterz). This module emits both digests on device,
+while the affinities are still resident:
+
+* ``plan`` uint8 (D, H, W): bits 0-2 flag outgoing ``aff >= high``
+  edges along z/y/x; bits 3-5 encode the steepest ``>= low`` incident
+  neighbor (0 = background, 1..6 = +z,+y,+x,-z,-y,-x) -- bit-identical
+  to pass 1a's byte (same f32 compares, same enumeration order
+  out-z, in-z, out-y, in-y, out-x, in-x with strict ``>``).
+* ``qaff`` uint8 (3, D, H, W): ``int(aff * 256)`` clipped to [0, 255]
+  -- exactly ``Edge::quantize``, lossless for the 256-bin RAG
+  histograms (f32 multiply by 256 is exact; sigmoid outputs are
+  non-negative so C truncation equals floor).
+
+Host then transfers 4 bytes/voxel instead of 12 and replays pure
+integer work (``exa_agglomerate_pre``). The float thresholds low/high
+are compared HERE in f32 -- u8 bins cannot represent the default
+high = 0.9999.
+
+Slab streaming: ``predict`` produces the volume in Z slabs. A voxel in
+the first slab plane needs the previous slab's last z-affinity plane
+for its incoming -z candidate; callers thread that single plane
+through ``prev_plane``.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(
+    jax.jit, static_argnames=("first_slab", "last_slab")
+)
+def predigest_slab(aff, prev_plane=None, *, first_slab=True,
+                   last_slab=True, low=0.1, high=0.9999):
+    """Digest one Z slab of affinities into (plan, qaff) uint8 arrays.
+
+    ``aff``: float32 (3, d, H, W) -- the slab's final (blended)
+    affinities. ``prev_plane``: float32 (H, W), the z-affinity plane at
+    the slab's preceding global z (ignored when ``first_slab``).
+    ``first_slab`` / ``last_slab``: whether the slab starts at global
+    z=0 / ends at global z=D-1 (controls edge validity at the slab's
+    z faces).
+    """
+    aff = aff.astype(jnp.float32)
+    _, d, h, w = aff.shape
+    neg = jnp.float32(-1.0)
+    low = jnp.float32(low)
+    high = jnp.float32(high)
+
+    az, ay, ax = aff[0], aff[1], aff[2]
+    if prev_plane is None:
+        prev_plane = jnp.zeros((h, w), jnp.float32)
+
+    # Candidate affinity value + validity per direction, all shaped
+    # (d, h, w). Outgoing edge along c is stored AT the voxel; incoming
+    # is the neighbor's stored value shifted forward.
+    iota_z = jnp.arange(d)[:, None, None]
+    iota_y = jnp.arange(h)[None, :, None]
+    iota_x = jnp.arange(w)[None, None, :]
+
+    out_z_valid = (
+        jnp.ones((d, h, w), bool) if not last_slab
+        else jnp.broadcast_to(iota_z + 1 < d, (d, h, w))
+    )
+    # incoming -z at slab plane 0 comes from prev_plane
+    in_z = jnp.concatenate([prev_plane[None], az[:-1]], axis=0)
+    in_z_valid = (
+        jnp.ones((d, h, w), bool) if not first_slab
+        else jnp.broadcast_to(iota_z > 0, (d, h, w))
+    )
+    out_y_valid = jnp.broadcast_to(iota_y + 1 < h, (d, h, w))
+    in_y = jnp.concatenate(
+        [jnp.zeros((d, 1, w), jnp.float32), ay[:, :-1]], axis=1
+    )
+    in_y_valid = jnp.broadcast_to(iota_y > 0, (d, h, w))
+    out_x_valid = jnp.broadcast_to(iota_x + 1 < w, (d, h, w))
+    in_x = jnp.concatenate(
+        [jnp.zeros((d, h, 1), jnp.float32), ax[:, :, :-1]], axis=2
+    )
+    in_x_valid = jnp.broadcast_to(iota_x > 0, (d, h, w))
+
+    # Steepest >= low neighbor; enumeration order and strict > mirror
+    # agglomerate.cpp pass 1a (out-z, in-z, out-y, in-y, out-x, in-x).
+    best = jnp.full((d, h, w), neg)
+    dirs = jnp.zeros((d, h, w), jnp.uint8)
+    candidates = (
+        (az, out_z_valid, 1), (in_z, in_z_valid, 4),
+        (ay, out_y_valid, 2), (in_y, in_y_valid, 5),
+        (ax, out_x_valid, 3), (in_x, in_x_valid, 6),
+    )
+    for a, valid, code in candidates:
+        upd = valid & (a >= low) & (a > best)
+        best = jnp.where(upd, a, best)
+        dirs = jnp.where(upd, jnp.uint8(code), dirs)
+
+    flags = (
+        jnp.where(out_z_valid & (az >= high), jnp.uint8(1), jnp.uint8(0))
+        | jnp.where(out_y_valid & (ay >= high), jnp.uint8(2), jnp.uint8(0))
+        | jnp.where(out_x_valid & (ax >= high), jnp.uint8(4), jnp.uint8(0))
+    )
+    plan = flags | (dirs << 3)
+
+    qaff = jnp.clip(aff * 256.0, 0.0, 255.0).astype(jnp.uint8)
+    return plan, qaff
+
+
+def predigest(aff, low=0.1, high=0.9999):
+    """Digest a whole in-memory affinity volume; returns numpy arrays.
+
+    ``aff``: float32 (3, D, H, W), host or device. Single-slab call of
+    :func:`predigest_slab` (first and last).
+    """
+    import numpy as np
+
+    plan, qaff = predigest_slab(
+        jnp.asarray(aff), first_slab=True, last_slab=True,
+        low=low, high=high,
+    )
+    return np.asarray(plan), np.asarray(qaff)

@@ -136,6 +136,7 @@ def predict_sharded(
     blend_sigma=None,
     out_path=None,
     max_band_rows=None,
+    timer=None,
 ):
     """predict() over a 1-D (Z) or 2-D (Z x Y) device mesh.
 
@@ -156,7 +157,20 @@ def predict_sharded(
     Volumes larger than the mesh's combined HBM stream through;
     normalization switches from mesh order statistics to the exact
     host-streaming radix percentile (same values to f32 rounding).
+
+    ``timer``: optional :class:`..utils.profiling.StageTimer` recording
+    wall time per stage (``normalize`` / ``forward`` / ``fetch_assemble``).
+    ``forward`` covers jit dispatch; under an async-dispatch transport
+    (the axon dev tunnel) device completion folds into
+    ``fetch_assemble``, whose host materialization is the only reliable
+    completion point.
     """
+    import contextlib
+
+    def _st(name):
+        return (timer.stage(name) if timer is not None
+                else contextlib.nullcontext())
+
     lazy = not isinstance(img, (np.ndarray, jnp.ndarray, list, tuple))
     if not lazy:
         img = np.asarray(img)
@@ -312,10 +326,11 @@ def predict_sharded(
             streaming_percentile,
         )
 
-        mn, mx = streaming_percentile(
-            img, normalization_percentiles,
-            transform=lambda b: np.minimum(b, brightness_clip),
-        )
+        with _st("normalize"):
+            mn, mx = streaming_percentile(
+                img, normalization_percentiles,
+                transform=lambda b: np.minimum(b, brightness_clip),
+            )
     else:
         n_total = int(np.prod(dim))
         if (n_total > np.iinfo(np.int32).max
@@ -358,8 +373,10 @@ def predict_sharded(
             shard_map(stats_body, mesh=mesh, in_specs=(slab_spec,),
                       out_specs=P())
         )
-        first_slabs = build_slabs(band_plans[0]["in_range"][0])
-        order_vals = np.asarray(stats_fn(first_slabs), np.float64)
+        with _st("load_slabs"):
+            first_slabs = build_slabs(band_plans[0]["in_range"][0])
+        with _st("normalize"):
+            order_vals = np.asarray(stats_fn(first_slabs), np.float64)
         bounds = []
         for idx_lo, idx_hi, frac in q_plan:
             v = order_vals[idx_lo]
@@ -552,23 +569,25 @@ def predict_sharded(
         own_lo, own_hi = plan["own"]
         n_rows_b = len(plan["rows"])
         valid = build_valid(n_rows_b)
-        slabs = (
-            first_slabs
-            if (first_slabs is not None and plan is band_plans[0])
-            else build_slabs(in_lo)
-        )
+        with _st("load_slabs"):
+            slabs = (
+                first_slabs
+                if (first_slabs is not None and plan is band_plans[0])
+                else build_slabs(in_lo)
+            )
         first_slabs = None  # free after use
         valid_in = valid[:, 0] if y_axis is None else valid
-        out_shards = fn(
-            runner.variables,
-            norm,
-            slabs,
-            put(dense_starts, slab_spec),
-            put(valid_in, slab_spec),
-            put(shard_weights_z(in_lo), wz_spec),
-            put(wy_shards, wy_spec),
-            jnp.asarray(wx_pad),
-        )
+        with _st("forward"):
+            out_shards = fn(
+                runner.variables,
+                norm,
+                slabs,
+                put(dense_starts, slab_spec),
+                put(valid_in, slab_spec),
+                put(shard_weights_z(in_lo), wz_spec),
+                put(wy_shards, wy_spec),
+                jnp.asarray(wx_pad),
+            )
         del slabs
         # (nz[, ny], C, own_z + spill_z, own_y + spill_y, wp)
 
@@ -583,68 +602,69 @@ def predict_sharded(
         # band's owned range; the band's last real slot also keeps its
         # unsent spill. Rows materialize in Z order (one row dense at a
         # time) so out_path streaming stays O(one row).
-        for i in range(nz):
-            z_base = in_lo + i * zp.own + trim
-            hard_hi = min(own_hi, dim[0])
-            if z_base >= hard_hi:
-                break
-            last_b = (
-                i == nz - 1
-                or in_lo + (i + 1) * zp.own + trim >= hard_hi
-            )
-            z_hi_dev = min(
-                z_base + zp.own + (zp.spill if last_b else 0), hard_hi
-            )
-            if z_hi_dev <= next_z:
-                if last_b:
+        with _st("fetch_assemble"):
+            for i in range(nz):
+                z_base = in_lo + i * zp.own + trim
+                hard_hi = min(own_hi, dim[0])
+                if z_base >= hard_hi:
                     break
-                continue
-            local_js = [j for j in range(ny) if (i, j) in shard_data]
-            if multiproc and not local_js:
+                last_b = (
+                    i == nz - 1
+                    or in_lo + (i + 1) * zp.own + trim >= hard_hi
+                )
+                z_hi_dev = min(
+                    z_base + zp.own + (zp.spill if last_b else 0), hard_hi
+                )
+                if z_hi_dev <= next_z:
+                    if last_b:
+                        break
+                    continue
+                local_js = [j for j in range(ny) if (i, j) in shard_data]
+                if multiproc and not local_js:
+                    next_z = z_hi_dev
+                    if last_b:
+                        break
+                    continue
+                if multiproc and len(local_js) != ny:
+                    raise ValueError(
+                        "multi-process predict_sharded needs whole Z rows "
+                        "on one process (Z-major process-to-mesh layout); "
+                        f"row {i} is split across processes"
+                    )
+                row = np.zeros(
+                    (out_channels, z_hi_dev - next_z, dim[1], dim[2]),
+                    np.float32,
+                )
+                row_off = max(z_base - next_z, 0)  # leading trim gap
+                src_z0 = max(next_z - z_base, 0)   # skip recomputed planes
+                for j in range(ny):
+                    y_base = j * yp.own + trim
+                    if y_base >= dim[1]:
+                        break
+                    last_y = (
+                        j == ny - 1 or (j + 1) * yp.own + trim >= dim[1]
+                    )
+                    y_hi = min(
+                        y_base + yp.own + (yp.spill if last_y else 0), dim[1]
+                    )
+                    data = np.asarray(shard_data[(i, j)])
+                    data = data.reshape(data.shape[-4:])
+                    n_planes = z_hi_dev - max(z_base, next_z)
+                    row[:, row_off:, y_base:y_hi] = data[
+                        :, src_z0: src_z0 + n_planes, : y_hi - y_base,
+                        : dim[2]
+                    ]
+                    if last_y:
+                        break
+                if multiproc and out_path is not None:
+                    # skip leading gaps: those planes belong to the zarr
+                    # fill value or to rows another process owns
+                    emit(next_z + row_off, z_hi_dev, row[:, row_off:])
+                else:
+                    emit(next_z, z_hi_dev, row)
                 next_z = z_hi_dev
                 if last_b:
                     break
-                continue
-            if multiproc and len(local_js) != ny:
-                raise ValueError(
-                    "multi-process predict_sharded needs whole Z rows "
-                    "on one process (Z-major process-to-mesh layout); "
-                    f"row {i} is split across processes"
-                )
-            row = np.zeros(
-                (out_channels, z_hi_dev - next_z, dim[1], dim[2]),
-                np.float32,
-            )
-            row_off = max(z_base - next_z, 0)  # leading trim gap
-            src_z0 = max(next_z - z_base, 0)   # skip recomputed planes
-            for j in range(ny):
-                y_base = j * yp.own + trim
-                if y_base >= dim[1]:
-                    break
-                last_y = (
-                    j == ny - 1 or (j + 1) * yp.own + trim >= dim[1]
-                )
-                y_hi = min(
-                    y_base + yp.own + (yp.spill if last_y else 0), dim[1]
-                )
-                data = np.asarray(shard_data[(i, j)])
-                data = data.reshape(data.shape[-4:])
-                n_planes = z_hi_dev - max(z_base, next_z)
-                row[:, row_off:, y_base:y_hi] = data[
-                    :, src_z0: src_z0 + n_planes, : y_hi - y_base,
-                    : dim[2]
-                ]
-                if last_y:
-                    break
-            if multiproc and out_path is not None:
-                # skip leading gaps: those planes belong to the zarr
-                # fill value or to rows another process owns
-                emit(next_z + row_off, z_hi_dev, row[:, row_off:])
-            else:
-                emit(next_z, z_hi_dev, row)
-            next_z = z_hi_dev
-            if last_b:
-                break
 
     if writer is not None and next_z < dim[0]:
         # trailing never-covered trim planes (the append writer must

@@ -25,6 +25,17 @@ with --measure-torch.
 ``--e2e``: end-to-end volume -> segmentation -> zipped SWC throughput
 (BASELINE.json config #5) in GB/hr: TPU sliding-window predict, native
 C++ watershed + agglomeration, TEASAR skeletonization, SWC zip.
+
+``--sharded [--dryrun N]``: multi-chip ``parallel.predict_sharded``
+throughput over whatever mesh exists (all visible devices), with a
+per-stage breakdown (load_slabs / normalize / forward / fetch_assemble).
+``--dryrun N`` forces an N-device virtual CPU mesh and labels the JSON
+line ``"dryrun": true`` (numbers are then CPU-mesh validation, not TPU
+perf) -- so a real pod run is this one command with no flags.
+
+``--train``: training-step utilization -- steps/s, Mvox/s, and the
+input-wait fraction (host time blocked on the prefetched batch
+pipeline), making the prefetch claim a number.
 """
 
 import json
@@ -164,11 +175,17 @@ def main_e2e():
         vol[sl][zz**2 + yy**2 + xx**2 < r**2] = 1200
     runner = inference.load_model(affinity_mode=True)
 
+    # Production path: the TPU digests the affinities on device
+    # (ops/predigest.py) -- 4 bytes/voxel fetched instead of 12, and
+    # the host segment stage replays pure integer work (zero float
+    # reads). Bit-identical to the float path (tests/test_predigest.py).
     t0 = time.time()
-    aff = inference.predict(vol, runner, verbose=False)
+    plan, qaff = inference.predict(
+        vol, runner, verbose=False, predigest=True
+    )
     t1 = time.time()
     print(f"# predict done in {t1 - t0:.0f}s", file=sys.stderr, flush=True)
-    seg = inference.affinities_to_segmentation(np.asarray(aff))
+    seg = inference.affinities_to_segmentation((plan, qaff))
     t2 = time.time()
     print(f"# segment done in {t2 - t1:.0f}s", file=sys.stderr, flush=True)
     zip_path = os.path.join(tempfile.mkdtemp(), "swcs.zip")
@@ -190,8 +207,140 @@ def main_e2e():
     }))
 
 
+def main_sharded():
+    """Multi-chip predict_sharded Mvox/s with per-stage breakdown."""
+    import os
+
+    dryrun = "--dryrun" in sys.argv
+    if dryrun:
+        n = int(sys.argv[sys.argv.index("--dryrun") + 1])
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={n}"
+            ).strip()
+
+    import jax
+
+    if dryrun:
+        jax.config.update("jax_platforms", "cpu")
+
+    from aind_exaspim_neuron_segmentation_tpu import inference, parallel
+    from aind_exaspim_neuron_segmentation_tpu.utils.cache import (
+        enable_compilation_cache,
+    )
+    from aind_exaspim_neuron_segmentation_tpu.utils.profiling import (
+        StageTimer,
+    )
+
+    if not dryrun:
+        enable_compilation_cache()
+    mesh = parallel.make_mesh()
+    n_dev = mesh.devices.size
+
+    if dryrun:
+        dim = (96, 64, 48)
+        kw = dict(patch_shape=(32, 32, 32), overlap=(16, 16, 16), trim=4,
+                  batch_size=4)
+        runner = inference.load_model(
+            affinity_mode=True, width_multiplier=0.25,
+        )
+    else:
+        dim = (256, 256, 256)
+        kw = dict(patch_shape=(96, 96, 96), overlap=(32, 32, 32), trim=8,
+                  batch_size=16)
+        runner = inference.load_model(affinity_mode=True)
+
+    rng = np.random.default_rng(0)
+    vol = rng.uniform(0, 1000, size=dim).astype(np.float32)
+
+    # Warm (compile), then time the full call. Completion is forced by
+    # the host materialization of every output shard inside the call.
+    parallel.predict_sharded(vol, runner, mesh=mesh, **kw)
+    best, best_timer = np.inf, None
+    for _window in range(3):
+        timer = StageTimer(sync=False)
+        t0 = time.time()
+        parallel.predict_sharded(vol, runner, mesh=mesh, timer=timer,
+                                 **kw)
+        dt = time.time() - t0
+        if dt < best:
+            best, best_timer = dt, timer
+    mvox_s = np.prod(dim) / best / 1e6
+    print(json.dumps({
+        "metric": "sharded_inference_throughput",
+        "value": round(mvox_s, 2),
+        "unit": "Mvox/s (volume voxels)",
+        "vs_baseline": round(mvox_s / TORCH_CPU_BASELINE_MVOX_S, 1),
+        "mesh": list(mesh.devices.shape),
+        "n_devices": int(n_dev),
+        "per_chip": round(mvox_s / n_dev, 2),
+        "dryrun": dryrun,
+        "stages_s": {k: round(v, 2)
+                     for k, v in best_timer.as_dict().items()},
+    }))
+
+
+def main_train():
+    """Training-step utilization: steps/s, Mvox/s, input-wait fraction."""
+    import shutil
+    import tempfile
+
+    from aind_exaspim_neuron_segmentation_tpu.machine_learning import (
+        data_handling,
+    )
+    from aind_exaspim_neuron_segmentation_tpu.machine_learning.train import (
+        Trainer,
+    )
+    from aind_exaspim_neuron_segmentation_tpu.utils.cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
+    patch = (96, 96, 96)
+    batch = 8
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 1500, (160, 160, 160)).astype(np.uint16)
+    lab = np.zeros((160, 160, 160), np.uint32)
+    for k, (cz, cy, cx) in enumerate(rng.integers(20, 140, (30, 3))):
+        lab[cz - 8: cz + 8, cy - 8: cy + 8, cx - 8: cx + 8] = k + 1
+    # 8 handles to the same volume: len(ds) = 32 samples -> 4 steps/epoch
+    ds = data_handling.TrainDataset(
+        [img] * 8, [lab] * 8, patch_shape=patch, seed=0, transform=True,
+    )
+    out = tempfile.mkdtemp()
+    trainer = Trainer(out, batch_size=batch, max_epochs=1)
+    trainer.train_step(ds, 0)  # warm: compile + caches
+    steps_per_epoch = -(-len(ds) // batch)
+    t0 = time.time()
+    epochs = 2
+    waits = 0.0
+    steps = 0
+    for e in range(1, 1 + epochs):
+        trainer.train_step(ds, e)
+        waits += trainer.input_wait_s
+        steps += steps_per_epoch
+    elapsed = time.time() - t0
+    shutil.rmtree(out, ignore_errors=True)
+    steps_s = steps / elapsed
+    mvox_s = steps * batch * np.prod(patch) / elapsed / 1e6
+    print(json.dumps({
+        "metric": "train_step_throughput",
+        "value": round(mvox_s, 2),
+        "unit": "Mvox/s",
+        "vs_baseline": None,
+        "steps_per_s": round(steps_s, 3),
+        "batch_size": batch,
+        "input_wait_frac": round(waits / elapsed, 3),
+    }))
+
+
 if __name__ == "__main__":
     if "--e2e" in sys.argv:
         main_e2e()
+    elif "--sharded" in sys.argv:
+        main_sharded()
+    elif "--train" in sys.argv:
+        main_train()
     else:
         main()
