@@ -458,30 +458,55 @@ def affinities_to_segmentation(
     the final threshold's segmentation, then dropping segments of
     ``<= min_segment_size`` voxels and renumbering contiguously.
 
-    ``affinities`` may be the float32 (3, D, H, W) volume, or the
-    ``(plan, qaff)`` uint8 pair from ``predict(..., predigest=True)``
-    (:mod:`.ops.predigest`): the TPU already reduced the float volume
-    to per-voxel watershed decisions + 256-bin quantized affinities,
-    so the host replays pure integer work with zero float reads --
-    bit-identical output. The low/high thresholds are baked into the
+    ``affinities`` may be:
+
+    * the float32 (3, D, H, W) volume (reference-dense path);
+    * the ``(plan, qaff)`` uint8 pair from
+      ``predict(..., predigest=True)`` (:mod:`.ops.predigest`): the TPU
+      already reduced the float volume to per-voxel watershed decisions
+      + 256-bin quantized affinities, so the host replays pure integer
+      work with zero float reads -- bit-identical output;
+    * a lazy chunked handle (zarr/N5) of shape (3, D, H, W), e.g. from
+      ``predict(..., out_path=...)``: slabs stream to the device
+      pre-digest and the host never holds the float volume -- at
+      1024^3 peak host RAM is the 4-bytes/voxel digests + fragments +
+      one uint32 output (~18 GB vs ~39 GB densified), keeping the
+      reference's own beyond-RAM dead end (inference.py:222
+      densifies) out of this pipeline.
+
+    For the pre-digest pair the low/high thresholds are baked into the
     plan bytes at digest time; passing non-default ``aff_threshold_*``
     with a pre-digest pair is an error.
     """
     from aind_exaspim_neuron_segmentation_tpu import native, postprocess
 
-    if isinstance(affinities, tuple) and len(affinities) == 2:
+    predigested = isinstance(affinities, tuple) and len(affinities) == 2
+    lazy = not predigested and not isinstance(
+        affinities, (np.ndarray, jnp.ndarray, list)
+    )
+    if lazy:
+        from aind_exaspim_neuron_segmentation_tpu.ops.predigest import (
+            predigest_streaming,
+        )
+
+        affinities = predigest_streaming(
+            affinities, low=aff_threshold_low, high=aff_threshold_high,
+        )
+        predigested = True
+        aff_threshold_low, aff_threshold_high = 0.1, 0.9999
+
+    if predigested:
         plan, qaff = affinities
         if (aff_threshold_low, aff_threshold_high) != (0.1, 0.9999):
             raise ValueError(
                 "aff thresholds are baked into the plan bytes at digest "
                 "time; re-digest with ops.predigest for non-defaults"
             )
-        segs = native.agglomerate_all_pre(
+        seg = native.agglomerate_last_pre(
             plan, qaff, list(agglomeration_thresholds)
         )
-        return postprocess.remove_small_segments(
-            segs[-1], min_segment_size
-        )
+        del plan, qaff, affinities
+        return postprocess.remove_small_segments(seg, min_segment_size)
 
     affinities = np.ascontiguousarray(affinities, dtype=np.float32)
     seg = None

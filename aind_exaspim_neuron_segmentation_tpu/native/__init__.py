@@ -49,6 +49,11 @@ def _lib():
             u8p, u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             f32p, ctypes.c_int64, ctypes.c_int32, u32p,
         ]
+        lib.exa_agglomerate_pre_last.restype = ctypes.c_int64
+        lib.exa_agglomerate_pre_last.argtypes = [
+            u8p, u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            f32p, ctypes.c_int64, ctypes.c_int32, u32p,
+        ]
         lib.exa_blosc_info.restype = ctypes.c_int64
         lib.exa_blosc_info.argtypes = [u8p, ctypes.c_int64, i64p]
         lib.exa_blosc_decompress.restype = ctypes.c_int64
@@ -291,6 +296,35 @@ def agglomerate_all_pre(plan, qaff, thresholds, quantile_pct=85):
         raise ValueError("thresholds must be non-empty and ascending")
     out = np.empty((len(th),) + plan.shape, np.uint32)
     k = _lib().exa_agglomerate_pre(
+        _u8p(plan), _u8p(qaff), *plan.shape, _f32(th), len(th),
+        quantile_pct, _u32(out.ravel()),
+    )
+    if k < 0:
+        raise RuntimeError("agglomeration failed")
+    return out
+
+
+def agglomerate_last_pre(plan, qaff, thresholds, quantile_pct=85):
+    """FINAL-threshold segmentation only, from device pre-digests.
+
+    Output buffer is (D, H, W) instead of (T, D, H, W) -- the
+    beyond-RAM path (the reference keeps only the last labeling,
+    reference inference.py:229-233). Bit-identical to
+    ``agglomerate_all_pre(...)[-1]``.
+    """
+    plan = np.ascontiguousarray(plan, dtype=np.uint8)
+    qaff = np.ascontiguousarray(qaff, dtype=np.uint8)
+    if plan.ndim != 3:
+        raise ValueError(f"expected (D, H, W) plan bytes, got {plan.shape}")
+    if qaff.shape != (3,) + plan.shape:
+        raise ValueError(
+            f"qaff shape {qaff.shape} does not match plan {plan.shape}"
+        )
+    th = np.ascontiguousarray(thresholds, dtype=np.float32)
+    if len(th) == 0 or np.any(np.diff(th) < 0):
+        raise ValueError("thresholds must be non-empty and ascending")
+    out = np.empty(plan.shape, np.uint32)
+    k = _lib().exa_agglomerate_pre_last(
         _u8p(plan), _u8p(qaff), *plan.shape, _f32(th), len(th),
         quantile_pct, _u32(out.ravel()),
     )

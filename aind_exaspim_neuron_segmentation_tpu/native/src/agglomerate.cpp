@@ -350,11 +350,15 @@ int64_t watershed_replay(const uint8_t* plan, int64_t D, int64_t H,
 // along axis c stored at voxel v; the merge machinery operates purely
 // on 256-level bins, so float and u8-pre-digested sources share this
 // path bit-for-bit.
+// last_only: snapshot only the final threshold into out[0..N) (the
+// reference keeps only the last labeling, inference.py:229-233); out
+// then needs N entries instead of n_thresholds * N -- the beyond-RAM
+// path's contract.
 template <typename SampleFn>
 int64_t agglomerate_over_fragments(
     const uint32_t* frag, int64_t K, int64_t D, int64_t H, int64_t W,
     const float* thresholds, int64_t n_thresholds, int32_t quantile_pct,
-    uint32_t* out, SampleFn&& sample) {
+    uint32_t* out, SampleFn&& sample, bool last_only = false) {
   const int64_t N = D * H * W;
   const bool dbg = std::getenv("EXA_DEBUG_TIMING") != nullptr;
   auto now = []() { return std::chrono::steady_clock::now(); };
@@ -477,7 +481,9 @@ int64_t agglomerate_over_fragments(
   int64_t t_idx = 0;
   auto flush_thresholds = [&](float next_score) {
     while (t_idx < n_thresholds && next_score > thresholds[t_idx]) {
-      snapshot(out + t_idx * N);
+      if (!last_only || t_idx == n_thresholds - 1) {
+        snapshot(out + (last_only ? 0 : t_idx * N));
+      }
       ++t_idx;
     }
   };
@@ -549,7 +555,9 @@ int64_t agglomerate_over_fragments(
   if (dbg) std::fprintf(stderr, "[exa] merge-loop %.2fs\n", secs(t4, t5));
   flush_thresholds(2.0f);  // emit any remaining snapshots
   while (t_idx < n_thresholds) {
-    snapshot(out + t_idx * N);
+    if (!last_only || t_idx == n_thresholds - 1) {
+      snapshot(out + (last_only ? 0 : t_idx * N));
+    }
     ++t_idx;
   }
   if (dbg) std::fprintf(stderr, "[exa] tail-snapshots %.2fs\n", secs(t5, now()));
@@ -678,4 +686,26 @@ EXA_API int64_t exa_agglomerate_pre(const uint8_t* plan,
   return agglomerate_over_fragments(
       frag.data(), K, D, H, W, thresholds, n_thresholds, quantile_pct,
       out, [&](int c, int64_t v) { return q_c[c][v]; });
+}
+
+// Beyond-RAM variant: identical to exa_agglomerate_pre but only the
+// FINAL threshold's labeling is materialized (out needs N entries, not
+// n_thresholds * N) -- at 1024^3 with three thresholds this saves
+// 8.6 GB of output buffers.
+EXA_API int64_t exa_agglomerate_pre_last(const uint8_t* plan,
+                                         const uint8_t* qaff, int64_t D,
+                                         int64_t H, int64_t W,
+                                         const float* thresholds,
+                                         int64_t n_thresholds,
+                                         int32_t quantile_pct,
+                                         uint32_t* out) {
+  const int64_t N = D * H * W;
+  std::vector<uint32_t> frag(N);
+  const int64_t K = watershed_replay(plan, D, H, W, frag.data());
+  if (K < 0) return -1;
+  const uint8_t* q_c[3] = {qaff, qaff + N, qaff + 2 * N};
+  return agglomerate_over_fragments(
+      frag.data(), K, D, H, W, thresholds, n_thresholds, quantile_pct,
+      out, [&](int c, int64_t v) { return q_c[c][v]; },
+      /*last_only=*/true);
 }

@@ -125,3 +125,42 @@ def predigest(aff, low=0.1, high=0.9999):
         low=low, high=high,
     )
     return np.asarray(plan), np.asarray(qaff)
+
+
+def predigest_streaming(aff, low=0.1, high=0.9999, slab_planes=None):
+    """Digest a lazy (zarr/N5) affinity handle in Z slabs.
+
+    ``aff``: any chunked reader of shape (3, D, H, W) -- the float
+    volume is never dense on host or device; each slab (f32, device)
+    plus the 4-bytes/voxel digest accumulators bound host RAM. The
+    previous slab's last z-affinity plane is threaded through for the
+    -z steepest candidate, so the result is bit-identical to
+    :func:`predigest` of the dense volume (tests/test_predigest.py).
+
+    ``slab_planes``: Z planes per slab; default sizes the device slab
+    to ~512 MB of f32.
+    """
+    import numpy as np
+
+    if aff.ndim != 4 or aff.shape[0] != 3:
+        raise ValueError(f"expected (3, D, H, W) handle, got {aff.shape}")
+    _, d, h, w = aff.shape
+    if slab_planes is None:
+        budget = 512 * 1024**2
+        slab_planes = max(int(budget // (3 * h * w * 4)), 1)
+    plan = np.empty((d, h, w), np.uint8)
+    qaff = np.empty((3, d, h, w), np.uint8)
+    prev = None
+    for lo in range(0, d, slab_planes):
+        hi = min(lo + slab_planes, d)
+        block = jnp.asarray(
+            np.asarray(aff[:, lo:hi], dtype=np.float32)
+        )
+        p, q = predigest_slab(
+            block, prev, first_slab=(lo == 0), last_slab=(hi == d),
+            low=low, high=high,
+        )
+        prev = block[0, -1]
+        plan[lo:hi] = np.asarray(p)
+        qaff[:, lo:hi] = np.asarray(q)
+    return plan, qaff

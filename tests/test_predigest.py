@@ -96,6 +96,68 @@ class TestPredigestParity:
             )
 
 
+class TestStreamingPostprocess:
+    def test_streaming_digest_matches_dense(self, tmp_path):
+        from aind_exaspim_neuron_segmentation_tpu.io import read
+        from aind_exaspim_neuron_segmentation_tpu.io.zarr_lite import (
+            write_zarr,
+        )
+
+        aff = _noisy_affs(seed=5)
+        path = str(tmp_path / "aff.zarr")
+        write_zarr(path, aff, chunks=(3, 8, 8, 8))
+        lazy = read(path)
+        want = predigest.predigest(aff)
+        for planes in (None, 5, 1):
+            got = predigest.predigest_streaming(
+                lazy, slab_planes=planes
+            )
+            np.testing.assert_array_equal(got[0], want[0])
+            np.testing.assert_array_equal(got[1], want[1])
+
+    def test_agglomerate_last_pre_matches_all(self):
+        aff = _noisy_affs(seed=6)
+        plan, qaff = predigest.predigest(aff)
+        th = [0.2, 0.5, 0.8]
+        np.testing.assert_array_equal(
+            native.agglomerate_last_pre(plan, qaff, th),
+            native.agglomerate_all_pre(plan, qaff, th)[-1],
+        )
+
+    def test_segmentation_from_lazy_zarr(self, tmp_path):
+        """Beyond-RAM path regression: zarr affinity store in,
+        bit-identical segmentation out vs the dense float path."""
+        from aind_exaspim_neuron_segmentation_tpu.io import read
+        from aind_exaspim_neuron_segmentation_tpu.io.zarr_lite import (
+            write_zarr,
+        )
+
+        aff = _noisy_affs(shape=(32, 24, 16), seed=7)
+        path = str(tmp_path / "aff.zarr")
+        write_zarr(path, aff, chunks=(3, 8, 24, 16))
+        seg_dense = inference.affinities_to_segmentation(aff)
+        seg_lazy = inference.affinities_to_segmentation(read(path))
+        np.testing.assert_array_equal(seg_dense, seg_lazy)
+
+    def test_lazy_nondefault_thresholds(self, tmp_path):
+        """Custom low/high flow into the streaming digest."""
+        from aind_exaspim_neuron_segmentation_tpu.io import read
+        from aind_exaspim_neuron_segmentation_tpu.io.zarr_lite import (
+            write_zarr,
+        )
+
+        aff = _noisy_affs(shape=(20, 16, 12), seed=8)
+        path = str(tmp_path / "aff2.zarr")
+        write_zarr(path, aff)
+        seg_dense = inference.affinities_to_segmentation(
+            aff, aff_threshold_low=0.3, aff_threshold_high=0.95,
+        )
+        seg_lazy = inference.affinities_to_segmentation(
+            read(path), aff_threshold_low=0.3, aff_threshold_high=0.95,
+        )
+        np.testing.assert_array_equal(seg_dense, seg_lazy)
+
+
 class TestPredictPredigest:
     @pytest.fixture(scope="class")
     def runner(self):

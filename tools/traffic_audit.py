@@ -1,0 +1,298 @@
+"""HBM traffic audit of the UNet3D bf16 forward (VERDICT r2 item 1).
+
+Settles the 14%-MFU question with numbers instead of per-op anecdotes:
+
+1. compiles the production B=16 bf16 96^3 forward (folded BN) and
+   parses the optimized HLO for every ENTRY instruction's operand +
+   output buffer bytes;
+2. captures a jax.profiler device trace of data-chained iterations and
+   aggregates per-op device time;
+3. joins the two into a per-fusion table (bytes, time, effective GB/s),
+   sums total HBM traffic per iteration, and compares against a
+   hand-computed minimal-traffic model (each activation written once +
+   read once, weights read once) -- measured/minimal <= 1.3x means the
+   bandwidth roofline is proven; > 1.3x localizes the layout copies to
+   kill.
+
+Usage:  python tools/traffic_audit.py [--iters N] [--out FILE.md]
+Run on the TPU (axon) backend; CPU runs compile but the trace numbers
+are meaningless there.
+"""
+
+import argparse
+import glob
+import os
+import re
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+DTYPE_BYTES = {
+    "f64": 8, "f32": 4, "bf16": 2, "f16": 2, "s64": 8, "u64": 8,
+    "s32": 4, "u32": 4, "s16": 2, "u16": 2, "s8": 1, "u8": 1,
+    "pred": 1, "f8e4m3fn": 1, "f8e5m2": 1,
+}
+
+_SHAPE_RE = re.compile(r"(\w+)\[([\d,]*)\]")
+
+
+def shape_bytes(shape_str):
+    """Total bytes of an HLO shape string, e.g. 'bf16[16,96,96,96,32]'.
+
+    Tuples contribute the sum of their elements.
+    """
+    total = 0
+    for dtype, dims in _SHAPE_RE.findall(shape_str):
+        if dtype not in DTYPE_BYTES:
+            continue
+        n = 1
+        if dims:
+            for d in dims.split(","):
+                n *= int(d)
+        total += n * DTYPE_BYTES[dtype]
+    return total
+
+
+def parse_entry_instructions(hlo_text):
+    """name -> (shape_str, operand_names, opcode) for the ENTRY computation."""
+    entry = None
+    # ENTRY computation: the block opened by a line starting with 'ENTRY'
+    m = re.search(r"^ENTRY [^\n]*\{(.*?)^\}", hlo_text,
+                  re.S | re.M)
+    if not m:
+        raise ValueError("no ENTRY computation found")
+    entry = m.group(1)
+    instrs = {}
+    # lines: %name = shape opcode(%a, %b, ...), attrs
+    line_re = re.compile(
+        r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*((?:\([^)]*\))|(?:\w+\[[^\]]*\](?:\{[^}]*\})?))\s+([\w\-]+)\((.*)$",
+        re.M,
+    )
+    for mm in line_re.finditer(entry):
+        name, shape, opcode, rest = mm.groups()
+        # operand names: %tokens before any '),' that closes the call
+        ops = re.findall(r"%([\w.\-]+)", rest.split("), ")[0])
+        instrs[name] = (shape, ops, opcode)
+    return instrs
+
+
+def per_instruction_bytes(instrs):
+    """name -> (bytes_in, bytes_out); parameters/constants excluded."""
+    out = {}
+    for name, (shape, ops, opcode) in instrs.items():
+        if opcode in ("parameter", "constant"):
+            continue
+        b_out = shape_bytes(shape)
+        b_in = 0
+        for op in ops:
+            if op in instrs:
+                b_in += shape_bytes(instrs[op][0])
+        out[name] = (b_in, b_out, opcode)
+    return out
+
+
+def build_forward(batch=16):
+    import jax
+    import jax.numpy as jnp
+
+    from aind_exaspim_neuron_segmentation_tpu import inference
+
+    runner = inference.load_model(affinity_mode=True)
+
+    def fwd(variables, x):
+        logits = runner.module.apply(variables, x, train=False)
+        return jax.nn.sigmoid(logits.astype(jnp.float32))
+
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal(
+            (batch, 96, 96, 96, 1)
+        ), jnp.float32,
+    )
+    jitted = jax.jit(fwd)
+    return jitted, runner.variables, x
+
+
+def capture_trace(jitted, variables, x, iters):
+    import jax
+
+    tmp = tempfile.mkdtemp(prefix="traffic_audit_")
+    # warm/compile outside the trace
+    y = jitted(variables, x)
+    float(y[0, 0, 0, 0, 0])
+    with jax.profiler.trace(tmp):
+        xx = x
+        for _ in range(iters):
+            y = jitted(variables, xx)
+            # data-chain so dispatch cannot overlap iterations
+            xx = x + y[0, 0, 0, 0, 0] * 0
+        checksum = float(y[0, 50, 50, 50, 0])
+    del checksum
+    paths = glob.glob(os.path.join(tmp, "**", "*.xplane.pb"),
+                      recursive=True)
+    if not paths:
+        raise RuntimeError(f"no xplane produced under {tmp}")
+    return paths[0]
+
+
+def device_op_times(xplane_path):
+    """op name -> total device seconds, from the TPU device plane."""
+    import jax
+
+    data = jax.profiler.ProfileData.from_serialized_xspace(
+        open(xplane_path, "rb").read()
+    )
+    totals = {}
+    for plane in data.planes:
+        pname = plane.name.lower()
+        if "tpu" not in pname and "device" not in pname:
+            continue
+        if "host" in pname:
+            continue
+        for line in plane.lines:
+            for ev in line.events:
+                name = ev.name
+                dur = ev.duration_ns / 1e9
+                totals[name] = totals.get(name, 0.0) + dur
+    return totals
+
+
+def minimal_traffic_model(batch=16):
+    """Hand-computed minimum HBM bytes per forward iteration.
+
+    Model: every activation tensor is written once by its producer and
+    read once by its consumer(s) (skip connections read twice), weights
+    read once, input read once, output written once. bf16 activations
+    and weights; the final sigmoid output is f32 (3 channels).
+    Channel ladder (32, 64, 128, 256, 512) at width 1, NDHWC.
+    """
+    chans = [32, 64, 128, 256, 512]
+    res = [96, 48, 24, 12, 6]
+    act = 2  # bf16
+    B = batch
+    total = 0
+    entries = []
+
+    def add(name, nbytes):
+        nonlocal total
+        entries.append((name, nbytes))
+        total += nbytes
+
+    # input volume (f32 read once)
+    add("input f32", B * 96**3 * 1 * 4)
+    # Encoder: each DoubleConv writes 2 activations at its resolution;
+    # each is read by the next conv; skip tensors are read again by the
+    # decoder concat. Downsample (maxpool) reads/writes once.
+    for lvl in range(5):
+        r, c = res[lvl], chans[lvl]
+        n = B * r**3 * c * act
+        add(f"enc{lvl} conv1 out ({r}^3 x{c})", 2 * n)  # write + read
+        add(f"enc{lvl} conv2 out ({r}^3 x{c})", 2 * n)
+        if lvl < 4:
+            add(f"enc{lvl} skip reread", n)  # decoder concat read
+            add(f"pool{lvl} out", 2 * (B * res[lvl + 1]**3 * c * act))
+    # Decoder: 4 up levels; upsample writes at the higher res with the
+    # lower level's channels, concat feeds DoubleConv (c_out = chans)
+    for lvl in range(3, -1, -1):
+        r, c = res[lvl], chans[lvl]
+        c_up = chans[lvl + 1]
+        add(f"up{lvl} upsampled ({r}^3 x{c_up})",
+            2 * (B * r**3 * c_up * act))
+        add(f"dec{lvl} conv1 out ({r}^3 x{c})", 2 * (B * r**3 * c * act))
+        add(f"dec{lvl} conv2 out ({r}^3 x{c})", 2 * (B * r**3 * c * act))
+    # output (f32, 3 channels, written once)
+    add("output f32 x3", B * 96**3 * 3 * 4)
+    # weights, read once (19M params bf16)
+    add("weights bf16", 19_000_000 * act)
+    return total, entries
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--top", type=int, default=25)
+    args = ap.parse_args()
+
+    print("# building + compiling forward...", file=sys.stderr)
+    jitted, variables, x = build_forward(args.batch)
+    lowered = jitted.lower(variables, x)
+    compiled = lowered.compile()
+    hlo = compiled.as_text()
+    instrs = parse_entry_instructions(hlo)
+    traffic = per_instruction_bytes(instrs)
+
+    print("# capturing device trace...", file=sys.stderr)
+    t0 = time.time()
+    xplane = capture_trace(jitted, variables, x, args.iters)
+    wall = time.time() - t0
+    times = device_op_times(xplane)
+
+    # join: trace op names usually match HLO instruction names
+    # (fusion.N, convolution.N, copy.N ...), sometimes with a
+    # "%name" or module prefix -- normalize both sides.
+    def norm(n):
+        return n.split("%")[-1].strip()
+
+    time_by_name = {}
+    for name, t in times.items():
+        time_by_name[norm(name)] = time_by_name.get(norm(name), 0.0) + t
+
+    rows = []
+    total_bytes = 0
+    total_time = 0.0
+    unmatched_time = 0.0
+    for name, t in time_by_name.items():
+        entry = traffic.get(name)
+        if entry is None:
+            unmatched_time += t
+            continue
+        b_in, b_out, opcode = entry
+        bts = b_in + b_out
+        per_iter_t = t / args.iters
+        total_bytes += bts
+        total_time += per_iter_t
+        gbs = bts / per_iter_t / 1e9 if per_iter_t > 0 else 0.0
+        rows.append((name, opcode, b_in, b_out, per_iter_t, gbs))
+    rows.sort(key=lambda r: -r[4])
+
+    minimal, model_entries = minimal_traffic_model(args.batch)
+
+    lines = []
+    lines.append(f"# HBM traffic audit (B={args.batch} bf16 forward, "
+                 f"{args.iters} chained iters, wall {wall:.1f}s)\n")
+    lines.append("| op | kind | MB in | MB out | ms/iter | eff GB/s |")
+    lines.append("|---|---|---|---|---|---|")
+    for name, opcode, b_in, b_out, t, gbs in rows[: args.top]:
+        lines.append(
+            f"| {name} | {opcode} | {b_in / 1e6:.1f} | {b_out / 1e6:.1f}"
+            f" | {t * 1e3:.2f} | {gbs:.1f} |"
+        )
+    lines.append("")
+    lines.append(f"- ops matched: {len(rows)}; matched device time "
+                 f"{total_time * 1e3:.1f} ms/iter; unmatched trace time "
+                 f"{unmatched_time / args.iters * 1e3:.1f} ms/iter")
+    lines.append(f"- measured HBM bytes/iter (sum of matched op operand"
+                 f" + output buffers): {total_bytes / 1e9:.2f} GB")
+    lines.append(f"- minimal-traffic model: {minimal / 1e9:.2f} GB "
+                 "(each activation written once + read once, skips "
+                 "reread, weights once)")
+    ratio = total_bytes / minimal if minimal else float("inf")
+    lines.append(f"- measured / minimal = {ratio:.2f}x")
+    lines.append("")
+    lines.append("Model detail:")
+    for name, nbytes in model_entries:
+        lines.append(f"  - {name}: {nbytes / 1e6:.1f} MB")
+    report = "\n".join(lines)
+    print(report)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(report + "\n")
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    main()
