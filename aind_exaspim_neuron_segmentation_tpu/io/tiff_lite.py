@@ -7,10 +7,11 @@ layouts, horizontal-differencing predictors, float samples. This module
 implements the format directly:
 
 * classic TIFF (magic 42) and BigTIFF (magic 43), both byte orders;
-* striped and tiled layouts; grayscale and contiguous multi-sample;
+* striped and tiled layouts; grayscale, contiguous multi-sample, and
+  striped planar-separate (PlanarConfiguration=2) pages;
 * compressions: none, LZW (TIFF variant: MSB-first codes, early
-  change), Deflate/AdobeDeflate, PackBits; predictor 2 (horizontal
-  differencing);
+  change), Deflate/AdobeDeflate, PackBits, ZSTD (tag 50000);
+  predictor 2 (horizontal differencing, per-sample);
 * sample formats: unsigned/signed int 8/16/32/64, float 32/64;
 * multi-page stacks decode page-on-demand (``lazy=True`` returns a
   ``TiffStack`` with numpy-style indexing, matching the chunked-read
@@ -125,9 +126,13 @@ def _decompress(data, compression, expected):
         return _unpack_lzw(data)
     if compression == 32773:
         return _unpack_packbits(data, expected)
+    if compression in (50000, 34926):  # ZSTD (imagecodecs / legacy id)
+        from aind_exaspim_neuron_segmentation_tpu import native
+
+        return native.zstd_decompress(bytes(data), expected)
     raise ValueError(
         f"unsupported TIFF compression {compression} (supported: none, "
-        "LZW, Deflate, PackBits)"
+        "LZW, Deflate, PackBits, ZSTD)"
     )
 
 
@@ -141,9 +146,9 @@ class _Page:
         self.samples = int(tags.get(_T_SAMPLES, [1])[0])
         self.compression = int(tags.get(_T_COMPRESSION, [1])[0])
         self.predictor = int(tags.get(_T_PREDICTOR, [1])[0])
-        planar = int(tags.get(_T_PLANAR, [1])[0])
-        if planar != 1 and self.samples > 1:
-            raise ValueError("planar (separate-plane) TIFF not supported")
+        self.planar = int(tags.get(_T_PLANAR, [1])[0])
+        if self.planar not in (1, 2):
+            raise ValueError(f"unknown planar configuration {self.planar}")
         bits = tags.get(_T_BITS, [8])
         bits = int(bits[0])
         fmt = int(tags.get(_T_SAMPLE_FORMAT, [1])[0])
@@ -171,6 +176,48 @@ class _Page:
         base = (self.length, self.width)
         return base if self.samples == 1 else base + (self.samples,)
 
+    def _read_planar(self, buf):
+        """Planar-separate (PlanarConfiguration=2) striped pages: the
+        strip list holds all of sample 0's strips, then sample 1's, ...
+        (TIFF 6.0 section 13); each plane is single-sample, so
+        predictor 2 cumsums plainly over width."""
+        if self.tiled:
+            raise ValueError(
+                "tiled planar-separate TIFF not supported"
+            )
+        item = self.dtype.itemsize
+        per_plane = -(-self.length // self.rows_per_strip)
+        if len(self.offsets) != per_plane * self.samples:
+            raise ValueError(
+                "planar strip count does not factor into samples"
+            )
+        planes = []
+        for s in range(self.samples):
+            rows = []
+            for si in range(per_plane):
+                off = self.offsets[s * per_plane + si]
+                cnt = self.counts[s * per_plane + si]
+                nrows = min(self.rows_per_strip,
+                            self.length - si * self.rows_per_strip)
+                expected = nrows * self.width * item
+                raw = _decompress(
+                    bytes(buf[off: off + cnt]), self.compression,
+                    expected,
+                )
+                arr = np.frombuffer(raw[:expected], self.dtype)
+                arr = arr.reshape(nrows, self.width).copy()
+                if self.predictor == 2:
+                    np.cumsum(arr, axis=1, dtype=arr.dtype, out=arr)
+                elif self.predictor != 1:
+                    raise ValueError(
+                        f"unsupported predictor {self.predictor}"
+                    )
+                rows.append(arr)
+            planes.append(
+                np.concatenate(rows) if len(rows) > 1 else rows[0]
+            )
+        return np.stack(planes, axis=-1)
+
     def _undo_predictor(self, arr):
         # TIFF 6.0 predictor 2 differences per sample: with contiguous
         # multi-sample rows the cumsum must run over the width axis only,
@@ -188,6 +235,8 @@ class _Page:
 
     def read(self, buf):
         """Decode this page from the file buffer into an ndarray."""
+        if self.planar == 2 and self.samples > 1:
+            return self._read_planar(buf)
         item = self.dtype.itemsize * self.samples
         if not self.tiled:
             rows = []

@@ -90,6 +90,28 @@ class TestN5:
         vio.write_n5(path, v, chunks=(4, 4, 4))
         np.testing.assert_array_equal(vio.read(path)[:], v)
 
+    def test_varlength_mode1_block(self, tmp_path):
+        """Hand-built mode-1 (varlength) block: header carries an extra
+        element count before the payload (N5 spec)."""
+        import struct
+
+        v = np.arange(4 * 3 * 2, dtype=np.uint16).reshape(4, 3, 2)
+        path = tmp_path / "m1.n5"
+        path.mkdir()
+        (path / "attributes.json").write_text(json.dumps({
+            "dimensions": [2, 3, 4],      # XYZ (fastest first)
+            "blockSize": [2, 3, 4],
+            "dataType": "uint16",
+            "compression": {"type": "raw"},
+        }))
+        payload = v.astype(">u2").tobytes()
+        header = struct.pack(">HH", 1, 3)            # mode 1, ndim 3
+        header += struct.pack(">3I", 2, 3, 4)        # dims XYZ
+        header += struct.pack(">I", v.size)          # num elements
+        (path / "0" / "0").mkdir(parents=True)
+        (path / "0" / "0" / "0").write_bytes(header + payload)
+        np.testing.assert_array_equal(vio.read(str(path))[:], v)
+
 
 class TestTiff:
     def test_round_trip_3d(self, tmp_path, vol):
@@ -509,6 +531,100 @@ class TestTiffLite:
         ]
         buf = b"II" + struct.pack("<HI", 42, ifd_off)
         buf += payload + b"\0" * (len(payload) % 2)
+        buf += struct.pack("<H", len(tags)) + b"".join(tags)
+        buf += struct.pack("<I", 0)
+        got = tiff_lite.read_tiff(buf)
+        np.testing.assert_array_equal(got, vol)
+
+    def test_zstd_compression(self, tmp_path):
+        """Hand-built classic TIFF with ZSTD strips (tag 50000, the
+        imagecodecs/tifffile convention for modern microscopy)."""
+        import struct
+
+        from aind_exaspim_neuron_segmentation_tpu import native
+        from aind_exaspim_neuron_segmentation_tpu.io import tiff_lite
+
+        vol = self._vol("uint16", seed=12)[0]
+        payload = native.zstd_compress(vol.astype("<u2").tobytes())
+
+        def entry(tag, typ, count, value):
+            fmt = {3: "H", 4: "I"}[typ]
+            raw = struct.pack("<HHI", tag, typ, count)
+            return raw + struct.pack("<" + fmt, value).ljust(4, b"\0")
+
+        data_off = 8
+        ifd_off = data_off + len(payload) + (len(payload) % 2)
+        tags = [
+            entry(256, 4, 1, vol.shape[1]),
+            entry(257, 4, 1, vol.shape[0]),
+            entry(258, 3, 1, 16),
+            entry(259, 3, 1, 50000),    # ZSTD
+            entry(262, 3, 1, 1),
+            entry(273, 4, 1, data_off),
+            entry(277, 3, 1, 1),
+            entry(278, 4, 1, vol.shape[0]),
+            entry(279, 4, 1, len(payload)),
+            entry(339, 3, 1, 1),
+        ]
+        buf = b"II" + struct.pack("<HI", 42, ifd_off)
+        buf += payload + b"\0" * (len(payload) % 2)
+        buf += struct.pack("<H", len(tags)) + b"".join(tags)
+        buf += struct.pack("<I", 0)
+        got = tiff_lite.read_tiff(buf)
+        np.testing.assert_array_equal(got, vol)
+
+    def test_planar_separate(self, tmp_path):
+        """Planar-separate RGB (PlanarConfiguration=2): per-sample
+        strip planes with deflate + predictor 2."""
+        import struct
+        import zlib
+
+        from aind_exaspim_neuron_segmentation_tpu.io import tiff_lite
+
+        rng = np.random.default_rng(13)
+        vol = rng.integers(0, 255, (6, 5, 3)).astype(np.uint8)
+        payloads = []
+        for s in range(3):
+            plane = vol[:, :, s].copy()
+            diff = plane.copy()
+            diff[:, 1:] = (plane[:, 1:].astype(np.int64)
+                           - plane[:, :-1].astype(np.int64)
+                           ).astype(np.uint8)
+            payloads.append(zlib.compress(diff.tobytes()))
+
+        def entry(tag, typ, count, value, extra_off=None):
+            fmt = {3: "H", 4: "I"}[typ]
+            raw = struct.pack("<HHI", tag, typ, count)
+            if count == 1:
+                return raw + struct.pack("<" + fmt, value).ljust(4, b"\0")
+            return raw + struct.pack("<I", extra_off)
+
+        offs, pos = [], 8
+        for p in payloads:
+            offs.append(pos)
+            pos += len(p)
+        arrays_off = pos + (pos % 2)
+        # strip offsets (3xI) then counts (3xI) stored out-of-line
+        ifd_off = arrays_off + 24
+        tags = [
+            entry(256, 4, 1, vol.shape[1]),
+            entry(257, 4, 1, vol.shape[0]),
+            entry(258, 3, 1, 8),
+            entry(259, 3, 1, 8),        # deflate
+            entry(262, 3, 1, 2),
+            entry(273, 4, 3, None, arrays_off),
+            entry(277, 3, 1, 3),
+            entry(278, 4, 1, vol.shape[0]),
+            entry(279, 4, 3, None, arrays_off + 12),
+            entry(284, 3, 1, 2),        # planar separate
+            entry(317, 3, 1, 2),
+            entry(339, 3, 1, 1),
+        ]
+        buf = b"II" + struct.pack("<HI", 42, ifd_off)
+        buf += b"".join(payloads)
+        buf += b"\0" * (arrays_off - pos)
+        buf += struct.pack("<3I", *offs)
+        buf += struct.pack("<3I", *[len(p) for p in payloads])
         buf += struct.pack("<H", len(tags)) + b"".join(tags)
         buf += struct.pack("<I", 0)
         got = tiff_lite.read_tiff(buf)
