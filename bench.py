@@ -204,6 +204,9 @@ def main_e2e():
             "skeletonize_swc": round(t3 - t2, 1),
         },
         "n_segments": int(seg.max()),
+        "caveats": "predict includes the ~67 MB digest fetch over the "
+                   "~16 MB/s dev tunnel (a PCIe host would not pay it); "
+                   "segment runs single-core here (threaded engine)",
     }))
 
 

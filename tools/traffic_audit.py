@@ -2,17 +2,16 @@
 
 Settles the 14%-MFU question with numbers instead of per-op anecdotes:
 
-1. compiles the production B=16 bf16 96^3 forward (folded BN) and
-   parses the optimized HLO for every ENTRY instruction's operand +
-   output buffer bytes;
-2. captures a jax.profiler device trace of data-chained iterations and
-   aggregates per-op device time;
-3. joins the two into a per-fusion table (bytes, time, effective GB/s),
-   sums total HBM traffic per iteration, and compares against a
-   hand-computed minimal-traffic model (each activation written once +
-   read once, weights read once) -- measured/minimal <= 1.3x means the
-   bandwidth roofline is proven; > 1.3x localizes the layout copies to
-   kill.
+1. runs the production B=16 bf16 96^3 forward (folded BN) under a
+   jax.profiler device trace (data-chained iterations);
+2. parses the TPU "XLA Ops" trace events -- each event name is the
+   full optimized-HLO definition line, so per-op operand/output HBM
+   bytes AND device time come from one source;
+3. emits a per-op table (bytes, time, effective GB/s), sums total HBM
+   traffic per iteration, and compares against a hand-computed
+   minimal-traffic model (each activation written once + read once,
+   weights read once) -- measured/minimal <= 1.3x means the bandwidth
+   roofline is proven; > 1.3x localizes the layout copies to kill.
 
 Usage:  python tools/traffic_audit.py [--iters N] [--out FILE.md]
 Run on the TPU (axon) backend; CPU runs compile but the trace numbers
@@ -53,44 +52,6 @@ def shape_bytes(shape_str):
                 n *= int(d)
         total += n * DTYPE_BYTES[dtype]
     return total
-
-
-def parse_entry_instructions(hlo_text):
-    """name -> (shape_str, operand_names, opcode) for the ENTRY computation."""
-    entry = None
-    # ENTRY computation: the block opened by a line starting with 'ENTRY'
-    m = re.search(r"^ENTRY [^\n]*\{(.*?)^\}", hlo_text,
-                  re.S | re.M)
-    if not m:
-        raise ValueError("no ENTRY computation found")
-    entry = m.group(1)
-    instrs = {}
-    # lines: %name = shape opcode(%a, %b, ...), attrs
-    line_re = re.compile(
-        r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*((?:\([^)]*\))|(?:\w+\[[^\]]*\](?:\{[^}]*\})?))\s+([\w\-]+)\((.*)$",
-        re.M,
-    )
-    for mm in line_re.finditer(entry):
-        name, shape, opcode, rest = mm.groups()
-        # operand names: %tokens before any '),' that closes the call
-        ops = re.findall(r"%([\w.\-]+)", rest.split("), ")[0])
-        instrs[name] = (shape, ops, opcode)
-    return instrs
-
-
-def per_instruction_bytes(instrs):
-    """name -> (bytes_in, bytes_out); parameters/constants excluded."""
-    out = {}
-    for name, (shape, ops, opcode) in instrs.items():
-        if opcode in ("parameter", "constant"):
-            continue
-        b_out = shape_bytes(shape)
-        b_in = 0
-        for op in ops:
-            if op in instrs:
-                b_in += shape_bytes(instrs[op][0])
-        out[name] = (b_in, b_out, opcode)
-    return out
 
 
 def build_forward(batch=16):
@@ -136,26 +97,63 @@ def capture_trace(jitted, variables, x, iters):
     return paths[0]
 
 
-def device_op_times(xplane_path):
-    """op name -> total device seconds, from the TPU device plane."""
+_EV_RE = re.compile(
+    r"%([\w.\-]+)\s*=\s*(\([^)]*\)|\w+\[[^\]]*\](?:\{[^}]*\})?)\s+"
+    r"([\w\-]+)\((.*)$", re.S,
+)
+
+
+def parse_trace_ops(xplane_path, module_prefix="jit_fwd"):
+    """Per-op totals from the TPU device plane, restricted to the
+    target XLA module's execution windows.
+
+    Each "XLA Ops" event name is the full HLO definition line --
+    output shape, opcode, and operand shapes with layouts -- so
+    operand/output HBM bytes come straight from the trace, no separate
+    HLO parse or name join needed. Returns (ops, module_ns):
+    ``ops``: name -> [bytes_in, bytes_out, opcode, total_ns, count];
+    ``module_ns``: total device ns spent in the module.
+    """
     import jax
 
     data = jax.profiler.ProfileData.from_serialized_xspace(
         open(xplane_path, "rb").read()
     )
-    totals = {}
+    ops = {}
+    module_ns = 0.0
     for plane in data.planes:
-        pname = plane.name.lower()
-        if "tpu" not in pname and "device" not in pname:
+        if not plane.name.startswith("/device:TPU"):
             continue
-        if "host" in pname:
-            continue
+        windows = []
+        op_lines = []
         for line in plane.lines:
+            if line.name == "XLA Modules":
+                for ev in line.events:
+                    if ev.name.startswith(module_prefix):
+                        windows.append((ev.start_ns, ev.end_ns))
+                        module_ns += ev.duration_ns
+            elif line.name == "XLA Ops":
+                op_lines.append(line)
+        for line in op_lines:
             for ev in line.events:
-                name = ev.name
-                dur = ev.duration_ns / 1e9
-                totals[name] = totals.get(name, 0.0) + dur
-    return totals
+                mid = ev.start_ns + ev.duration_ns / 2
+                if not any(a <= mid <= b for a, b in windows):
+                    continue
+                m = _EV_RE.match(ev.name)
+                if not m:
+                    continue
+                name, out_shape, opcode, rest = m.groups()
+                ent = ops.get(name)
+                if ent is None:
+                    b_out = shape_bytes(out_shape)
+                    # operand shapes: every dtype[dims] token in the
+                    # argument list (attrs after the closing paren hold
+                    # no shapes for these op kinds)
+                    b_in = shape_bytes(rest.split("), ")[0])
+                    ent = ops[name] = [b_in, b_out, opcode, 0.0, 0]
+                ent[3] += ev.duration_ns
+                ent[4] += 1
+    return ops, module_ns
 
 
 def minimal_traffic_model(batch=16):
@@ -218,44 +216,28 @@ def main():
 
     print("# building + compiling forward...", file=sys.stderr)
     jitted, variables, x = build_forward(args.batch)
-    lowered = jitted.lower(variables, x)
-    compiled = lowered.compile()
-    hlo = compiled.as_text()
-    instrs = parse_entry_instructions(hlo)
-    traffic = per_instruction_bytes(instrs)
 
     print("# capturing device trace...", file=sys.stderr)
     t0 = time.time()
     xplane = capture_trace(jitted, variables, x, args.iters)
     wall = time.time() - t0
-    times = device_op_times(xplane)
-
-    # join: trace op names usually match HLO instruction names
-    # (fusion.N, convolution.N, copy.N ...), sometimes with a
-    # "%name" or module prefix -- normalize both sides.
-    def norm(n):
-        return n.split("%")[-1].strip()
-
-    time_by_name = {}
-    for name, t in times.items():
-        time_by_name[norm(name)] = time_by_name.get(norm(name), 0.0) + t
+    ops, module_ns = parse_trace_ops(xplane)
 
     rows = []
     total_bytes = 0
     total_time = 0.0
-    unmatched_time = 0.0
-    for name, t in time_by_name.items():
-        entry = traffic.get(name)
-        if entry is None:
-            unmatched_time += t
+    for name, (b_in, b_out, opcode, ns, count) in ops.items():
+        # copy-start/copy-done pairs both carry the transfer; count the
+        # done only (the start is async dispatch)
+        if opcode == "copy-start":
             continue
-        b_in, b_out, opcode = entry
-        bts = b_in + b_out
-        per_iter_t = t / args.iters
+        bts = (b_in + b_out) * (count / args.iters)
+        per_iter_t = ns / 1e9 / args.iters
         total_bytes += bts
         total_time += per_iter_t
         gbs = bts / per_iter_t / 1e9 if per_iter_t > 0 else 0.0
-        rows.append((name, opcode, b_in, b_out, per_iter_t, gbs))
+        rows.append((name, opcode, b_in, b_out, per_iter_t, gbs,
+                     count / args.iters))
     rows.sort(key=lambda r: -r[4])
 
     minimal, model_entries = minimal_traffic_model(args.batch)
@@ -265,16 +247,16 @@ def main():
                  f"{args.iters} chained iters, wall {wall:.1f}s)\n")
     lines.append("| op | kind | MB in | MB out | ms/iter | eff GB/s |")
     lines.append("|---|---|---|---|---|---|")
-    for name, opcode, b_in, b_out, t, gbs in rows[: args.top]:
+    for name, opcode, b_in, b_out, t, gbs, _n in rows[: args.top]:
         lines.append(
             f"| {name} | {opcode} | {b_in / 1e6:.1f} | {b_out / 1e6:.1f}"
             f" | {t * 1e3:.2f} | {gbs:.1f} |"
         )
     lines.append("")
-    lines.append(f"- ops matched: {len(rows)}; matched device time "
-                 f"{total_time * 1e3:.1f} ms/iter; unmatched trace time "
-                 f"{unmatched_time / args.iters * 1e3:.1f} ms/iter")
-    lines.append(f"- measured HBM bytes/iter (sum of matched op operand"
+    lines.append(f"- ops: {len(rows)}; op device time "
+                 f"{total_time * 1e3:.1f} ms/iter; module window "
+                 f"{module_ns / 1e6 / args.iters:.1f} ms/iter")
+    lines.append(f"- measured HBM bytes/iter (sum of op operand"
                  f" + output buffers): {total_bytes / 1e9:.2f} GB")
     lines.append(f"- minimal-traffic model: {minimal / 1e9:.2f} GB "
                  "(each activation written once + read once, skips "
