@@ -137,6 +137,7 @@ def predict_sharded(
     out_path=None,
     max_band_rows=None,
     timer=None,
+    allow_partial=False,
 ):
     """predict() over a 1-D (Z) or 2-D (Z x Y) device mesh.
 
@@ -157,6 +158,14 @@ def predict_sharded(
     Volumes larger than the mesh's combined HBM stream through;
     normalization switches from mesh order statistics to the exact
     host-streaming radix percentile (same values to f32 rounding).
+
+    ``allow_partial``: multi-process only. Without ``out_path`` each
+    process can only fill the output rows its own devices hold, so the
+    dense return is process-local (zeros elsewhere); that call is
+    refused unless ``allow_partial=True`` makes the contract explicit.
+    With it, 2-D meshes may also split a Z row's Y shards across
+    processes (each fills its own Y ranges). ``out_path`` streaming
+    still requires whole Z rows per process -- checked up front.
 
     ``timer``: optional :class:`..utils.profiling.StageTimer` recording
     wall time per stage (``normalize`` / ``forward`` / ``fetch_assemble``).
@@ -525,6 +534,31 @@ def predict_sharded(
 
     # --- Output sinks --------------------------------------------------
     multiproc = jax.process_count() > 1
+    if multiproc and out_path is None and not allow_partial:
+        raise ValueError(
+            "multi-process predict_sharded without out_path returns a "
+            "partially-filled array on each process (only its own "
+            "shards; zeros elsewhere). Pass out_path= for a complete "
+            "store assembled across processes, or allow_partial=True "
+            "to accept the process-local fill."
+        )
+    if multiproc and out_path is not None and y_axis is not None:
+        # Fail fast: process-local streaming output writes whole Z rows
+        # (one-plane-deep chunks), so a row's Y shards must all be on
+        # one process. Checked here against the device-to-process
+        # layout instead of erroring mid-assembly.
+        local_ids = {d.id for d in jax.local_devices()}
+        dev_grid = mesh.devices.reshape(nz, ny)
+        for i_row in range(nz):
+            loc = [dev_grid[i_row, j].id in local_ids for j in range(ny)]
+            if any(loc) and not all(loc):
+                raise ValueError(
+                    "multi-process predict_sharded with out_path needs "
+                    "whole Z rows per process (Z-major process-to-mesh "
+                    f"layout); row {i_row} is split across processes. "
+                    "Use a Z-only mesh across processes, or dense "
+                    "output with allow_partial=True."
+                )
     writer = None
     plane_writer = None
     out = None
@@ -625,12 +659,6 @@ def predict_sharded(
                     if last_b:
                         break
                     continue
-                if multiproc and len(local_js) != ny:
-                    raise ValueError(
-                        "multi-process predict_sharded needs whole Z rows "
-                        "on one process (Z-major process-to-mesh layout); "
-                        f"row {i} is split across processes"
-                    )
                 row = np.zeros(
                     (out_channels, z_hi_dev - next_z, dim[1], dim[2]),
                     np.float32,
@@ -647,13 +675,16 @@ def predict_sharded(
                     y_hi = min(
                         y_base + yp.own + (yp.spill if last_y else 0), dim[1]
                     )
-                    data = np.asarray(shard_data[(i, j)])
-                    data = data.reshape(data.shape[-4:])
-                    n_planes = z_hi_dev - max(z_base, next_z)
-                    row[:, row_off:, y_base:y_hi] = data[
-                        :, src_z0: src_z0 + n_planes, : y_hi - y_base,
-                        : dim[2]
-                    ]
+                    if (i, j) in shard_data:
+                        # a Y shard another process owns stays zero in
+                        # this process's (allow_partial) dense output
+                        data = np.asarray(shard_data[(i, j)])
+                        data = data.reshape(data.shape[-4:])
+                        n_planes = z_hi_dev - max(z_base, next_z)
+                        row[:, row_off:, y_base:y_hi] = data[
+                            :, src_z0: src_z0 + n_planes, : y_hi - y_base,
+                            : dim[2]
+                        ]
                     if last_y:
                         break
                 if multiproc and out_path is not None:

@@ -97,6 +97,97 @@ def test_two_process_sharded_predict(tmp_path):
     np.testing.assert_allclose(got, want, atol=1e-6)
 
 
+_YSPLIT_WORKER = """
+import os, sys
+pid = int(sys.argv[1])
+port = sys.argv[2]
+in_path, out_prefix = sys.argv[3], sys.argv[4]
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address=f"localhost:{port}", num_processes=2,
+    process_id=pid, local_device_ids=list(range(4)),
+)
+import numpy as np
+from aind_exaspim_neuron_segmentation_tpu import inference, parallel
+from aind_exaspim_neuron_segmentation_tpu.io import zarr_lite
+
+runner = inference.load_model(
+    affinity_mode=True, width_multiplier=0.25, dtype="float32"
+)
+lazy = zarr_lite.open_zarr(in_path)
+mesh = parallel.make_mesh_2d((1, 8))  # the single Z row spans processes
+kw = dict(patch_shape=(16, 16, 16), overlap=(8, 8, 4), trim=2,
+          batch_size=4)
+# dense output without allow_partial must be refused outright
+try:
+    parallel.predict_sharded(lazy, runner, mesh=mesh, **kw)
+    raise SystemExit("expected ValueError for dense multi-process call")
+except ValueError:
+    pass
+# out_path with a Y-split row must fail fast with the layout error
+try:
+    parallel.predict_sharded(
+        lazy, runner, mesh=mesh, out_path=out_prefix + ".zarr", **kw
+    )
+    raise SystemExit("expected ValueError for Y-split out_path call")
+except ValueError as e:
+    assert "whole Z rows" in str(e), e
+# allow_partial: each process fills only its own Y shards
+aff = parallel.predict_sharded(
+    lazy, runner, mesh=mesh, allow_partial=True, **kw
+)
+np.save(f"{out_prefix}.p{pid}.npy", np.asarray(aff))
+print(f"[p{pid}] done", flush=True)
+"""
+
+
+def test_two_process_ysplit_partial(tmp_path):
+    """A 2-D mesh whose Y axis spans processes: out_path fails fast,
+    dense requires allow_partial, and the two partial fills are
+    disjoint and jointly equal the single-device result."""
+    rng = np.random.default_rng(11)
+    vol = rng.integers(0, 1500, (20, 96, 24)).astype(np.uint16)
+    in_path = str(tmp_path / "in.zarr")
+    zarr_lite.write_zarr(in_path, vol, chunks=(20, 16, 24))
+    out_prefix = str(tmp_path / "part")
+    worker = tmp_path / "worker.py"
+    worker.write_text(_YSPLIT_WORKER)
+
+    port = str(_free_port())
+    env = dict(os.environ)
+    env["PYTHONPATH"] = (
+        "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+    )
+    env.pop("JAX_PLATFORMS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(pid), port, in_path,
+             out_prefix],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for pid in (0, 1)
+    ]
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        assert p.returncode == 0, out[-3000:]
+
+    part0 = np.load(f"{out_prefix}.p0.npy")
+    part1 = np.load(f"{out_prefix}.p1.npy")
+    # fills must be disjoint: nowhere are both nonzero
+    assert not np.any((part0 != 0) & (part1 != 0))
+    runner = inference.load_model(
+        affinity_mode=True, width_multiplier=0.25, dtype=np.float32
+    )
+    want = inference.predict(
+        vol, runner, patch_shape=(16, 16, 16), overlap=(8, 8, 4),
+        trim=2, batch_size=4, verbose=False,
+    )
+    np.testing.assert_allclose(part0 + part1, want, atol=1e-6)
+
+
 _TRAIN_WORKER = """
 import os, sys
 pid = int(sys.argv[1])
