@@ -379,13 +379,14 @@ int64_t agglomerate_over_fragments(
   // block count.
   const int64_t zz_per_block = std::max<int64_t>(1, D / 64);
   const int64_t n_blocks = (D + zz_per_block - 1) / zz_per_block;
-  std::vector<FlatMap> loc_index;
-  loc_index.reserve(n_blocks);
-  for (int64_t b = 0; b < n_blocks; ++b) loc_index.emplace_back(1024);
-  std::vector<std::vector<Edge>> loc_edges(n_blocks);
-  parallel_blocks(n_blocks, [&](int64_t blk) {
-    auto& index = loc_index[blk];
-    auto& local = loc_edges[blk];
+  FlatMap edge_index(1024);
+  std::vector<Edge> edges;
+  const bool serial = std::min<int64_t>(num_threads(), n_blocks) <= 1;
+  // Scans one block's voxels, accumulating its outgoing-edge samples
+  // into (index, store) -- per-block locals in the threaded path, the
+  // global pair directly in the serial path.
+  auto scan_block = [&](int64_t blk, FlatMap& index,
+                        std::vector<Edge>& store) {
     const int64_t z_lo = blk * zz_per_block;
     const int64_t z_hi = std::min(D, z_lo + zz_per_block);
     for (int64_t z = z_lo; z < z_hi; ++z) {
@@ -402,40 +403,70 @@ int64_t agglomerate_over_fragments(
             if (fb == 0 || fb == fa) continue;
             EdgeKey key{std::min(fa, fb), std::max(fa, fb)};
             auto [slot, fresh] = index.find_or_insert(
-                key.packed(), static_cast<uint32_t>(local.size()));
-            if (fresh) local.emplace_back(key.a, key.b);
-            local[*slot].add_bin(sample(c, v));
+                key.packed(), static_cast<uint32_t>(store.size()));
+            if (fresh) store.emplace_back(key.a, key.b);
+            store[*slot].add_bin(sample(c, v));
           }
         }
       }
     }
-  });
+  };
 
-  auto t2 = now();
-  if (dbg) std::fprintf(stderr, "[exa] rag-local %.2fs\n", secs(t1, t2));
-  // Pre-size to the upper bound (sum of per-block uniques): FlatMap
-  // regrowth re-hashes every entry and vector regrowth copies every
-  // Edge -- at tens of millions of edges both dominated this phase.
-  size_t edge_upper = 0;
-  for (const auto& le : loc_edges) edge_upper += le.size();
-  FlatMap edge_index(edge_upper + 1);
-  std::vector<Edge> edges;
-  edges.reserve(edge_upper);
-  for (int64_t blk = 0; blk < n_blocks; ++blk) {
-    for (Edge& le : loc_edges[blk]) {
-      EdgeKey key{le.a, le.b};
-      auto [slot, fresh] = edge_index.find_or_insert(
-          key.packed(), static_cast<uint32_t>(edges.size()));
-      if (fresh) edges.emplace_back(key.a, key.b);
-      edges[*slot].absorb(le);
+  if (serial) {
+    // Single worker: the per-block local-map + merge structure below
+    // is pure overhead (a second full insert+absorb pass over every
+    // edge and a transient second copy of the RAG). Build the global
+    // map directly in scan order -- identical first-appearance edge
+    // numbering and sample order by construction.
+    for (int64_t blk = 0; blk < n_blocks; ++blk) {
+      scan_block(blk, edge_index, edges);
     }
-    loc_edges[blk].clear();
-    loc_edges[blk].shrink_to_fit();
+    auto t2s = now();
+    if (dbg) {
+      std::fprintf(stderr, "[exa] rag-local %.2fs (serial direct) E=%zu\n",
+                   secs(t1, t2s), edges.size());
+    }
+  } else {
+    std::vector<FlatMap> loc_index;
+    loc_index.reserve(n_blocks);
+    for (int64_t b = 0; b < n_blocks; ++b) loc_index.emplace_back(1024);
+    std::vector<std::vector<Edge>> loc_edges(n_blocks);
+    parallel_blocks(n_blocks, [&](int64_t blk) {
+      scan_block(blk, loc_index[blk], loc_edges[blk]);
+    });
+
+    auto t2 = now();
+    if (dbg) std::fprintf(stderr, "[exa] rag-local %.2fs\n", secs(t1, t2));
+    // Merge per-block maps in ascending-Z order (preserves global
+    // scan-order edge numbering). Pre-size to the upper bound (sum of
+    // per-block uniques): FlatMap regrowth re-hashes every entry and
+    // vector regrowth copies every Edge -- at tens of millions of
+    // edges both dominated this phase.
+    size_t edge_upper = 0;
+    for (const auto& le : loc_edges) edge_upper += le.size();
+    edge_index = FlatMap(edge_upper + 1);
+    edges.reserve(edge_upper);
+    for (int64_t blk = 0; blk < n_blocks; ++blk) {
+      for (Edge& le : loc_edges[blk]) {
+        EdgeKey key{le.a, le.b};
+        auto [slot, fresh] = edge_index.find_or_insert(
+            key.packed(), static_cast<uint32_t>(edges.size()));
+        if (fresh) edges.emplace_back(key.a, key.b);
+        edges[*slot].absorb(le);
+      }
+      loc_edges[blk].clear();
+      loc_edges[blk].shrink_to_fit();
+    }
+    loc_index.clear();
+
+    auto t3m = now();
+    if (dbg) {
+      std::fprintf(stderr, "[exa] rag-merge %.2fs E=%zu\n", secs(t2, t3m),
+                   edges.size());
+    }
   }
-  loc_index.clear();
 
   auto t3 = now();
-  if (dbg) std::fprintf(stderr, "[exa] rag-merge %.2fs E=%zu\n", secs(t2, t3), edges.size());
   // Adjacency: fragment root -> incident edge indices.
   exa::UnionFind uf(static_cast<size_t>(K) + 1);
   std::vector<std::vector<uint32_t>> incident(K + 1);

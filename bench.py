@@ -206,7 +206,9 @@ def main_e2e():
         "n_segments": int(seg.max()),
         "caveats": "predict includes the ~67 MB digest fetch over the "
                    "~16 MB/s dev tunnel (a PCIe host would not pay it); "
-                   "segment runs single-core here (threaded engine)",
+                   "segment runs single-core here (threaded engine) and "
+                   "host CPU-steal swings it up to 3x across runs "
+                   "(BASELINE.md round-3 segment accounting)",
     }))
 
 

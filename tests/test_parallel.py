@@ -292,6 +292,26 @@ class TestShardedPredictParity:
         )
         np.testing.assert_allclose(got, want, atol=1e-6)
 
+    def test_sharded_zarr_feeds_streaming_segmentation(
+        self, runner, volume, tmp_path
+    ):
+        """Composition: the zarr store predict_sharded streams out is
+        directly consumable by the beyond-RAM lazy segmentation path,
+        bit-identical to densifying that same store first."""
+        from aind_exaspim_neuron_segmentation_tpu.io import zarr_lite
+
+        out_path = str(tmp_path / "aff.zarr")
+        handle = parallel.predict_sharded(
+            volume, runner, mesh=parallel.make_mesh(4), patch_shape=PATCH,
+            overlap=OVERLAP, trim=TRIM, batch_size=4, out_path=out_path,
+        )
+        dense = np.ascontiguousarray(np.asarray(handle[:]), np.float32)
+        seg_lazy = inference.affinities_to_segmentation(
+            zarr_lite.open_zarr(out_path)
+        )
+        seg_dense = inference.affinities_to_segmentation(dense)
+        np.testing.assert_array_equal(seg_lazy, seg_dense)
+
     def test_gaussian_blend_matches_single_device(self, runner, volume):
         want = inference.predict(
             volume, runner, patch_shape=PATCH, overlap=OVERLAP, trim=TRIM,
