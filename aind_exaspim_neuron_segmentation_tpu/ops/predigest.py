@@ -112,6 +112,74 @@ def predigest_slab(aff, prev_plane=None, *, first_slab=True,
     return plan, qaff
 
 
+def predigest_shard(aff, prev_z, prev_y, z_off, y_off, dims,
+                    low=0.1, high=0.9999):
+    """Digest one device's final blended shard inside ``shard_map``.
+
+    The multi-chip variant of :func:`predigest_slab` for
+    ``parallel.predict_sharded(predigest=True)``: each device digests
+    its own (Z x Y)-sharded region of the blended affinity volume, so
+    only 4 bytes/voxel of u8 digests ever leave the device (vs 12 of
+    f32). Edge validity is masked by GLOBAL coordinates and the two
+    incoming-edge halos arrive via single-plane ``ppermute``:
+
+    ``aff``: f32 (3, kz, ky, wp) -- the shard's final blended values
+    (own + kept spill extents). ``prev_z``: f32 (ky, wp), the Z
+    predecessor's z-affinity plane at global ``z_off - 1`` (zeros for
+    the first shard -- which equals the volume's zero trim margin).
+    ``prev_y``: f32 (kz, wp), same for the Y predecessor at global
+    ``y_off - 1``. ``z_off`` / ``y_off``: traced global offsets of the
+    shard's first plane. ``dims``: static global (D, H, W).
+
+    Same candidate enumeration, f32 compares, and u8 quantization as
+    :func:`predigest_slab`, so digesting the assembled float output
+    host-side gives bit-identical bytes (tests/test_parallel.py).
+    """
+    aff = aff.astype(jnp.float32)
+    _, kz, ky, wp = aff.shape
+    d_g, h_g, w_g = dims
+    az, ay, ax = aff[0], aff[1], aff[2]
+    low = jnp.float32(low)
+    high = jnp.float32(high)
+
+    z_g = z_off + jnp.arange(kz)[:, None, None]
+    y_g = y_off + jnp.arange(ky)[None, :, None]
+    x_g = jnp.arange(wp)[None, None, :]
+
+    out_z_valid = z_g + 1 < d_g
+    in_z = jnp.concatenate([prev_z[None], az[:-1]], axis=0)
+    in_z_valid = z_g > 0
+    out_y_valid = y_g + 1 < h_g
+    in_y = jnp.concatenate([prev_y[:, None], ay[:, :-1]], axis=1)
+    in_y_valid = y_g > 0
+    out_x_valid = x_g + 1 < w_g
+    in_x = jnp.concatenate(
+        [jnp.zeros((kz, ky, 1), jnp.float32), ax[:, :, :-1]], axis=2
+    )
+    in_x_valid = x_g > 0
+
+    best = jnp.full((kz, ky, wp), jnp.float32(-1.0))
+    dirs = jnp.zeros((kz, ky, wp), jnp.uint8)
+    candidates = (
+        (az, out_z_valid, 1), (in_z, in_z_valid, 4),
+        (ay, out_y_valid, 2), (in_y, in_y_valid, 5),
+        (ax, out_x_valid, 3), (in_x, in_x_valid, 6),
+    )
+    for a, valid, code in candidates:
+        upd = valid & (a >= low) & (a > best)
+        best = jnp.where(upd, a, best)
+        dirs = jnp.where(upd, jnp.uint8(code), dirs)
+
+    flags = (
+        jnp.where(out_z_valid & (az >= high), jnp.uint8(1), jnp.uint8(0))
+        | jnp.where(out_y_valid & (ay >= high), jnp.uint8(2), jnp.uint8(0))
+        | jnp.where(out_x_valid & (ax >= high), jnp.uint8(4), jnp.uint8(0))
+    )
+    plan = flags | (dirs << 3)
+    qaff = jnp.clip(aff * 256.0, 0.0, 255.0).astype(jnp.uint8)
+    return plan, qaff
+
+
 def predigest(aff, low=0.1, high=0.9999):
     """Digest a whole in-memory affinity volume; returns numpy arrays.
 

@@ -138,6 +138,7 @@ def predict_sharded(
     max_band_rows=None,
     timer=None,
     allow_partial=False,
+    predigest=False,
 ):
     """predict() over a 1-D (Z) or 2-D (Z x Y) device mesh.
 
@@ -173,6 +174,19 @@ def predict_sharded(
     (the axon dev tunnel) device completion folds into
     ``fetch_assemble``, whose host materialization is the only reliable
     completion point.
+
+    ``predigest``: every device digests its own final blended region
+    on-chip (:func:`..ops.predigest.predigest_shard`; incoming-edge
+    halos ride one extra single-plane ``ppermute`` per sharded axis)
+    and the call returns ``(plan, qaff)`` uint8 arrays for
+    ``inference.affinities_to_segmentation`` -- 4 bytes/voxel cross
+    the PCIe/DCN boundary instead of 12, and the host watershed
+    replays pure integer work. Requires ``affinity_mode`` and a
+    single band, and excludes ``out_path`` (for beyond-HBM volumes
+    stream f32 to ``out_path`` and feed the lazy handle to
+    ``affinities_to_segmentation``, which digests slab-wise).
+    Digesting the assembled float output of the same sharded run
+    gives bit-identical bytes.
     """
     import contextlib
 
@@ -197,6 +211,15 @@ def predict_sharded(
 
     runner = model if isinstance(model, ModelRunner) else ModelRunner(*model)
     out_channels = 3 if affinity_mode else 1
+    if predigest:
+        if not affinity_mode:
+            raise ValueError("predigest=True requires affinity_mode=True")
+        if out_path is not None:
+            raise ValueError(
+                "predigest=True excludes out_path: the digest replaces "
+                "the float volume (write f32 with out_path and feed the "
+                "lazy handle to affinities_to_segmentation instead)"
+            )
     mesh = mesh or make_mesh()
     axes = mesh.axis_names
     if len(axes) == 1:
@@ -213,6 +236,9 @@ def predict_sharded(
     if any(len(r) == 0 for r in ranges):
         # An axis shorter than the overlap yields an empty grid: the
         # reference's patch loop never runs and returns zeros.
+        if predigest:
+            return (np.zeros(tuple(dim), np.uint8),
+                    np.zeros((3,) + tuple(dim), np.uint8))
         out = np.zeros((out_channels,) + tuple(dim), np.float32)
         out = out if affinity_mode else out[0]
         if out_path is not None:
@@ -252,6 +278,14 @@ def predict_sharded(
             z_starts_all, patch_shape[0], trim, dim[0], max_band_rows
         )
     banded = len(band_plans) > 1
+    if predigest and banded:
+        raise ValueError(
+            "predigest=True needs a single band (the digest's -z halo "
+            "is exchanged on device, not across bands); pass "
+            "max_band_rows=0 if HBM allows, or stream f32 with "
+            "out_path= and digest the lazy handle via "
+            "affinities_to_segmentation"
+        )
     max_band_nrows = max(len(p["rows"]) for p in band_plans)
 
     # Geometry is uniform across bands (max_band_nrows rows padded with
@@ -507,6 +541,38 @@ def predict_sharded(
             mine = mine.at[:, :, : yp.spill].add(recv)
         w = wz_l[:, None, None] * wy_l[None, :, None] * wx_l[None, None, :]
         blended = jnp.where(w > 0, mine / jnp.where(w > 0, w, 1.0), 0.0)
+        if predigest:
+            from aind_exaspim_neuron_segmentation_tpu.ops.predigest import (
+                predigest_shard,
+            )
+
+            # Incoming-edge halos: each shard's first plane needs the
+            # predecessor's last OWNED plane of the corresponding
+            # affinity channel (final after the spill phases above).
+            # First shards receive zeros -- which equals the volume's
+            # zero trim margin at global z_off-1 / y_off-1.
+            prev_z = jnp.zeros_like(blended[0, 0])
+            if nz > 1:
+                prev_z = jax.lax.ppermute(
+                    blended[0, zp.own - 1], z_axis,
+                    [(i, i + 1) for i in range(nz - 1)],
+                )
+            prev_y = jnp.zeros_like(blended[1, :, 0])
+            if y_axis is not None and ny > 1:
+                prev_y = jax.lax.ppermute(
+                    blended[1, :, yp.own - 1], y_axis,
+                    [(j, j + 1) for j in range(ny - 1)],
+                )
+            iz = jax.lax.axis_index(z_axis)
+            iy = jax.lax.axis_index(y_axis) if y_axis else jnp.int32(0)
+            plan_b, qaff_b = predigest_shard(
+                blended,
+                prev_z, prev_y,
+                iz * zp.own + trim, iy * yp.own + trim,
+                tuple(dim),
+            )
+            digest = jnp.concatenate([plan_b[None], qaff_b], axis=0)
+            return digest.reshape((1,) * len(mesh_axes) + digest.shape)
         return blended.reshape((1,) * len(mesh_axes) + blended.shape)
 
     if y_axis is None:
@@ -562,6 +628,8 @@ def predict_sharded(
     writer = None
     plane_writer = None
     out = None
+    asm_channels = 4 if predigest else out_channels
+    asm_dtype = np.uint8 if predigest else np.float32
     out_shape = (out_channels,) + tuple(dim) if affinity_mode else dim
     if out_path is not None and multiproc:
         # Each process writes ONLY its own Z rows: one-plane-deep output
@@ -589,8 +657,10 @@ def predict_sharded(
             writer.append(block if affinity_mode else block[0])
     else:
         # Dense assembly. On multi-process meshes each process fills only
-        # the rows its devices own; everything else stays zero.
-        out = np.zeros((out_channels,) + tuple(dim), np.float32)
+        # the rows its devices own; everything else stays zero. With
+        # predigest the 4 u8 channels are [plan, qaff_z, qaff_y, qaff_x];
+        # zero margins ARE the correct digest of the zero trim planes.
+        out = np.zeros((asm_channels,) + tuple(dim), asm_dtype)
 
         def emit(z_lo, z_hi, block):
             out[:, z_lo:z_hi] = block
@@ -660,8 +730,8 @@ def predict_sharded(
                         break
                     continue
                 row = np.zeros(
-                    (out_channels, z_hi_dev - next_z, dim[1], dim[2]),
-                    np.float32,
+                    (asm_channels, z_hi_dev - next_z, dim[1], dim[2]),
+                    asm_dtype,
                 )
                 row_off = max(z_base - next_z, 0)  # leading trim gap
                 src_z0 = max(next_z - z_base, 0)   # skip recomputed planes
@@ -713,4 +783,6 @@ def predict_sharded(
         if writer is not None:
             writer.close()
         return read(out_path)
+    if predigest:
+        return out[0], np.ascontiguousarray(out[1:])
     return out if affinity_mode else out[0]

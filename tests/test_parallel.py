@@ -325,6 +325,61 @@ class TestShardedPredictParity:
         np.testing.assert_allclose(got, want, atol=1e-6)
 
 
+class TestShardedPredigest:
+    """On-device digest at mesh scale: predict_sharded(predigest=True)
+    must be bit-identical to host-digesting the same sharded run's
+    float output (the halos ride one extra single-plane ppermute per
+    sharded axis)."""
+
+    @pytest.fixture(scope="class")
+    def volume(self):
+        rng = np.random.default_rng(61)
+        return rng.integers(0, 2000, (64, 48, 32)).astype(np.uint16)
+
+    KW = dict(patch_shape=(32, 32, 32), overlap=(8, 8, 8), trim=4,
+              batch_size=4)
+
+    @pytest.mark.parametrize("shape", [(4,), (2, 2), (2, 4)])
+    def test_matches_host_digest_of_sharded_floats(
+        self, runner, volume, shape
+    ):
+        from aind_exaspim_neuron_segmentation_tpu.ops import predigest
+
+        mesh = (parallel.make_mesh(shape[0]) if len(shape) == 1
+                else parallel.make_mesh_2d(shape))
+        aff = parallel.predict_sharded(volume, runner, mesh=mesh,
+                                       **self.KW)
+        want_plan, want_q = predigest.predigest(aff)
+        plan, qaff = parallel.predict_sharded(
+            volume, runner, mesh=mesh, predigest=True, **self.KW
+        )
+        np.testing.assert_array_equal(plan, want_plan)
+        np.testing.assert_array_equal(qaff, want_q)
+        seg_f = inference.affinities_to_segmentation(
+            np.ascontiguousarray(aff)
+        )
+        seg_p = inference.affinities_to_segmentation((plan, qaff))
+        np.testing.assert_array_equal(seg_f, seg_p)
+
+    def test_rejected_combinations(self, runner, volume):
+        mesh = parallel.make_mesh(2)
+        with pytest.raises(ValueError, match="affinity_mode"):
+            parallel.predict_sharded(
+                volume, runner, mesh=mesh, predigest=True,
+                affinity_mode=False, **self.KW
+            )
+        with pytest.raises(ValueError, match="out_path"):
+            parallel.predict_sharded(
+                volume, runner, mesh=mesh, predigest=True,
+                out_path="/tmp/nope.zarr", **self.KW
+            )
+        with pytest.raises(ValueError, match="single band"):
+            parallel.predict_sharded(
+                volume, runner, mesh=mesh, predigest=True,
+                max_band_rows=1, **self.KW
+            )
+
+
 class TestDistributedInit:
     def test_single_process_noop(self):
         """Without a coordinator address the wrapper must not touch the
