@@ -272,6 +272,18 @@ def main_sharded():
         if dt < best:
             best, best_timer = dt, timer
     mvox_s = np.prod(dim) / best / 1e6
+
+    # On-device pre-digest variant: same forward, 4 B/voxel fetched
+    # instead of 12 (the production volume->segmentation path).
+    parallel.predict_sharded(vol, runner, mesh=mesh, predigest=True,
+                             **kw)
+    best_pre = np.inf
+    for _window in range(3):
+        t0 = time.time()
+        parallel.predict_sharded(vol, runner, mesh=mesh, predigest=True,
+                                 **kw)
+        best_pre = min(best_pre, time.time() - t0)
+
     print(json.dumps({
         "metric": "sharded_inference_throughput",
         "value": round(mvox_s, 2),
@@ -283,6 +295,7 @@ def main_sharded():
         "dryrun": dryrun,
         "stages_s": {k: round(v, 2)
                      for k, v in best_timer.as_dict().items()},
+        "predigest_mvox_s": round(np.prod(dim) / best_pre / 1e6, 2),
     }))
 
 
