@@ -90,7 +90,17 @@ def main(out_dir="./multichip_out"):
     )
     print(f"2-D mesh (banded, gaussian): dense result {aff2.shape}")
 
-    # Both paths agree with single-device predict.
+    # Production volume->segmentation path: every device digests its
+    # own blended region on-chip, so only 4 bytes/voxel are fetched
+    # and the host watershed replays pure integer work.
+    plan, qaff = parallel.predict_sharded(
+        read(in_path), runner, mesh=parallel.make_mesh_2d((4, 2)),
+        predigest=True, **kw,
+    )
+    seg = inference.affinities_to_segmentation((plan, qaff))
+    print(f"predigest -> segmentation: {seg.shape}, {seg.max()} segments")
+
+    # Both float paths agree with single-device predict.
     want = inference.predict(vol, runner, verbose=False, **kw)
     got = np.asarray(aff[:])
     print("1-D vs single-device max |diff|:",
