@@ -186,6 +186,21 @@ class FlatMap {
       i = (i + 1) & mask_;
     }
   }
+
+  // Clear and resize for `hint` expected entries. Reuses the slot
+  // buffer when the target capacity is unchanged (the component-merge
+  // workers reset one scratch map per RAG component).
+  void reset(size_t hint) {
+    size_t cap = 16;
+    while (cap < hint * 2) cap <<= 1;
+    if (cap == slots_.size()) {
+      std::fill(slots_.begin(), slots_.end(), Entry{kEmpty, 0, 0});
+    } else {
+      slots_.assign(cap, Entry{kEmpty, 0, 0});
+    }
+    mask_ = cap - 1;
+    used_ = live_ = 0;
+  }
 };
 
 // Memory-compact affinity distribution per RAG edge. Fragment counts
@@ -467,6 +482,7 @@ int64_t agglomerate_over_fragments(
   }
 
   auto t3 = now();
+  if (n_thresholds == 0) return K;
   // Adjacency: fragment root -> incident edge indices.
   exa::UnionFind uf(static_cast<size_t>(K) + 1);
   std::vector<std::vector<uint32_t>> incident(K + 1);
@@ -474,32 +490,265 @@ int64_t agglomerate_over_fragments(
     incident[edges[ei].a].push_back(ei);
     incident[edges[ei].b].push_back(ei);
   }
+  const uint32_t E = static_cast<uint32_t>(edges.size());
 
-  // Bucket queue: scores are 256-level quantized, so a min-heap is
-  // overkill -- one FIFO bucket per score bin (ascending score order;
-  // bucket 256 holds empty-distribution edges at score 1.0). An edge is
-  // (re-)pushed into its current bucket whenever its distribution
-  // changes; pops whose bucket no longer matches the edge's bin are
-  // stale duplicates and skipped. FIFO order preserves the ascending
-  // edge-index tie-break of the initial fill.
-  std::vector<std::vector<uint32_t>> buckets(kBins + 1);
-  std::vector<size_t> heads(kBins + 1, 0);
-  auto bucket_of = [&](Edge& e) {
-    const int bin = e.score_bin(quantile_pct);
-    return bin < 0 ? kBins : (kBins - 1 - bin);
-  };
-  for (uint32_t ei = 0; ei < edges.size(); ++ei) {
-    buckets[bucket_of(edges[ei])].push_back(ei);
+  // Connected components of the RAG. Merges in different components
+  // never interact: an edge's score is a function of intra-component
+  // affinity distributions only, and unions touch disjoint fragment
+  // sets. Each component's merge loop is therefore an independent
+  // serial program, and the set of merges executed below any threshold
+  // is invariant to how components are interleaved -- so components run
+  // on the worker pool (neurites separated by background form separate
+  // components in production volumes). Each component logs its executed
+  // (keep, drop) unions plus, per threshold, how many had executed when
+  // the threshold was crossed (crossing = the component's next-lowest
+  // score strictly exceeds it, the exact flush rule of the fused serial
+  // loop this replaces). Global snapshots replay event prefixes:
+  // parent[drop] = keep in per-component order rebuilds the identical
+  // union forest, so labelings are bit-identical for ANY worker count
+  // (pinned by TestThreadedDeterminism + the golden fixtures).
+  exa::UnionFind comp_uf(static_cast<size_t>(K) + 1);
+  for (const Edge& e : edges) comp_uf.unite(e.a, e.b);
+  std::vector<uint32_t> comp_of(E);
+  std::vector<uint32_t> comp_sizes;  // edge count per component
+  {
+    std::unordered_map<uint32_t, uint32_t> root_to_comp;
+    root_to_comp.reserve(1024);
+    for (uint32_t ei = 0; ei < E; ++ei) {
+      const uint32_t r = comp_uf.find(edges[ei].a);
+      auto it = root_to_comp.find(r);
+      if (it == root_to_comp.end()) {
+        it = root_to_comp
+                 .emplace(r, static_cast<uint32_t>(comp_sizes.size()))
+                 .first;
+        comp_sizes.push_back(0);
+      }
+      comp_of[ei] = it->second;
+      ++comp_sizes[it->second];
+    }
+  }
+  const uint32_t n_comps = static_cast<uint32_t>(comp_sizes.size());
+  // CSR edge lists per component, ascending edge index within each
+  // (keeps the serial loop's FIFO ascending-edge-index tie-break:
+  // buckets never mix components, so relative order is preserved).
+  std::vector<uint32_t> comp_start(n_comps + 1, 0);
+  for (uint32_t c = 0; c < n_comps; ++c) {
+    comp_start[c + 1] = comp_start[c] + comp_sizes[c];
+  }
+  std::vector<uint32_t> comp_edges(E);
+  {
+    std::vector<uint32_t> fill(comp_start.begin(), comp_start.end() - 1);
+    for (uint32_t ei = 0; ei < E; ++ei) comp_edges[fill[comp_of[ei]]++] = ei;
+  }
+  comp_of.clear();
+  comp_of.shrink_to_fit();
+  // Largest components first: workers pull from an atomic counter, so
+  // the long-running components start before the tail of tiny ones.
+  std::vector<uint32_t> order(n_comps);
+  for (uint32_t c = 0; c < n_comps; ++c) order[c] = c;
+  std::stable_sort(order.begin(), order.end(),
+                   [&](uint32_t a, uint32_t b) {
+                     return comp_sizes[a] > comp_sizes[b];
+                   });
+  if (n_comps > 1) {
+    // The RAG-build map is keyed by initial fragment pairs globally;
+    // workers use per-component maps instead. Free it (16 B/edge).
+    edge_index = FlatMap(16);
   }
 
-  auto snapshot = [&](uint32_t* dst) {
+  std::vector<std::vector<std::pair<uint32_t, uint32_t>>> comp_events(
+      n_comps);
+  std::vector<uint32_t> cutoffs(static_cast<size_t>(n_comps) *
+                                n_thresholds);
+
+  auto t4 = now();
+  if (dbg) {
+    std::fprintf(stderr, "[exa] adjacency+components %.2fs C=%u\n",
+                 secs(t3, t4), n_comps);
+  }
+
+  auto run_component = [&](uint32_t comp, FlatMap& local,
+                           std::vector<std::vector<uint32_t>>& buckets,
+                           std::vector<size_t>& heads) {
+    const uint32_t e_lo = comp_start[comp];
+    const uint32_t e_hi = comp_start[comp + 1];
+    // Bucket queue: scores are 256-level quantized, so a min-heap is
+    // overkill -- one FIFO bucket per score bin (ascending score
+    // order; bucket 256 holds empty-distribution edges at score 1.0).
+    // An edge is (re-)pushed into its current bucket whenever its
+    // distribution changes; pops whose bucket no longer matches the
+    // edge's bin are stale duplicates and skipped.
+    auto bucket_of = [&](Edge& e) {
+      const int bin = e.score_bin(quantile_pct);
+      return bin < 0 ? kBins : (kBins - 1 - bin);
+    };
+    FlatMap* index;
+    if (n_comps == 1) {
+      index = &edge_index;  // the RAG-build map, keyed identically
+    } else {
+      local.reset(e_hi - e_lo);
+      for (uint32_t i = e_lo; i < e_hi; ++i) {
+        const uint32_t ei = comp_edges[i];
+        local.insert(EdgeKey{edges[ei].a, edges[ei].b}.packed(), ei);
+      }
+      index = &local;
+    }
+    for (uint32_t i = e_lo; i < e_hi; ++i) {
+      const uint32_t ei = comp_edges[i];
+      buckets[bucket_of(edges[ei])].push_back(ei);
+    }
+
+    auto& evs = comp_events[comp];
+    uint32_t* cut = &cutoffs[static_cast<size_t>(comp) * n_thresholds];
+    int64_t t_idx = 0;
+    auto flush = [&](float next_score) {
+      while (t_idx < n_thresholds && next_score > thresholds[t_idx]) {
+        cut[t_idx] = static_cast<uint32_t>(evs.size());
+        ++t_idx;
+      }
+    };
+
+    int cur = 0;
+    while (cur <= kBins && t_idx < n_thresholds) {
+      if (heads[cur] >= buckets[cur].size()) {
+        buckets[cur].clear();
+        heads[cur] = 0;
+        ++cur;
+        continue;
+      }
+      const uint32_t eidx = buckets[cur][heads[cur]++];
+      Edge& e = edges[eidx];
+      if (!e.alive) continue;
+      const uint32_t ra = uf.find(e.a);
+      const uint32_t rb = uf.find(e.b);
+      if (ra == rb) {
+        e.alive = false;
+        continue;
+      }
+      if (bucket_of(e) != cur) continue;  // stale: fresh entry elsewhere
+      flush(e.score(quantile_pct));
+      if (t_idx >= n_thresholds) break;
+
+      // Merge the side with the SMALLER adjacency list into the
+      // larger: only the small side's edges are re-keyed, so each edge
+      // endpoint moves O(log K) times total (near-linear
+      // agglomeration; rebuilding the large list per merge was
+      // quadratic in fragments).
+      uint32_t keep = ra, drop = rb;
+      if (incident[keep].size() < incident[drop].size()) {
+        std::swap(keep, drop);
+      }
+      uf.unite_into(keep, drop);
+      evs.emplace_back(keep, drop);
+      e.alive = false;
+      index->erase(EdgeKey{std::min(ra, rb), std::max(ra, rb)}.packed());
+
+      for (uint32_t ei : incident[drop]) {
+        Edge& f = edges[ei];
+        if (!f.alive) continue;
+        const uint32_t fa = uf.find(f.a);
+        const uint32_t fb = uf.find(f.b);
+        if (fa == fb) {
+          f.alive = false;
+          continue;
+        }
+        const uint32_t peer = (fa == keep) ? fb : fa;
+        index->erase(
+            EdgeKey{std::min(drop, peer), std::max(drop, peer)}.packed());
+        const EdgeKey new_key{std::min(keep, peer), std::max(keep, peer)};
+        uint32_t* slot = index->find(new_key.packed());
+        if (slot == nullptr || !edges[*slot].alive) {
+          index->insert(new_key.packed(), ei);
+          incident[keep].push_back(ei);
+        } else if (*slot != ei) {
+          Edge& g = edges[*slot];
+          const uint32_t gi = *slot;
+          g.absorb(f);
+          f.alive = false;
+          const int b = bucket_of(g);
+          buckets[b].push_back(gi);
+          if (b < cur) cur = b;  // score dropped: revisit earlier bucket
+        }
+      }
+      incident[drop].clear();
+      incident[drop].shrink_to_fit();
+    }
+    // Thresholds never crossed (all remaining scores <= them): every
+    // executed event belongs to each remaining threshold's prefix.
+    while (t_idx < n_thresholds) {
+      cut[t_idx++] = static_cast<uint32_t>(evs.size());
+    }
+    // Scrub bucket state for the next component on this worker (early
+    // break can leave entries behind).
+    for (int b = 0; b <= kBins; ++b) {
+      if (!buckets[b].empty()) buckets[b].clear();
+      heads[b] = 0;
+    }
+  };
+
+  {
+    const int workers =
+        static_cast<int>(std::min<int64_t>(num_threads(), n_comps));
+    if (workers <= 1) {
+      FlatMap local(16);
+      std::vector<std::vector<uint32_t>> buckets(kBins + 1);
+      std::vector<size_t> heads(kBins + 1, 0);
+      for (uint32_t oi = 0; oi < n_comps; ++oi) {
+        run_component(order[oi], local, buckets, heads);
+      }
+    } else {
+      std::atomic<uint32_t> next_comp{0};
+      auto worker = [&]() {
+        FlatMap local(16);
+        std::vector<std::vector<uint32_t>> buckets(kBins + 1);
+        std::vector<size_t> heads(kBins + 1, 0);
+        while (true) {
+          const uint32_t oi = next_comp.fetch_add(1);
+          if (oi >= n_comps) return;
+          run_component(order[oi], local, buckets, heads);
+        }
+      };
+      std::vector<std::thread> pool;
+      for (int t = 0; t < workers; ++t) pool.emplace_back(worker);
+      for (auto& t : pool) t.join();
+    }
+  }
+  auto t5 = now();
+  if (dbg) std::fprintf(stderr, "[exa] merge-loop %.2fs\n", secs(t4, t5));
+
+  // Replay snapshots: advance one parent forest threshold by
+  // threshold. Events record (keep, drop) root pairs at execution
+  // time; within a component the replayed prefix is exactly the
+  // executed prefix, so `drop` is still its own root when its event
+  // applies and parent[drop] = keep reproduces unite_into.
+  std::vector<uint32_t> rparent(static_cast<size_t>(K) + 1);
+  for (int64_t f = 0; f <= K; ++f) rparent[f] = static_cast<uint32_t>(f);
+  std::vector<uint32_t> applied(n_comps, 0);
+  auto rfind = [&](uint32_t x) {
+    while (rparent[x] != x) {
+      rparent[x] = rparent[rparent[x]];
+      x = rparent[x];
+    }
+    return x;
+  };
+  std::vector<uint32_t> lut(static_cast<size_t>(K) + 1);
+  for (int64_t k = 0; k < n_thresholds; ++k) {
+    for (uint32_t c = 0; c < n_comps; ++c) {
+      const uint32_t to = cutoffs[static_cast<size_t>(c) * n_thresholds + k];
+      const auto& evs = comp_events[c];
+      for (uint32_t i = applied[c]; i < to; ++i) {
+        rparent[evs[i].second] = evs[i].first;
+      }
+      applied[c] = to;
+    }
+    if (last_only && k != n_thresholds - 1) continue;
     // Flatten roots once (K entries, path-compressing), then the O(N)
     // relabel is a pure gather -- parallel over Z-slabs.
-    std::vector<uint32_t> lut(static_cast<size_t>(K) + 1);
     lut[0] = 0;
     for (int64_t f = 1; f <= K; ++f) {
-      lut[f] = uf.find(static_cast<uint32_t>(f));
+      lut[f] = rfind(static_cast<uint32_t>(f));
     }
+    uint32_t* dst = out + (last_only ? 0 : k * N);
     const int64_t chunk = std::max<int64_t>(1, N / 64);
     const int64_t blocks = (N + chunk - 1) / chunk;
     parallel_blocks(blocks, [&](int64_t b) {
@@ -507,91 +756,8 @@ int64_t agglomerate_over_fragments(
       const int64_t hi = std::min(N, lo + chunk);
       for (int64_t v = lo; v < hi; ++v) dst[v] = lut[frag[v]];
     });
-  };
-
-  int64_t t_idx = 0;
-  auto flush_thresholds = [&](float next_score) {
-    while (t_idx < n_thresholds && next_score > thresholds[t_idx]) {
-      if (!last_only || t_idx == n_thresholds - 1) {
-        snapshot(out + (last_only ? 0 : t_idx * N));
-      }
-      ++t_idx;
-    }
-  };
-
-  auto t4 = now();
-  if (dbg) std::fprintf(stderr, "[exa] adjacency+fill %.2fs\n", secs(t3, t4));
-  int cur = 0;
-  while (cur <= kBins && t_idx < n_thresholds) {
-    if (heads[cur] >= buckets[cur].size()) {
-      buckets[cur].clear();
-      heads[cur] = 0;
-      ++cur;
-      continue;
-    }
-    const uint32_t eidx = buckets[cur][heads[cur]++];
-    Edge& e = edges[eidx];
-    if (!e.alive) continue;
-    const uint32_t ra = uf.find(e.a);
-    const uint32_t rb = uf.find(e.b);
-    if (ra == rb) {
-      e.alive = false;
-      continue;
-    }
-    if (bucket_of(e) != cur) continue;  // stale: fresh entry elsewhere
-    flush_thresholds(e.score(quantile_pct));
-    if (t_idx >= n_thresholds) break;
-
-    // Merge the side with the SMALLER adjacency list into the larger:
-    // only the small side's edges are re-keyed, so each edge endpoint
-    // moves O(log K) times total (near-linear agglomeration; rebuilding
-    // the large list per merge was quadratic in fragments).
-    uint32_t keep = ra, drop = rb;
-    if (incident[keep].size() < incident[drop].size()) std::swap(keep, drop);
-    uf.unite_into(keep, drop);
-    e.alive = false;
-    edge_index.erase(EdgeKey{std::min(ra, rb), std::max(ra, rb)}.packed());
-
-    for (uint32_t ei : incident[drop]) {
-      Edge& f = edges[ei];
-      if (!f.alive) continue;
-      const uint32_t fa = uf.find(f.a);
-      const uint32_t fb = uf.find(f.b);
-      if (fa == fb) {
-        f.alive = false;
-        continue;
-      }
-      const uint32_t peer = (fa == keep) ? fb : fa;
-      edge_index.erase(
-          EdgeKey{std::min(drop, peer), std::max(drop, peer)}.packed());
-      const EdgeKey new_key{std::min(keep, peer), std::max(keep, peer)};
-      uint32_t* slot = edge_index.find(new_key.packed());
-      if (slot == nullptr || !edges[*slot].alive) {
-        edge_index.insert(new_key.packed(), ei);
-        incident[keep].push_back(ei);
-      } else if (*slot != ei) {
-        Edge& g = edges[*slot];
-        const uint32_t gi = *slot;
-        g.absorb(f);
-        f.alive = false;
-        const int b = bucket_of(g);
-        buckets[b].push_back(gi);
-        if (b < cur) cur = b;  // score dropped: revisit earlier bucket
-      }
-    }
-    incident[drop].clear();
-    incident[drop].shrink_to_fit();
   }
-  auto t5 = now();
-  if (dbg) std::fprintf(stderr, "[exa] merge-loop %.2fs\n", secs(t4, t5));
-  flush_thresholds(2.0f);  // emit any remaining snapshots
-  while (t_idx < n_thresholds) {
-    if (!last_only || t_idx == n_thresholds - 1) {
-      snapshot(out + (last_only ? 0 : t_idx * N));
-    }
-    ++t_idx;
-  }
-  if (dbg) std::fprintf(stderr, "[exa] tail-snapshots %.2fs\n", secs(t5, now()));
+  if (dbg) std::fprintf(stderr, "[exa] snapshots %.2fs\n", secs(t5, now()));
   return K;
 }
 
