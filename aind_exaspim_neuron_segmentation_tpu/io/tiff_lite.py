@@ -10,8 +10,11 @@ implements the format directly:
 * striped and tiled layouts; grayscale, contiguous multi-sample, and
   striped planar-separate (PlanarConfiguration=2) pages;
 * compressions: none, LZW (TIFF variant: MSB-first codes, early
-  change), Deflate/AdobeDeflate, PackBits, ZSTD (tag 50000);
-  predictor 2 (horizontal differencing, per-sample);
+  change), Deflate/AdobeDeflate, PackBits, ZSTD (tag 50000), new-style
+  JPEG (compression 7, baseline 8-bit, shared tables via the
+  JPEGTables tag, YCbCr->RGB by photometric -- decoded by the in-tree
+  native codec, native/src/jpeg_lite.cpp); predictor 2 (horizontal
+  differencing, per-sample);
 * sample formats: unsigned/signed int 8/16/32/64, float 32/64;
 * multi-page stacks decode page-on-demand (``lazy=True`` returns a
   ``TiffStack`` with numpy-style indexing, matching the chunked-read
@@ -45,6 +48,7 @@ _T_TILE_LENGTH = 323
 _T_TILE_OFFSETS = 324
 _T_TILE_COUNTS = 325
 _T_SAMPLE_FORMAT = 339
+_T_JPEG_TABLES = 347
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
                10: 8, 11: 4, 12: 8, 16: 8, 17: 8, 18: 8}
@@ -145,6 +149,8 @@ class _Page:
         self.length = int(tags[_T_LENGTH][0])
         self.samples = int(tags.get(_T_SAMPLES, [1])[0])
         self.compression = int(tags.get(_T_COMPRESSION, [1])[0])
+        self.photometric = int(tags.get(_T_PHOTOMETRIC, [1])[0])
+        self.jpeg_tables = tags.get(_T_JPEG_TABLES)
         self.predictor = int(tags.get(_T_PREDICTOR, [1])[0])
         self.planar = int(tags.get(_T_PLANAR, [1])[0])
         if self.planar not in (1, 2):
@@ -176,6 +182,31 @@ class _Page:
         base = (self.length, self.width)
         return base if self.samples == 1 else base + (self.samples,)
 
+    def _decode_jpeg(self, data, nrows, ncols):
+        """Decode one compression-7 segment to ``(nrows, ncols*samples)``
+        uint8. Each strip/tile is an independent baseline JPEG stream
+        (optionally abbreviated, with shared DQT/DHT in the JPEGTables
+        tag); photometric 6 streams are stored YCbCr and convert to RGB,
+        matching the reference's tifffile/libjpeg behavior."""
+        from aind_exaspim_neuron_segmentation_tpu import native
+
+        if self.dtype.itemsize != 1:
+            raise ValueError("JPEG TIFF pages must be 8-bit")
+        color = 1 if self.photometric == 6 and self.samples >= 3 else 0
+        arr = native.jpeg_decode(
+            bytes(data), tables=self.jpeg_tables, color_transform=color
+        )
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        if arr.shape[2] != self.samples:
+            raise ValueError(
+                f"JPEG segment has {arr.shape[2]} components, page "
+                f"declares {self.samples} samples"
+            )
+        if arr.shape[0] < nrows or arr.shape[1] < ncols:
+            raise ValueError("JPEG segment smaller than its strip/tile")
+        return arr[:nrows, :ncols].reshape(nrows, ncols * self.samples)
+
     def _read_planar(self, buf):
         """Planar-separate (PlanarConfiguration=2) striped pages: the
         strip list holds all of sample 0's strips, then sample 1's, ...
@@ -185,6 +216,8 @@ class _Page:
             raise ValueError(
                 "tiled planar-separate TIFF not supported"
             )
+        if self.compression == 7:
+            raise ValueError("planar-separate JPEG TIFF not supported")
         item = self.dtype.itemsize
         per_plane = -(-self.length // self.rows_per_strip)
         if len(self.offsets) != per_plane * self.samples:
@@ -243,6 +276,11 @@ class _Page:
             for si, (off, cnt) in enumerate(zip(self.offsets, self.counts)):
                 nrows = min(self.rows_per_strip,
                             self.length - si * self.rows_per_strip)
+                if self.compression == 7:
+                    rows.append(self._decode_jpeg(
+                        buf[off: off + cnt], nrows, self.width
+                    ).astype(self.dtype, copy=False))
+                    continue
                 expected = nrows * self.width * item
                 raw = _decompress(
                     bytes(buf[off: off + cnt]), self.compression, expected
@@ -260,12 +298,17 @@ class _Page:
         for ti, (off, cnt) in enumerate(zip(self.offsets, self.counts)):
             ty, tx = divmod(ti, across)
             expected = tl * tw * item
-            raw = _decompress(
-                bytes(buf[off: off + cnt]), self.compression, expected
-            )
-            tile = np.frombuffer(raw[:expected], self.dtype)
-            tile = tile.reshape(tl, tw * self.samples).copy()
-            tile = self._undo_predictor(tile)
+            if self.compression == 7:
+                tile = self._decode_jpeg(
+                    buf[off: off + cnt], tl, tw
+                ).astype(self.dtype, copy=False)
+            else:
+                raw = _decompress(
+                    bytes(buf[off: off + cnt]), self.compression, expected
+                )
+                tile = np.frombuffer(raw[:expected], self.dtype)
+                tile = tile.reshape(tl, tw * self.samples).copy()
+                tile = self._undo_predictor(tile)
             y0, x0 = ty * tl, tx * tw
             ny = min(tl, self.length - y0)
             nx = min(tw, self.width - x0) * self.samples
@@ -320,6 +363,9 @@ def _parse(buf):
                 raw = buf[voff: voff + size]
             else:
                 raw = buf[vpos: vpos + size]
+            if tag == _T_JPEG_TABLES:
+                tags[tag] = bytes(raw)  # opaque abbreviated JPEG stream
+                continue
             fmt = _TYPE_FMT.get(typ)
             if fmt is None:
                 continue  # rationals/ascii: not needed for decode

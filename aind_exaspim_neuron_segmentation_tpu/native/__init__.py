@@ -75,6 +75,14 @@ def _lib():
         ]
         lib.exa_crc32c.restype = ctypes.c_uint32
         lib.exa_crc32c.argtypes = [u8p, ctypes.c_int64]
+        lib.exa_jpeg_info.restype = ctypes.c_int64
+        lib.exa_jpeg_info.argtypes = [
+            u8p, ctypes.c_int64, u8p, ctypes.c_int64, i64p,
+        ]
+        lib.exa_jpeg_decode.restype = ctypes.c_int64
+        lib.exa_jpeg_decode.argtypes = [
+            u8p, ctypes.c_int64, u8p, ctypes.c_int64, ctypes.c_int32, u8p,
+        ]
         lib._exa_bound = True
     return lib
 
@@ -148,6 +156,55 @@ def zstd_compress(data, level=5):
     if rc < 0:
         raise ValueError("zstd compression failed")
     return out[:rc].tobytes()
+
+
+_JPEG_ERRORS = {
+    -1: "malformed JPEG stream",
+    -2: "unsupported JPEG mode (progressive/arithmetic/lossless)",
+    -3: "unsupported JPEG precision (only 8-bit baseline)",
+    -4: "unsupported JPEG component count or sampling factors",
+    -5: "JPEG scan references a missing quantization/Huffman table",
+    -6: "truncated or corrupt JPEG entropy data",
+    -7: "JPEG restart-marker desynchronization",
+}
+
+
+def jpeg_decode(data, tables=None, color_transform=-1):
+    """Decode a baseline JPEG stream to a ``(H, W)`` or ``(H, W, C)``
+    uint8 array.
+
+    Native equivalent of the imagecodecs JPEG decoder the reference's
+    tifffile stack uses for compression-7 TIFF pages (reference
+    img_util.py:100-121). ``tables`` is a TIFF ``JPEGTables`` (tag 347)
+    abbreviated stream holding shared DQT/DHT segments;
+    ``color_transform`` is 1 for YCbCr->RGB, 0 to emit stored component
+    values, -1 to auto-detect (3-component streams convert).
+    """
+    lib = _lib()
+    data = bytes(data)
+    src = (ctypes.c_uint8 * max(len(data), 1)).from_buffer_copy(
+        data or b"\0"
+    )
+    if tables:
+        tables = bytes(tables)
+        tab = (ctypes.c_uint8 * len(tables)).from_buffer_copy(tables)
+        ntab = len(tables)
+    else:
+        tab = None
+        ntab = 0
+    info = (ctypes.c_int64 * 3)()
+    rc = lib.exa_jpeg_info(src, len(data), tab, ntab, info)
+    if rc < 0:
+        raise ValueError(_JPEG_ERRORS.get(rc, f"JPEG error {rc}"))
+    h, w, ncomp = int(info[0]), int(info[1]), int(info[2])
+    out = np.empty(h * w * ncomp, np.uint8)
+    rc = lib.exa_jpeg_decode(
+        src, len(data), tab, ntab, color_transform,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    if rc < 0:
+        raise ValueError(_JPEG_ERRORS.get(rc, f"JPEG error {rc}"))
+    return out.reshape((h, w) if ncomp == 1 else (h, w, ncomp))
 
 
 def crc32c(data):

@@ -1,0 +1,298 @@
+"""JPEG-compressed TIFF (compression 7) and the baseline JPEG codec.
+
+The reference ingests TIFF through tifffile (reference
+img_util.py:100-121), which decodes compression-7 pages via
+imagecodecs/libjpeg. The in-tree equivalents are
+native/src/jpeg_lite.cpp (codec) and io/tiff_lite.py (page wiring);
+Pillow is the third-party conformance oracle. Exact bit-parity with
+libjpeg is not a JPEG-conformance requirement (T.81 only bounds IDCT
+accuracy), so codec tests assert a +-3 per-sample envelope against
+Pillow -- the decoder uses libjpeg's own "fancy" triangle chroma
+upsampling, so real differences come only from IDCT/colorspace
+rounding.
+"""
+
+import io
+import struct
+
+import numpy as np
+import pytest
+
+from PIL import Image
+
+from aind_exaspim_neuron_segmentation_tpu import native
+from aind_exaspim_neuron_segmentation_tpu.io import tiff_lite
+
+
+def _encode(img, **save_kwargs):
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "JPEG", **save_kwargs)
+    return buf.getvalue()
+
+
+def _pil_decode(data):
+    img = Image.open(io.BytesIO(data))
+    if img.mode not in ("L", "RGB"):
+        img = img.convert("RGB")
+    return np.asarray(img)
+
+
+def _smooth_rgb(rng, h, w):
+    """Blockwise-smooth RGB content (JPEG-friendly, still has edges)."""
+    base = rng.integers(0, 255, ((h + 11) // 12, (w + 11) // 12, 3))
+    big = np.kron(base.astype(np.float32), np.ones((12, 12, 1)))
+    return np.clip(big[:h, :w], 0, 255).astype(np.uint8)
+
+
+def _split_tables(data):
+    """Split a JPEG stream into (JPEGTables stream, abbreviated stream)
+    per the TIFF 6.0 TechNote 2 convention: shared DQT/DHT/DRI move to
+    the tables stream; the per-segment stream keeps everything else."""
+    assert data[:2] == b"\xff\xd8"
+    tables = [b"\xff\xd8"]
+    rest = [b"\xff\xd8"]
+    pos = 2
+    while pos + 4 <= len(data):
+        assert data[pos] == 0xFF
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            rest.append(data[pos: pos + 2])
+            pos += 2
+            continue
+        seg_len = struct.unpack(">H", data[pos + 2: pos + 4])[0]
+        seg = data[pos: pos + 2 + seg_len]
+        (tables if marker in (0xDB, 0xC4, 0xDD) else rest).append(seg)
+        pos += 2 + seg_len
+        if marker == 0xDA:  # entropy data runs to EOI
+            rest.append(data[pos: len(data) - 2])
+            break
+    tables.append(b"\xff\xd9")
+    rest.append(b"\xff\xd9")
+    return b"".join(tables), b"".join(rest)
+
+
+class TestJpegCodec:
+    def test_grayscale_matches_pillow(self):
+        rng = np.random.default_rng(0)
+        img = _smooth_rgb(rng, 97, 85)[:, :, 0]
+        for quality in (70, 90):
+            data = _encode(img, quality=quality)
+            ours = native.jpeg_decode(data)
+            ref = _pil_decode(data)
+            assert ours.shape == ref.shape
+            assert np.abs(ours.astype(int) - ref.astype(int)).max() <= 1
+
+    @pytest.mark.parametrize("subsampling", [0, 1, 2])
+    def test_rgb_subsampling_matches_pillow(self, subsampling):
+        rng = np.random.default_rng(1)
+        img = _smooth_rgb(rng, 101, 91)
+        data = _encode(img, quality=92, subsampling=subsampling)
+        ours = native.jpeg_decode(data)
+        ref = _pil_decode(data)
+        diff = np.abs(ours.astype(int) - ref.astype(int))
+        assert diff.max() <= 3
+        assert diff.mean() < 0.2
+
+    def test_restart_markers(self):
+        rng = np.random.default_rng(2)
+        img = _smooth_rgb(rng, 64, 80)
+        data = _encode(img, quality=92, subsampling=2,
+                       restart_marker_rows=1)
+        assert b"\xff\xdd" in data and b"\xff\xd0" in data
+        ours = native.jpeg_decode(data)
+        ref = _pil_decode(data)
+        assert np.abs(ours.astype(int) - ref.astype(int)).max() <= 3
+
+    def test_abbreviated_stream_with_tables(self):
+        rng = np.random.default_rng(3)
+        img = _smooth_rgb(rng, 48, 56)
+        data = _encode(img, quality=85)
+        tables, abbreviated = _split_tables(data)
+        assert b"\xff\xdb" not in abbreviated  # DQT moved out
+        full = native.jpeg_decode(data)
+        split = native.jpeg_decode(abbreviated, tables=tables)
+        np.testing.assert_array_equal(full, split)
+
+    def test_progressive_rejected(self):
+        rng = np.random.default_rng(4)
+        img = _smooth_rgb(rng, 32, 32)
+        data = _encode(img, quality=85, progressive=True)
+        with pytest.raises(ValueError, match="progressive"):
+            native.jpeg_decode(data)
+
+    def test_color_transform_flag(self):
+        rng = np.random.default_rng(5)
+        img = _smooth_rgb(rng, 24, 24)
+        data = _encode(img, quality=95, subsampling=0)
+        rgb = native.jpeg_decode(data, color_transform=1)
+        raw = native.jpeg_decode(data, color_transform=0)
+        auto = native.jpeg_decode(data)
+        np.testing.assert_array_equal(rgb, auto)  # 3 comps auto-convert
+        assert np.abs(raw.astype(int) - rgb.astype(int)).max() > 8
+
+
+def _entry(tag, typ, count, value, ext_offset=None):
+    raw = struct.pack("<HHI", tag, typ, count)
+    if ext_offset is not None:
+        return raw + struct.pack("<I", ext_offset)
+    fmt = {3: "H", 4: "I"}[typ]
+    return raw + struct.pack("<" + fmt, value).ljust(4, b"\0")
+
+
+def _jpeg_tiff(segments, width, length, samples, photometric,
+               rows_per_strip=None, tile=None, jpeg_tables=None):
+    """Hand-build a classic little-endian TIFF whose strips/tiles are
+    independent baseline JPEG streams (compression 7)."""
+    buf = bytearray(b"II" + struct.pack("<HI", 42, 0))
+    offsets = []
+    for seg in segments:
+        offsets.append(len(buf))
+        buf += seg
+        if len(buf) % 2:
+            buf += b"\0"
+    ext = bytearray()
+    tags = [
+        _entry(256, 4, 1, width),
+        _entry(257, 4, 1, length),
+        _entry(258, 3, 1, 8),
+        _entry(259, 3, 1, 7),  # new-style JPEG
+        _entry(262, 3, 1, photometric),
+        _entry(277, 3, 1, samples),
+        _entry(339, 3, 1, 1),
+    ]
+    n = len(segments)
+
+    def array_tag(tag, values):
+        if n == 1:
+            tags.append(_entry(tag, 4, 1, values[0]))
+        else:
+            tags.append(_entry(tag, 4, n, None, ext_offset=len(ext)))
+            ext.extend(struct.pack("<%dI" % n, *values))
+
+    if tile is not None:
+        tags.append(_entry(322, 4, 1, tile[1]))
+        tags.append(_entry(323, 4, 1, tile[0]))
+        array_tag(324, offsets)
+        array_tag(325, [len(s) for s in segments])
+    else:
+        tags.append(_entry(278, 4, 1, rows_per_strip))
+        array_tag(273, offsets)
+        array_tag(279, [len(s) for s in segments])
+    if jpeg_tables is not None:
+        tags.append(_entry(347, 7, len(jpeg_tables),
+                           None, ext_offset=len(ext)))
+        ext.extend(jpeg_tables)
+    tags.sort(key=lambda t: struct.unpack("<H", t[:2])[0])
+
+    ext_base = len(buf)
+    # patch external offsets now that the data block position is known
+    fixed = []
+    for t in tags:
+        tag, typ, count = struct.unpack("<HHI", t[:8])
+        external = (count > 1 and typ == 4) or tag == 347
+        if external:
+            (rel,) = struct.unpack("<I", t[8:12])
+            t = t[:8] + struct.pack("<I", ext_base + rel)
+        fixed.append(t)
+    buf += ext
+    ifd_off = len(buf)
+    buf += struct.pack("<H", len(fixed)) + b"".join(fixed)
+    buf += struct.pack("<I", 0)
+    struct.pack_into("<I", buf, 4, ifd_off)
+    return bytes(buf)
+
+
+class TestJpegTiff:
+    def test_striped_rgb(self):
+        """Multi-strip YCbCr JPEG page: each strip an independent
+        stream; output assembles strips and converts to RGB (the
+        tifffile behavior for photometric 6)."""
+        rng = np.random.default_rng(10)
+        img = _smooth_rgb(rng, 40, 56)
+        rps = 16
+        strips, oracle = [], []
+        for y0 in range(0, 40, rps):
+            part = img[y0: y0 + rps]
+            data = _encode(part, quality=92, subsampling=2)
+            strips.append(data)
+            oracle.append(_pil_decode(data))
+        buf = _jpeg_tiff(strips, 56, 40, 3, photometric=6,
+                         rows_per_strip=rps)
+        got = tiff_lite.read_tiff(buf)
+        want = np.concatenate(oracle)
+        assert got.shape == (40, 56, 3)
+        assert np.abs(got.astype(int) - want.astype(int)).max() <= 3
+
+    def test_striped_grayscale(self):
+        rng = np.random.default_rng(11)
+        img = _smooth_rgb(rng, 33, 47)[:, :, 1]
+        data = _encode(img, quality=90)
+        buf = _jpeg_tiff([data], 47, 33, 1, photometric=1,
+                         rows_per_strip=33)
+        got = tiff_lite.read_tiff(buf)
+        want = _pil_decode(data)
+        assert got.shape == (33, 47)
+        assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+    def test_jpeg_tables_tag(self):
+        """Abbreviated strip streams with shared tables in tag 347
+        decode identically to the self-contained streams."""
+        rng = np.random.default_rng(12)
+        img = _smooth_rgb(rng, 32, 48)
+        rps = 16
+        full_strips = [
+            _encode(img[y0: y0 + rps], quality=88, subsampling=0)
+            for y0 in range(0, 32, rps)
+        ]
+        tables, _ = _split_tables(full_strips[0])
+        abbreviated = [_split_tables(s)[1] for s in full_strips]
+        buf_full = _jpeg_tiff(full_strips, 48, 32, 3, photometric=6,
+                              rows_per_strip=rps)
+        buf_abbr = _jpeg_tiff(abbreviated, 48, 32, 3, photometric=6,
+                              rows_per_strip=rps, jpeg_tables=tables)
+        np.testing.assert_array_equal(
+            tiff_lite.read_tiff(buf_full), tiff_lite.read_tiff(buf_abbr)
+        )
+
+    def test_tiled_rgb(self):
+        """Tiled JPEG page: edge tiles are encoded at full tile size
+        (TIFF 6.0 section 15) and cropped on read."""
+        rng = np.random.default_rng(13)
+        img = _smooth_rgb(rng, 40, 56)
+        th, tw = 32, 32
+        tiles, oracle = [], []
+        for y0 in range(0, 40, th):
+            for x0 in range(0, 56, tw):
+                part = img[y0: y0 + th, x0: x0 + tw]
+                part = np.pad(part, ((0, th - part.shape[0]),
+                                     (0, tw - part.shape[1]), (0, 0)),
+                              mode="edge")
+                data = _encode(part, quality=92, subsampling=2)
+                tiles.append(data)
+                oracle.append(_pil_decode(data))
+        buf = _jpeg_tiff(tiles, 56, 40, 3, photometric=6, tile=(th, tw))
+        got = tiff_lite.read_tiff(buf)
+        assert got.shape == (40, 56, 3)
+        want = np.zeros((40, 56, 3), int)
+        ti = 0
+        for y0 in range(0, 40, th):
+            for x0 in range(0, 56, tw):
+                ny = min(th, 40 - y0)
+                nx = min(tw, 56 - x0)
+                want[y0: y0 + ny, x0: x0 + nx] = oracle[ti][:ny, :nx]
+                ti += 1
+        assert np.abs(got.astype(int) - want).max() <= 3
+
+    def test_rgb_photometric_skips_transform(self):
+        """Photometric 2 JPEG strips hold RGB component values: the
+        reader must not apply the YCbCr transform."""
+        rng = np.random.default_rng(14)
+        img = _smooth_rgb(rng, 24, 24)
+        data = _encode(img, quality=95, subsampling=0)
+        buf = _jpeg_tiff([data], 24, 24, 3, photometric=2,
+                         rows_per_strip=24)
+        got = tiff_lite.read_tiff(buf)
+        raw = native.jpeg_decode(data, color_transform=0)
+        np.testing.assert_array_equal(got, raw)
