@@ -218,13 +218,17 @@ struct Edge {
   // 256-bin histogram. Identical quantile results either way.
   static constexpr size_t kInlineMax = 24;
 
+  // NOTE: liveness is NOT stored here -- the merge loop keeps it in a
+  // compact side bitvector so its hot path (skipping dead lazy-deletion
+  // queue entries and scanning adjacency lists) never has to pull these
+  // 72-byte structs through the cache: at SURVEY-scale RAGs (22M edges
+  // = 1.6 GB of Edge data) the liveness checks dominated DRAM traffic.
   uint32_t a, b;
   uint64_t count = 0;
   std::vector<uint32_t> hist;  // dense histogram once large
   uint8_t inl[kInlineMax];     // quantized affinities while small
   uint8_t n_inl = 0;
   int16_t cached_bin = -1;     // invalidated on add/absorb
-  bool alive = true;
 
   Edge(uint32_t a_, uint32_t b_) : a(a_), b(b_) {}
 
@@ -491,6 +495,15 @@ int64_t agglomerate_over_fragments(
     incident[edges[ei].b].push_back(ei);
   }
   const uint32_t E = static_cast<uint32_t>(edges.size());
+  // Hot-path side arrays (see the Edge struct note): 1 byte of
+  // liveness + 8 bytes of packed original endpoints per edge, so the
+  // merge loop's dead-entry skips and root lookups stay in small
+  // sequential arrays instead of striding the 72-byte Edge structs.
+  std::vector<uint8_t> alive(E, 1);
+  std::vector<uint64_t> ends(E);
+  for (uint32_t ei = 0; ei < E; ++ei) {
+    ends[ei] = (static_cast<uint64_t>(edges[ei].a) << 32) | edges[ei].b;
+  }
 
   // Connected components of the RAG. Merges in different components
   // never interact: an edge's score is a function of intra-component
@@ -617,14 +630,15 @@ int64_t agglomerate_over_fragments(
         continue;
       }
       const uint32_t eidx = buckets[cur][heads[cur]++];
-      Edge& e = edges[eidx];
-      if (!e.alive) continue;
-      const uint32_t ra = uf.find(e.a);
-      const uint32_t rb = uf.find(e.b);
+      if (!alive[eidx]) continue;
+      const uint64_t ee = ends[eidx];
+      const uint32_t ra = uf.find(static_cast<uint32_t>(ee >> 32));
+      const uint32_t rb = uf.find(static_cast<uint32_t>(ee));
       if (ra == rb) {
-        e.alive = false;
+        alive[eidx] = 0;
         continue;
       }
+      Edge& e = edges[eidx];
       if (bucket_of(e) != cur) continue;  // stale: fresh entry elsewhere
       flush(e.score(quantile_pct));
       if (t_idx >= n_thresholds) break;
@@ -640,16 +654,16 @@ int64_t agglomerate_over_fragments(
       }
       uf.unite_into(keep, drop);
       evs.emplace_back(keep, drop);
-      e.alive = false;
+      alive[eidx] = 0;
       index->erase(EdgeKey{std::min(ra, rb), std::max(ra, rb)}.packed());
 
       for (uint32_t ei : incident[drop]) {
-        Edge& f = edges[ei];
-        if (!f.alive) continue;
-        const uint32_t fa = uf.find(f.a);
-        const uint32_t fb = uf.find(f.b);
+        if (!alive[ei]) continue;
+        const uint64_t fe = ends[ei];
+        const uint32_t fa = uf.find(static_cast<uint32_t>(fe >> 32));
+        const uint32_t fb = uf.find(static_cast<uint32_t>(fe));
         if (fa == fb) {
-          f.alive = false;
+          alive[ei] = 0;
           continue;
         }
         const uint32_t peer = (fa == keep) ? fb : fa;
@@ -657,14 +671,14 @@ int64_t agglomerate_over_fragments(
             EdgeKey{std::min(drop, peer), std::max(drop, peer)}.packed());
         const EdgeKey new_key{std::min(keep, peer), std::max(keep, peer)};
         uint32_t* slot = index->find(new_key.packed());
-        if (slot == nullptr || !edges[*slot].alive) {
+        if (slot == nullptr || !alive[*slot]) {
           index->insert(new_key.packed(), ei);
           incident[keep].push_back(ei);
         } else if (*slot != ei) {
           Edge& g = edges[*slot];
           const uint32_t gi = *slot;
-          g.absorb(f);
-          f.alive = false;
+          g.absorb(edges[ei]);
+          alive[ei] = 0;
           const int b = bucket_of(g);
           buckets[b].push_back(gi);
           if (b < cur) cur = b;  // score dropped: revisit earlier bucket
