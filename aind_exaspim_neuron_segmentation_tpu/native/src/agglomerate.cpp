@@ -118,7 +118,13 @@ class FlatMap {
 
   void grow() {
     std::vector<Entry> old = std::move(slots_);
-    const size_t cap = old.size() * 2;
+    // The merge loop erases tens of millions of keys, so by the time
+    // the load trigger fires most occupied slots are usually
+    // tombstones. Double only when LIVE entries genuinely fill the
+    // table; otherwise rehash at the same capacity, which sweeps the
+    // tombstones (shorter probe chains) without growing the footprint.
+    size_t cap = old.size();
+    if ((live_ + 1) * 4 > cap) cap <<= 1;
     slots_.assign(cap, Entry{kEmpty, 0, 0});
     mask_ = cap - 1;
     used_ = live_ = 0;
