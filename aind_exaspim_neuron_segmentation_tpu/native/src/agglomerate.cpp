@@ -93,9 +93,26 @@ struct EdgeKey {
 // node allocations dominated the single-core profile, so edge keys live
 // in one flat probe array (linear probing, tombstone deletes, grow at
 // 60% load).
+// Deterministic FlatMap rebuild accounting, reported under
+// EXA_DEBUG_TIMING: wall-clock A/Bs on the shared dev host are
+// steal-noise-dominated, so rebuild-policy changes are validated
+// against these counters (rebuild count, entries reinserted, capacity
+// allocated) as well. Only touched inside grow(), never on the probe
+// hot path.
+static std::atomic<uint64_t> g_flat_rebuilds{0};
+static std::atomic<uint64_t> g_flat_reinserted{0};
+static std::atomic<uint64_t> g_flat_cap_allocated{0};
+
 class FlatMap {
-  static constexpr uint64_t kEmpty = ~0ull;
-  static constexpr uint64_t kTomb = ~0ull - 1;
+  // Sentinels exploit the key domain: every key is EdgeKey::packed(),
+  // i.e. (min << 32) | max with 1 <= min < max, so neither 0 nor ~0
+  // can ever be a real key. Empty == 0 lets fresh tables come from
+  // calloc: large allocations are lazily-faulted zero pages, so
+  // (re)building a table costs O(entries touched), not an O(capacity)
+  // memset -- the explicit fill was 60% of the merge loop's CPU time
+  // at SURVEY-scale RAGs.
+  static constexpr uint64_t kEmpty = 0;
+  static constexpr uint64_t kTomb = ~0ull;
 
   struct Entry {
     uint64_t key;
@@ -104,10 +121,15 @@ class FlatMap {
   };  // 16 B: one cache line covers four slots -- a probe touches one
       // line instead of two separate key/value arrays
 
-  std::vector<Entry> slots_;
-  size_t mask_;
+  Entry* slots_ = nullptr;
+  size_t cap_ = 0;
+  size_t mask_ = 0;
   size_t used_ = 0;   // live + tombstones
   size_t live_ = 0;
+
+  static Entry* alloc(size_t cap) {
+    return static_cast<Entry*>(std::calloc(cap, sizeof(Entry)));
+  }
 
   static size_t mix(uint64_t k) {
     k ^= k >> 33;
@@ -117,29 +139,65 @@ class FlatMap {
   }
 
   void grow() {
-    std::vector<Entry> old = std::move(slots_);
-    // The merge loop erases tens of millions of keys, so by the time
-    // the load trigger fires most occupied slots are usually
-    // tombstones. Double only when LIVE entries genuinely fill the
-    // table; otherwise rehash at the same capacity, which sweeps the
-    // tombstones (shorter probe chains) without growing the footprint.
-    size_t cap = old.size();
-    if ((live_ + 1) * 4 > cap) cap <<= 1;
-    slots_.assign(cap, Entry{kEmpty, 0, 0});
+    // Size to LIVE entries (<=25% load after the rebuild): the merge
+    // loop erases tens of millions of keys, so by the time the load
+    // trigger fires most occupied slots are usually tombstones. The
+    // rebuild both sweeps them (short probe chains again) and SHRINKS
+    // the table as its component's edges die off, instead of scaling
+    // capacity with cumulative insert traffic. Capacity decays at most
+    // 2x per rebuild: shrinking straight to 4*live would leave only
+    // ~live spare slots before the next trigger, making rebuilds too
+    // frequent to amortize.
+    size_t cap = 16;
+    while (cap < (live_ + 1) * 4) cap <<= 1;
+    if (cap < cap_ / 2) cap = cap_ / 2;
+    g_flat_rebuilds.fetch_add(1, std::memory_order_relaxed);
+    g_flat_reinserted.fetch_add(live_, std::memory_order_relaxed);
+    g_flat_cap_allocated.fetch_add(cap, std::memory_order_relaxed);
+    Entry* old = slots_;
+    const size_t old_cap = cap_;
+    slots_ = alloc(cap);
+    cap_ = cap;
     mask_ = cap - 1;
     used_ = live_ = 0;
-    for (const Entry& e : old) {
+    for (size_t i = 0; i < old_cap; ++i) {
+      const Entry& e = old[i];
       if (e.key != kEmpty && e.key != kTomb) insert(e.key, e.val);
     }
+    std::free(old);
   }
 
  public:
   explicit FlatMap(size_t hint = 16) {
     size_t cap = 16;
     while (cap < hint * 2) cap <<= 1;
-    slots_.assign(cap, Entry{kEmpty, 0, 0});
+    slots_ = alloc(cap);
+    cap_ = cap;
     mask_ = cap - 1;
   }
+
+  FlatMap(const FlatMap&) = delete;
+  FlatMap& operator=(const FlatMap&) = delete;
+  FlatMap(FlatMap&& o) noexcept
+      : slots_(o.slots_), cap_(o.cap_), mask_(o.mask_), used_(o.used_),
+        live_(o.live_) {
+    o.slots_ = nullptr;
+    o.cap_ = 0;
+  }
+  FlatMap& operator=(FlatMap&& o) noexcept {
+    if (this != &o) {
+      std::free(slots_);
+      slots_ = o.slots_;
+      cap_ = o.cap_;
+      mask_ = o.mask_;
+      used_ = o.used_;
+      live_ = o.live_;
+      o.slots_ = nullptr;
+      o.cap_ = 0;
+    }
+    return *this;
+  }
+  ~FlatMap() { std::free(slots_); }
 
   // Returns pointer to value or nullptr.
   uint32_t* find(uint64_t key) {
@@ -156,7 +214,7 @@ class FlatMap {
   // Returns (value pointer, inserted?).
   std::pair<uint32_t*, bool> find_or_insert(uint64_t key,
                                             uint32_t val_if_new) {
-    if ((used_ + 1) * 2 > slots_.size()) grow();
+    if ((used_ + 1) * 2 > cap_) grow();
     size_t i = mix(key) & mask_;
     size_t tomb = SIZE_MAX;
     while (true) {
@@ -193,17 +251,15 @@ class FlatMap {
     }
   }
 
-  // Clear and resize for `hint` expected entries. Reuses the slot
-  // buffer when the target capacity is unchanged (the component-merge
-  // workers reset one scratch map per RAG component).
+  // Clear and resize for `hint` expected entries (the component-merge
+  // workers reset one scratch map per RAG component). free + calloc is
+  // cheaper than clearing in place: the kernel hands back zero pages.
   void reset(size_t hint) {
     size_t cap = 16;
     while (cap < hint * 2) cap <<= 1;
-    if (cap == slots_.size()) {
-      std::fill(slots_.begin(), slots_.end(), Entry{kEmpty, 0, 0});
-    } else {
-      slots_.assign(cap, Entry{kEmpty, 0, 0});
-    }
+    std::free(slots_);
+    slots_ = alloc(cap);
+    cap_ = cap;
     mask_ = cap - 1;
     used_ = live_ = 0;
   }
@@ -734,7 +790,18 @@ int64_t agglomerate_over_fragments(
     }
   }
   auto t5 = now();
-  if (dbg) std::fprintf(stderr, "[exa] merge-loop %.2fs\n", secs(t4, t5));
+  if (dbg) {
+    std::fprintf(stderr, "[exa] merge-loop %.2fs\n", secs(t4, t5));
+    std::fprintf(
+        stderr,
+        "[exa] flatmap rebuilds=%llu reinserted=%llu cap-allocated=%llu\n",
+        static_cast<unsigned long long>(
+            g_flat_rebuilds.load(std::memory_order_relaxed)),
+        static_cast<unsigned long long>(
+            g_flat_reinserted.load(std::memory_order_relaxed)),
+        static_cast<unsigned long long>(
+            g_flat_cap_allocated.load(std::memory_order_relaxed)));
+  }
 
   // Replay snapshots: advance one parent forest threshold by
   // threshold. Events record (keep, drop) root pairs at execution
