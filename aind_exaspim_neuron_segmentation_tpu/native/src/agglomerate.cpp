@@ -327,6 +327,14 @@ struct Edge {
         size_t(n_inl) + o.n_inl <= kInlineMax) {
       std::memcpy(inl + n_inl, o.inl, o.n_inl);
       n_inl = static_cast<uint8_t>(n_inl + o.n_inl);
+    } else if (hist.empty() && !o.hist.empty()) {
+      // Steal o's dense histogram instead of allocating a fresh 1 KiB
+      // buffer and adding 256 bins: counts are commutative sums, so
+      // dropping our inline samples into o's buffer yields the
+      // identical distribution.
+      hist = std::move(o.hist);
+      for (int i = 0; i < n_inl; ++i) ++hist[inl[i]];
+      n_inl = 0;
     } else {
       if (hist.empty()) to_hist();
       if (!o.hist.empty()) {
@@ -373,6 +381,40 @@ struct Edge {
     const int bin = score_bin(quantile_pct);
     if (bin < 0) return 1.0f;
     return 1.0f - (bin + 0.5f) / kBins;
+  }
+};
+
+// Append-only chunked Edge storage. At SURVEY-scale RAGs (tens of
+// millions of 72-byte entries) std::vector reallocation both moved
+// every Edge O(log E) times (26% of the single-core RAG-build profile)
+// and transiently held old+new buffers (2.4 GB extra peak at E=22M).
+// Fixed-size blocks keep Edge addresses stable and append O(1); each
+// block reservation is one large malloc, so untouched tail pages cost
+// only address space.
+class EdgeStore {
+  static constexpr size_t kShift = 20;  // 2^20 edges (~75 MB) per block
+  static constexpr size_t kMask = (size_t(1) << kShift) - 1;
+  std::vector<std::vector<Edge>> blocks_;
+  size_t size_ = 0;
+
+ public:
+  size_t size() const { return size_; }
+  Edge& operator[](size_t i) { return blocks_[i >> kShift][i & kMask]; }
+  const Edge& operator[](size_t i) const {
+    return blocks_[i >> kShift][i & kMask];
+  }
+  void emplace_back(uint32_t a, uint32_t b) {
+    if ((size_ & kMask) == 0) {
+      blocks_.emplace_back();
+      blocks_.back().reserve(kMask + 1);
+    }
+    blocks_.back().emplace_back(a, b);
+    ++size_;
+  }
+  void release() {
+    blocks_.clear();
+    blocks_.shrink_to_fit();
+    size_ = 0;
   }
 };
 
@@ -461,13 +503,12 @@ int64_t agglomerate_over_fragments(
   const int64_t zz_per_block = std::max<int64_t>(1, D / 64);
   const int64_t n_blocks = (D + zz_per_block - 1) / zz_per_block;
   FlatMap edge_index(1024);
-  std::vector<Edge> edges;
+  EdgeStore edges;
   const bool serial = std::min<int64_t>(num_threads(), n_blocks) <= 1;
   // Scans one block's voxels, accumulating its outgoing-edge samples
   // into (index, store) -- per-block locals in the threaded path, the
   // global pair directly in the serial path.
-  auto scan_block = [&](int64_t blk, FlatMap& index,
-                        std::vector<Edge>& store) {
+  auto scan_block = [&](int64_t blk, FlatMap& index, EdgeStore& store) {
     const int64_t z_lo = blk * zz_per_block;
     const int64_t z_hi = std::min(D, z_lo + zz_per_block);
     for (int64_t z = z_lo; z < z_hi; ++z) {
@@ -511,7 +552,7 @@ int64_t agglomerate_over_fragments(
     std::vector<FlatMap> loc_index;
     loc_index.reserve(n_blocks);
     for (int64_t b = 0; b < n_blocks; ++b) loc_index.emplace_back(1024);
-    std::vector<std::vector<Edge>> loc_edges(n_blocks);
+    std::vector<EdgeStore> loc_edges(n_blocks);
     parallel_blocks(n_blocks, [&](int64_t blk) {
       scan_block(blk, loc_index[blk], loc_edges[blk]);
     });
@@ -526,17 +567,17 @@ int64_t agglomerate_over_fragments(
     size_t edge_upper = 0;
     for (const auto& le : loc_edges) edge_upper += le.size();
     edge_index = FlatMap(edge_upper + 1);
-    edges.reserve(edge_upper);
     for (int64_t blk = 0; blk < n_blocks; ++blk) {
-      for (Edge& le : loc_edges[blk]) {
+      EdgeStore& les = loc_edges[blk];
+      for (size_t li = 0; li < les.size(); ++li) {
+        Edge& le = les[li];
         EdgeKey key{le.a, le.b};
         auto [slot, fresh] = edge_index.find_or_insert(
             key.packed(), static_cast<uint32_t>(edges.size()));
         if (fresh) edges.emplace_back(key.a, key.b);
         edges[*slot].absorb(le);
       }
-      loc_edges[blk].clear();
-      loc_edges[blk].shrink_to_fit();
+      les.release();
     }
     loc_index.clear();
 
@@ -549,22 +590,24 @@ int64_t agglomerate_over_fragments(
 
   auto t3 = now();
   if (n_thresholds == 0) return K;
-  // Adjacency: fragment root -> incident edge indices.
-  exa::UnionFind uf(static_cast<size_t>(K) + 1);
-  std::vector<std::vector<uint32_t>> incident(K + 1);
-  for (uint32_t ei = 0; ei < edges.size(); ++ei) {
-    incident[edges[ei].a].push_back(ei);
-    incident[edges[ei].b].push_back(ei);
-  }
   const uint32_t E = static_cast<uint32_t>(edges.size());
   // Hot-path side arrays (see the Edge struct note): 1 byte of
   // liveness + 8 bytes of packed original endpoints per edge, so the
   // merge loop's dead-entry skips and root lookups stay in small
   // sequential arrays instead of striding the 72-byte Edge structs.
+  // Built first so the adjacency/component passes below read endpoints
+  // from it too.
   std::vector<uint8_t> alive(E, 1);
   std::vector<uint64_t> ends(E);
   for (uint32_t ei = 0; ei < E; ++ei) {
     ends[ei] = (static_cast<uint64_t>(edges[ei].a) << 32) | edges[ei].b;
+  }
+  // Adjacency: fragment root -> incident edge indices.
+  exa::UnionFind uf(static_cast<size_t>(K) + 1);
+  std::vector<std::vector<uint32_t>> incident(K + 1);
+  for (uint32_t ei = 0; ei < E; ++ei) {
+    incident[static_cast<uint32_t>(ends[ei] >> 32)].push_back(ei);
+    incident[static_cast<uint32_t>(ends[ei])].push_back(ei);
   }
 
   // Connected components of the RAG. Merges in different components
@@ -583,14 +626,17 @@ int64_t agglomerate_over_fragments(
   // union forest, so labelings are bit-identical for ANY worker count
   // (pinned by TestThreadedDeterminism + the golden fixtures).
   exa::UnionFind comp_uf(static_cast<size_t>(K) + 1);
-  for (const Edge& e : edges) comp_uf.unite(e.a, e.b);
+  for (uint32_t ei = 0; ei < E; ++ei) {
+    comp_uf.unite(static_cast<uint32_t>(ends[ei] >> 32),
+                  static_cast<uint32_t>(ends[ei]));
+  }
   std::vector<uint32_t> comp_of(E);
   std::vector<uint32_t> comp_sizes;  // edge count per component
   {
     std::unordered_map<uint32_t, uint32_t> root_to_comp;
     root_to_comp.reserve(1024);
     for (uint32_t ei = 0; ei < E; ++ei) {
-      const uint32_t r = comp_uf.find(edges[ei].a);
+      const uint32_t r = comp_uf.find(static_cast<uint32_t>(ends[ei] >> 32));
       auto it = root_to_comp.find(r);
       if (it == root_to_comp.end()) {
         it = root_to_comp
@@ -664,7 +710,7 @@ int64_t agglomerate_over_fragments(
       local.reset(e_hi - e_lo);
       for (uint32_t i = e_lo; i < e_hi; ++i) {
         const uint32_t ei = comp_edges[i];
-        local.insert(EdgeKey{edges[ei].a, edges[ei].b}.packed(), ei);
+        local.insert(ends[ei], ei);
       }
       index = &local;
     }
