@@ -37,6 +37,7 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <memory>
 #include <thread>
 #include <unordered_map>
 #include <vector>
@@ -418,6 +419,81 @@ class EdgeStore {
   }
 };
 
+// Pooled chunked incident lists. The merge loop appends ~3x E entries
+// into per-root adjacency lists and discards each dropped root's list
+// right after scanning it; as std::vector<std::vector<uint32_t>> that
+// was millions of malloc/realloc/free calls plus O(entries) memcpy on
+// every growth -- the allocator and memmove together dominated the
+// digest-path profile. Lists are now chains of 64-byte chunks drawn
+// from bump arenas with freelist recycling. Semantics-preserving by
+// construction: append order and gross entry counts (including
+// lazily-skipped dead edges, which the smaller-side heuristic
+// deliberately counts, matching the vectors this replaces) are
+// identical.
+struct IncChunk {
+  static constexpr int kCap = 13;
+  IncChunk* next;
+  uint8_t n;
+  uint32_t v[kCap];  // member order packs the chunk into 64 bytes
+};
+static_assert(sizeof(IncChunk) == 64, "one cache line per chunk");
+
+class ChunkArena {
+  static constexpr size_t kBlock = size_t(1) << 16;  // 4 MiB of chunks
+  std::vector<std::unique_ptr<IncChunk[]>> blocks_;
+  size_t used_ = kBlock;
+  IncChunk* free_ = nullptr;
+
+ public:
+  IncChunk* get() {
+    IncChunk* c;
+    if (free_ != nullptr) {
+      c = free_;
+      free_ = c->next;
+    } else {
+      if (used_ == kBlock) {
+        blocks_.emplace_back(new IncChunk[kBlock]);
+        used_ = 0;
+      }
+      c = &blocks_.back()[used_++];
+    }
+    c->n = 0;
+    c->next = nullptr;
+    return c;
+  }
+  // Recycles a whole chain. Chunks may have been allocated by ANY
+  // arena, so every arena must outlive every list that could hold its
+  // chunks (all arenas live at agglomerate_over_fragments scope).
+  void recycle(IncChunk* head) {
+    while (head != nullptr) {
+      IncChunk* nx = head->next;
+      head->next = free_;
+      free_ = head;
+      head = nx;
+    }
+  }
+};
+
+struct IncList {
+  IncChunk* head = nullptr;
+  IncChunk* tail = nullptr;
+  uint32_t gross = 0;  // total appended, dead entries included
+};
+
+inline void inc_append(IncList& l, uint32_t val, ChunkArena& arena) {
+  if (l.tail == nullptr || l.tail->n == IncChunk::kCap) {
+    IncChunk* c = arena.get();
+    if (l.tail != nullptr) {
+      l.tail->next = c;
+    } else {
+      l.head = c;
+    }
+    l.tail = c;
+  }
+  l.tail->v[l.tail->n++] = val;
+  ++l.gross;
+}
+
 inline int64_t vox(int64_t z, int64_t y, int64_t x, int64_t H, int64_t W) {
   return (z * H + y) * W + x;
 }
@@ -602,12 +678,15 @@ int64_t agglomerate_over_fragments(
   for (uint32_t ei = 0; ei < E; ++ei) {
     ends[ei] = (static_cast<uint64_t>(edges[ei].a) << 32) | edges[ei].b;
   }
-  // Adjacency: fragment root -> incident edge indices.
+  // Adjacency: fragment root -> incident edge indices (chunk chains;
+  // every arena outlives the merge phase -- see ChunkArena::recycle).
   exa::UnionFind uf(static_cast<size_t>(K) + 1);
-  std::vector<std::vector<uint32_t>> incident(K + 1);
+  ChunkArena build_arena;
+  std::vector<IncList> incident(K + 1);
   for (uint32_t ei = 0; ei < E; ++ei) {
-    incident[static_cast<uint32_t>(ends[ei] >> 32)].push_back(ei);
-    incident[static_cast<uint32_t>(ends[ei])].push_back(ei);
+    inc_append(incident[static_cast<uint32_t>(ends[ei] >> 32)], ei,
+               build_arena);
+    inc_append(incident[static_cast<uint32_t>(ends[ei])], ei, build_arena);
   }
 
   // Connected components of the RAG. Merges in different components
@@ -690,7 +769,7 @@ int64_t agglomerate_over_fragments(
 
   auto run_component = [&](uint32_t comp, FlatMap& local,
                            std::vector<std::vector<uint32_t>>& buckets,
-                           std::vector<size_t>& heads) {
+                           std::vector<size_t>& heads, ChunkArena& arena) {
     const uint32_t e_lo = comp_start[comp];
     const uint32_t e_hi = comp_start[comp + 1];
     // Bucket queue: scores are 256-level quantized, so a min-heap is
@@ -757,7 +836,7 @@ int64_t agglomerate_over_fragments(
       // agglomeration; rebuilding the large list per merge was
       // quadratic in fragments).
       uint32_t keep = ra, drop = rb;
-      if (incident[keep].size() < incident[drop].size()) {
+      if (incident[keep].gross < incident[drop].gross) {
         std::swap(keep, drop);
       }
       uf.unite_into(keep, drop);
@@ -765,7 +844,10 @@ int64_t agglomerate_over_fragments(
       alive[eidx] = 0;
       index->erase(EdgeKey{std::min(ra, rb), std::max(ra, rb)}.packed());
 
-      for (uint32_t ei : incident[drop]) {
+      for (IncChunk* ch = incident[drop].head; ch != nullptr;
+           ch = ch->next) {
+        for (uint8_t k = 0; k < ch->n; ++k) {
+        const uint32_t ei = ch->v[k];
         if (!alive[ei]) continue;
         const uint64_t fe = ends[ei];
         const uint32_t fa = uf.find(static_cast<uint32_t>(fe >> 32));
@@ -781,7 +863,7 @@ int64_t agglomerate_over_fragments(
         uint32_t* slot = index->find(new_key.packed());
         if (slot == nullptr || !alive[*slot]) {
           index->insert(new_key.packed(), ei);
-          incident[keep].push_back(ei);
+          inc_append(incident[keep], ei, arena);
         } else if (*slot != ei) {
           Edge& g = edges[*slot];
           const uint32_t gi = *slot;
@@ -791,9 +873,10 @@ int64_t agglomerate_over_fragments(
           buckets[b].push_back(gi);
           if (b < cur) cur = b;  // score dropped: revisit earlier bucket
         }
+        }
       }
-      incident[drop].clear();
-      incident[drop].shrink_to_fit();
+      arena.recycle(incident[drop].head);
+      incident[drop] = IncList{};
     }
     // Thresholds never crossed (all remaining scores <= them): every
     // executed event belongs to each remaining threshold's prefix.
@@ -811,23 +894,29 @@ int64_t agglomerate_over_fragments(
   {
     const int workers =
         static_cast<int>(std::min<int64_t>(num_threads(), n_comps));
+    // Per-worker arenas at this scope: workers may recycle (and then
+    // re-issue) chunks originally allocated by build_arena or another
+    // worker's arena, so all arenas must outlive the whole pool.
+    std::vector<ChunkArena> arenas(std::max(workers, 1));
     if (workers <= 1) {
       FlatMap local(16);
       std::vector<std::vector<uint32_t>> buckets(kBins + 1);
       std::vector<size_t> heads(kBins + 1, 0);
       for (uint32_t oi = 0; oi < n_comps; ++oi) {
-        run_component(order[oi], local, buckets, heads);
+        run_component(order[oi], local, buckets, heads, arenas[0]);
       }
     } else {
       std::atomic<uint32_t> next_comp{0};
+      std::atomic<int> next_worker{0};
       auto worker = [&]() {
+        ChunkArena& arena = arenas[next_worker.fetch_add(1)];
         FlatMap local(16);
         std::vector<std::vector<uint32_t>> buckets(kBins + 1);
         std::vector<size_t> heads(kBins + 1, 0);
         while (true) {
           const uint32_t oi = next_comp.fetch_add(1);
           if (oi >= n_comps) return;
-          run_component(order[oi], local, buckets, heads);
+          run_component(order[oi], local, buckets, heads, arena);
         }
       };
       std::vector<std::thread> pool;

@@ -173,3 +173,27 @@ class TestThreadedDeterminism:
             got = native.agglomerate_all(aff, [0.2, 0.5, 0.8])
             for a, b in zip(base, got):
                 np.testing.assert_array_equal(a, b)
+
+    def test_multi_component_merge_thread_invariant(self, monkeypatch):
+        """Uniform-random fields collapse the RAG into ONE component, so
+        the test above runs min(threads, components) = 1 merge worker.
+        Isolated high-affinity blobs on below-low background give many
+        components, exercising the concurrent component-parallel merge
+        loop (per-worker bucket queues, scratch FlatMaps, and incident
+        chunk arenas with cross-arena recycling) -- output must still be
+        bit-identical for any worker count."""
+        from aind_exaspim_neuron_segmentation_tpu import native
+
+        rng = np.random.default_rng(7)
+        aff = rng.uniform(0.0, 0.05, (3, 48, 48, 48)).astype(np.float32)
+        for cz, cy, cx in rng.integers(6, 42, (25, 3)):
+            aff[:, cz - 4:cz + 4, cy - 4:cy + 4, cx - 4:cx + 4] = (
+                rng.uniform(0.3, 1.0, (3, 8, 8, 8))
+            )
+        monkeypatch.setenv("EXA_NUM_THREADS", "1")
+        base = native.agglomerate_all(aff, [0.2, 0.5, 0.8])
+        for n in ("3", "8"):
+            monkeypatch.setenv("EXA_NUM_THREADS", n)
+            got = native.agglomerate_all(aff, [0.2, 0.5, 0.8])
+            for a, b in zip(base, got):
+                np.testing.assert_array_equal(a, b)
