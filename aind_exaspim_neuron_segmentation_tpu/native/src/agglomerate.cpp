@@ -103,6 +103,9 @@ struct EdgeKey {
 static std::atomic<uint64_t> g_flat_rebuilds{0};
 static std::atomic<uint64_t> g_flat_reinserted{0};
 static std::atomic<uint64_t> g_flat_cap_allocated{0};
+// Histogram promotions (inline sample buffer -> dense 256-bin
+// histogram, a 1 KiB allocation each) -- same diagnostic role.
+static std::atomic<uint64_t> g_hist_promotions{0};
 
 class FlatMap {
   // Sentinels exploit the key domain: every key is EdgeKey::packed(),
@@ -303,6 +306,7 @@ struct Edge {
   }
 
   void to_hist() {
+    g_hist_promotions.fetch_add(1, std::memory_order_relaxed);
     hist.assign(kBins, 0);
     for (int i = 0; i < n_inl; ++i) ++hist[inl[i]];
     n_inl = 0;
@@ -929,13 +933,16 @@ int64_t agglomerate_over_fragments(
     std::fprintf(stderr, "[exa] merge-loop %.2fs\n", secs(t4, t5));
     std::fprintf(
         stderr,
-        "[exa] flatmap rebuilds=%llu reinserted=%llu cap-allocated=%llu\n",
+        "[exa] flatmap rebuilds=%llu reinserted=%llu cap-allocated=%llu "
+        "hist-promotions=%llu\n",
         static_cast<unsigned long long>(
             g_flat_rebuilds.load(std::memory_order_relaxed)),
         static_cast<unsigned long long>(
             g_flat_reinserted.load(std::memory_order_relaxed)),
         static_cast<unsigned long long>(
-            g_flat_cap_allocated.load(std::memory_order_relaxed)));
+            g_flat_cap_allocated.load(std::memory_order_relaxed)),
+        static_cast<unsigned long long>(
+            g_hist_promotions.load(std::memory_order_relaxed)));
   }
 
   // Replay snapshots: advance one parent forest threshold by
