@@ -450,6 +450,8 @@ def affinities_to_segmentation(
     min_segment_size=100,
     aff_threshold_low=0.1,
     aff_threshold_high=0.9999,
+    out_path=None,
+    tmp_dir=None,
 ):
     """Affinity map -> instance segmentation.
 
@@ -467,12 +469,20 @@ def affinities_to_segmentation(
       + 256-bin quantized affinities, so the host replays pure integer
       work with zero float reads -- bit-identical output;
     * a lazy chunked handle (zarr/N5) of shape (3, D, H, W), e.g. from
-      ``predict(..., out_path=...)``: slabs stream to the device
-      pre-digest and the host never holds the float volume -- at
-      1024^3 peak host RAM is the 4-bytes/voxel digests + fragments +
-      one uint32 output (~18 GB vs ~39 GB densified), keeping the
-      reference's own beyond-RAM dead end (inference.py:222
-      densifies) out of this pipeline.
+      ``predict(..., out_path=...)``: the fully streaming engine
+      (:mod:`.postprocess.streaming` over native ``streamseg.cpp``)
+      runs three Z-slab passes with O(RAG + slab) host RAM -- the
+      float volume, the digests, the fragment volume, and the
+      voxel-granular union-find are never dense in memory (temp disk
+      holds ~7 bytes/voxel instead), keeping the reference's own
+      beyond-RAM dead end (inference.py:222 densifies) out of this
+      pipeline. Bit-identical to the dense path
+      (tests/test_streamseg.py).
+
+    ``out_path`` (lazy input only): stream the labeling into a Zarr
+    store there and return the opened lazy handle instead of a dense
+    array -- the full zarr-in/zarr-out beyond-RAM contract.
+    ``tmp_dir``: where the streaming engine parks its temp memmaps.
 
     For the pre-digest pair the low/high thresholds are baked into the
     plan bytes at digest time; passing non-default ``aff_threshold_*``
@@ -485,15 +495,24 @@ def affinities_to_segmentation(
         affinities, (np.ndarray, jnp.ndarray, list)
     )
     if lazy:
-        from aind_exaspim_neuron_segmentation_tpu.ops.predigest import (
-            predigest_streaming,
+        from aind_exaspim_neuron_segmentation_tpu.postprocess.streaming import (
+            segment_streaming,
         )
 
-        affinities = predigest_streaming(
-            affinities, low=aff_threshold_low, high=aff_threshold_high,
+        return segment_streaming(
+            affinities,
+            agglomeration_thresholds=agglomeration_thresholds,
+            min_segment_size=min_segment_size,
+            aff_threshold_low=aff_threshold_low,
+            aff_threshold_high=aff_threshold_high,
+            out_path=out_path,
+            tmp_dir=tmp_dir,
         )
-        predigested = True
-        aff_threshold_low, aff_threshold_high = 0.1, 0.9999
+    if out_path is not None:
+        raise ValueError(
+            "out_path streaming output requires a lazy (zarr/N5) "
+            "affinity handle"
+        )
 
     if predigested:
         plan, qaff = affinities

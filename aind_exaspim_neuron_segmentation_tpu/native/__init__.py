@@ -54,6 +54,31 @@ def _lib():
             u8p, u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             f32p, ctypes.c_int64, ctypes.c_int32, u32p,
         ]
+        lib.exa_streamseg_new.restype = ctypes.c_void_p
+        lib.exa_streamseg_new.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ]
+        lib.exa_streamseg_free.restype = None
+        lib.exa_streamseg_free.argtypes = [ctypes.c_void_p]
+        lib.exa_streamseg_feed.restype = ctypes.c_int64
+        lib.exa_streamseg_feed.argtypes = [
+            ctypes.c_void_p, u8p, ctypes.c_int64, u32p,
+        ]
+        lib.exa_streamseg_fragments_done.restype = ctypes.c_int64
+        lib.exa_streamseg_fragments_done.argtypes = [ctypes.c_void_p]
+        lib.exa_streamseg_rag_feed.restype = ctypes.c_int64
+        lib.exa_streamseg_rag_feed.argtypes = [
+            ctypes.c_void_p, u32p, u8p, ctypes.c_int64,
+        ]
+        lib.exa_streamseg_merge.restype = ctypes.c_int64
+        lib.exa_streamseg_merge.argtypes = [
+            ctypes.c_void_p, f32p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int64,
+        ]
+        lib.exa_streamseg_map.restype = ctypes.c_int64
+        lib.exa_streamseg_map.argtypes = [
+            ctypes.c_void_p, u32p, ctypes.c_int64, u32p,
+        ]
         lib.exa_blosc_info.restype = ctypes.c_int64
         lib.exa_blosc_info.argtypes = [u8p, ctypes.c_int64, i64p]
         lib.exa_blosc_decompress.restype = ctypes.c_int64
@@ -408,3 +433,105 @@ def agglomerate_all(affinities, thresholds, aff_threshold_low=0.1,
     if k < 0:
         raise RuntimeError("agglomeration failed")
     return out
+
+
+class StreamSegmenter:
+    """Slab-streaming watershed + agglomeration (native streamseg.cpp).
+
+    The beyond-RAM counterpart of :func:`agglomerate_last_pre`: slabs of
+    device pre-digests (:mod:`..ops.predigest`) stream in, provisional
+    fragment labels stream out (parked by the caller, e.g. in a temp
+    memmap), then the RAG streams through the shared merge loop and
+    slabs relabel through one lut -- peak host RAM is O(RAG + slab)
+    instead of O(volume). Output is bit-identical to the dense engine
+    including the reference's min-size filter and first-appearance
+    renumber (reference inference.py:196-237 + utils/img_util.py:536-559;
+    pinned by tests/test_streamseg.py).
+
+    Call order: ``feed`` per slab (ascending Z, exact cover) ->
+    ``fragments_done`` -> ``rag_feed`` per slab -> ``merge`` ->
+    ``map`` per slab.
+    """
+
+    def __init__(self, shape):
+        d, h, w = (int(v) for v in shape)
+        self._lib = _lib()
+        self._h = self._lib.exa_streamseg_new(d, h, w)
+        if not self._h:
+            raise ValueError(f"bad streamseg shape {shape}")
+        self.shape = (d, h, w)
+        self.n_fragments = None
+        self.n_segments = None
+
+    def close(self):
+        if self._h:
+            self._lib.exa_streamseg_free(self._h)
+            self._h = None
+
+    def __del__(self):
+        self.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def feed(self, plan_slab):
+        """Watershed one (nz, H, W) uint8 plan slab -> provisional labels."""
+        plan = np.ascontiguousarray(plan_slab, dtype=np.uint8)
+        out = np.empty(plan.shape, np.uint32)
+        rc = self._lib.exa_streamseg_feed(
+            self._h, _u8p(plan), plan.shape[0], _u32(out.ravel())
+        )
+        if rc < 0:
+            raise RuntimeError("streamseg feed failed (order/extent)")
+        return out
+
+    def fragments_done(self):
+        """Stitch pieces across slabs; returns the fragment count K."""
+        k = self._lib.exa_streamseg_fragments_done(self._h)
+        if k < 0:
+            raise RuntimeError("streamseg fragment finalize failed")
+        self.n_fragments = int(k)
+        return self.n_fragments
+
+    def rag_feed(self, frag_slab, qaff_slab):
+        """Stream (nz, H, W) provisional labels + (nz, 3, H, W) u8 affs."""
+        frag = np.ascontiguousarray(frag_slab, dtype=np.uint32)
+        qaff = np.ascontiguousarray(qaff_slab, dtype=np.uint8)
+        if qaff.shape != (frag.shape[0], 3) + frag.shape[1:]:
+            raise ValueError(
+                f"qaff slab {qaff.shape} does not match frag {frag.shape}"
+            )
+        rc = self._lib.exa_streamseg_rag_feed(
+            self._h, _u32(frag.ravel()), _u8p(qaff), frag.shape[0]
+        )
+        if rc < 0:
+            raise RuntimeError("streamseg rag feed failed (order/extent)")
+
+    def merge(self, thresholds, quantile_pct=85, min_segment_size=0):
+        """Merge loop + min-size filter; returns the segment count."""
+        th = np.ascontiguousarray(thresholds, dtype=np.float32)
+        n = self._lib.exa_streamseg_merge(
+            self._h, _f32(th), len(th), quantile_pct,
+            int(min_segment_size),
+        )
+        if n < 0:
+            raise RuntimeError(
+                "streamseg merge failed (thresholds must be non-empty "
+                "ascending; all slabs must have been rag-fed)"
+            )
+        self.n_segments = int(n)
+        return self.n_segments
+
+    def map(self, frag_slab):
+        """Relabel provisional labels through the final lut."""
+        frag = np.ascontiguousarray(frag_slab, dtype=np.uint32)
+        out = np.empty(frag.shape, np.uint32)
+        rc = self._lib.exa_streamseg_map(
+            self._h, _u32(frag.ravel()), frag.size, _u32(out.ravel())
+        )
+        if rc < 0:
+            raise RuntimeError("streamseg map before merge")
+        return out

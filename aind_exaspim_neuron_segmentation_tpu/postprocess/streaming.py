@@ -1,0 +1,142 @@
+"""Beyond-RAM affinity -> segmentation driver over the streaming engine.
+
+Streams a lazy chunked affinity handle (zarr/N5, shape (3, D, H, W))
+through three Z-slab passes (native ``streamseg.cpp`` via
+:class:`..native.StreamSegmenter`):
+
+1. device pre-digest (:func:`..ops.predigest.predigest_slab`) + slab
+   watershed; provisional fragment labels and u8 affinities park in
+   temp memmaps (7 bytes/voxel of DISK, not RAM);
+2. streamed RAG build + the shared merge loop + threshold/min-size
+   lut composition;
+3. relabel slabs through the lut into a dense array or a Zarr store.
+
+Peak host RAM is O(RAG + slab): none of the float volume, the digests,
+the fragment volume, or a voxel-granular union-find is ever dense in
+memory -- the dense engine's ~16 bytes/voxel of transient state becomes
+~7 bytes/voxel of sequentially-accessed temp disk. Output is
+bit-identical to the dense path (reference inference.py:196-237 +
+utils/img_util.py:536-559 semantics; pinned by tests/test_streamseg.py).
+"""
+
+import os
+import shutil
+import tempfile
+
+import numpy as np
+
+from aind_exaspim_neuron_segmentation_tpu import native
+
+
+def segment_streaming(
+    affinities,
+    agglomeration_thresholds=(0.6, 0.8, 0.9),
+    min_segment_size=100,
+    aff_threshold_low=0.1,
+    aff_threshold_high=0.9999,
+    quantile_pct=85,
+    out_path=None,
+    tmp_dir=None,
+    slab_planes=None,
+):
+    """Lazy (3, D, H, W) affinity handle -> final-threshold segmentation.
+
+    ``out_path``: when set, the labeling streams into a Zarr store there
+    (uint32, Z-slab chunks) and the opened lazy handle is returned;
+    otherwise a dense uint32 array is returned (RAM permitting --
+    4 bytes/voxel for the result only).
+
+    ``tmp_dir``: directory for the two temp memmaps (~7 bytes/voxel,
+    deleted on return). ``slab_planes``: Z planes per slab (default
+    sizes the device digest slab to ~512 MB of f32).
+
+    Requires ``aff_threshold_low <= aff_threshold_high`` (the pipeline
+    default): the slab watershed's cross-boundary stitching relies on
+    background voxels never joining fragments, which only >= low
+    unions guarantee (streamseg.cpp header note).
+    """
+    import jax.numpy as jnp
+
+    from aind_exaspim_neuron_segmentation_tpu.ops.predigest import (
+        predigest_slab,
+    )
+
+    if affinities.ndim != 4 or affinities.shape[0] != 3:
+        raise ValueError(
+            f"expected (3, D, H, W) handle, got {affinities.shape}"
+        )
+    if aff_threshold_low > aff_threshold_high:
+        raise ValueError(
+            "streaming segmentation requires aff_threshold_low <= "
+            "aff_threshold_high"
+        )
+    th = list(agglomeration_thresholds)
+    if not th or any(b < a for a, b in zip(th, th[1:])):
+        raise ValueError("thresholds must be non-empty and ascending")
+
+    _, d, h, w = affinities.shape
+    if slab_planes is None:
+        budget = 512 * 1024**2
+        slab_planes = max(int(budget // (3 * h * w * 4)), 1)
+
+    work = tempfile.mkdtemp(prefix="exa_streamseg_", dir=tmp_dir)
+    try:
+        frag_mm = np.memmap(
+            os.path.join(work, "frag.u32"), np.uint32, "w+", shape=(d, h, w)
+        )
+        # Plane-major qaff so slab slices stay contiguous for rag_feed.
+        qaff_mm = np.memmap(
+            os.path.join(work, "qaff.u8"), np.uint8, "w+",
+            shape=(d, 3, h, w),
+        )
+        seg = native.StreamSegmenter((d, h, w))
+
+        # Pass 1: digest on device, watershed + stitch on host.
+        prev = None
+        for lo in range(0, d, slab_planes):
+            hi = min(lo + slab_planes, d)
+            block = jnp.asarray(
+                np.asarray(affinities[:, lo:hi], dtype=np.float32)
+            )
+            plan, qaff = predigest_slab(
+                block, prev, first_slab=(lo == 0), last_slab=(hi == d),
+                low=aff_threshold_low, high=aff_threshold_high,
+            )
+            prev = block[0, -1]
+            frag_mm[lo:hi] = seg.feed(np.asarray(plan))
+            qaff_mm[lo:hi] = np.moveaxis(np.asarray(qaff), 0, 1)
+        del prev, block, plan, qaff
+        frag_mm.flush()
+        qaff_mm.flush()
+        seg.fragments_done()
+
+        # Pass 2: streamed RAG build, then merge + lut composition.
+        for lo in range(0, d, slab_planes):
+            hi = min(lo + slab_planes, d)
+            seg.rag_feed(frag_mm[lo:hi], qaff_mm[lo:hi])
+        seg.merge(
+            th, quantile_pct=quantile_pct,
+            min_segment_size=min_segment_size,
+        )
+
+        # Pass 3: relabel.
+        if out_path is not None:
+            from aind_exaspim_neuron_segmentation_tpu.io.zarr_lite import (
+                ZarrAppendWriter, open_zarr,
+            )
+
+            writer = ZarrAppendWriter(out_path, (d, h, w), np.uint32)
+            for lo in range(0, d, slab_planes):
+                hi = min(lo + slab_planes, d)
+                writer.append(seg.map(frag_mm[lo:hi]))
+            writer.close()
+            seg.close()
+            return open_zarr(out_path)
+        out = np.empty((d, h, w), np.uint32)
+        for lo in range(0, d, slab_planes):
+            hi = min(lo + slab_planes, d)
+            out[lo:hi] = seg.map(frag_mm[lo:hi])
+        seg.close()
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
