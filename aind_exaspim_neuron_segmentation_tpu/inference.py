@@ -545,6 +545,12 @@ def skeletonize(segmentation, anisotropy=(1.0, 1.0, 1.0)):
     Parameter set mirrors reference inference.py:272-290 (kimimaro):
     scale=1.25, const=450, pdrf_exponent=4, pdrf_scale=100000, soma
     detection/acceptance 1000/3500, fix_borders, fill_holes, parallel=1.
+
+    ``segmentation`` may be a dense uint32 volume or a lazy (zarr/N5)
+    label handle, e.g. from ``affinities_to_segmentation(...,
+    out_path=...)``: lazy handles stream through per-label bbox crops
+    (postprocess.skeleton.skeletonize_lazy) with bit-identical output,
+    so the full zarr -> SWC pipeline never densifies the volume.
     """
     from aind_exaspim_neuron_segmentation_tpu import postprocess
 
@@ -574,7 +580,8 @@ def skeletons_to_zipped_swcs(skeletons, zip_path):
 def segmentation_to_zipped_swcs(segmentation, zip_path, anisotropy=(1, 1, 1)):
     """Segmentation -> TEASAR skeletons -> zipped SWC archive.
 
-    Reference: inference.py:240-254.
+    Reference: inference.py:240-254. Accepts a dense volume or a lazy
+    (zarr/N5) label handle (see :func:`skeletonize`).
     """
     skeletons = skeletonize(segmentation, anisotropy=anisotropy)
     skeletons_to_zipped_swcs(skeletons, zip_path)

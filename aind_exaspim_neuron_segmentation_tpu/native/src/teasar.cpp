@@ -372,9 +372,25 @@ void skeletonize_component(const std::vector<uint8_t>& mask, int64_t D,
 
 }  // namespace
 
-EXA_API void* exa_skeletonize(const uint32_t* labels, int64_t D, int64_t H,
-                              int64_t W, const double* params_arr,
-                              int32_t fix_borders, int32_t fill_holes_flag) {
+// Skeletonize a CROP of a larger volume: `labels` is the (D, H, W)
+// crop at global offset (z_off, y_off, x_off) inside a (GD, GH, GW)
+// volume; when only_label != 0, only that label's components are
+// processed. The crop must contain every voxel of each processed label
+// plus a 1-voxel pad wherever the label's bbox is interior to the
+// volume -- then component discovery, bboxes, EDT, fix_borders, and
+// black_border semantics are identical to running the dense engine on
+// the full volume (vertices come out in GLOBAL coordinates), which is
+// what the streaming skeletonizer (postprocess/skeleton.py
+// skeletonize_lazy) relies on. exa_skeletonize is the whole-volume
+// special case.
+EXA_API void* exa_skeletonize_crop(const uint32_t* labels, int64_t D,
+                                   int64_t H, int64_t W, int64_t z_off,
+                                   int64_t y_off, int64_t x_off,
+                                   int64_t GD, int64_t GH, int64_t GW,
+                                   uint32_t only_label,
+                                   const double* params_arr,
+                                   int32_t fix_borders,
+                                   int32_t fill_holes_flag) {
   Params p;
   p.scale = static_cast<float>(params_arr[0]);
   p.konst = static_cast<float>(params_arr[1]);
@@ -402,6 +418,7 @@ EXA_API void* exa_skeletonize(const uint32_t* labels, int64_t D, int64_t H,
   std::vector<uint32_t> comp_label;
   for (int64_t seed = 0; seed < N; ++seed) {
     if (labels[seed] == 0 || comp[seed] != 0) continue;
+    if (only_label != 0 && labels[seed] != only_label) continue;
     const uint32_t lab = labels[seed];
     const uint32_t cid = ++n_comp;
     comp[seed] = cid;
@@ -462,8 +479,9 @@ EXA_API void* exa_skeletonize(const uint32_t* labels, int64_t D, int64_t H,
             if (comp[g] == c) mask[(z * ch + y) * cw + x] = 1;
           }
       if (p.fill_holes) fill_holes(mask, cd, ch, cw);
-      skeletonize_component(mask, cd, ch, cw, p, bb[0], bb[2], bb[4],
-                            D, H, W, comp_label[c - 1], &partial[c - 1]);
+      skeletonize_component(mask, cd, ch, cw, p, bb[0] + z_off,
+                            bb[2] + y_off, bb[4] + x_off, GD, GH, GW,
+                            comp_label[c - 1], &partial[c - 1]);
     }
   };
 
@@ -478,6 +496,44 @@ EXA_API void* exa_skeletonize(const uint32_t* labels, int64_t D, int64_t H,
     for (auto& s : part.skeletons) res->skeletons.push_back(std::move(s));
   }
   return res;
+}
+
+EXA_API void* exa_skeletonize(const uint32_t* labels, int64_t D, int64_t H,
+                              int64_t W, const double* params_arr,
+                              int32_t fix_borders, int32_t fill_holes_flag) {
+  return exa_skeletonize_crop(labels, D, H, W, 0, 0, 0, D, H, W, 0,
+                              params_arr, fix_borders, fill_holes_flag);
+}
+
+// Per-label bounding boxes + voxel counts over one Z slab of labels
+// (the streaming skeletonizer's discovery pass). bbox layout:
+// (n_labels + 1) x 6 int64 rows [z0, z1, y0, y1, x0, x1] (inclusive),
+// initialized by the CALLER to (INT64_MAX, -1, ...) and updated in
+// place across slabs; counts is (n_labels + 1) int64. Labels greater
+// than n_labels return -1 (caller re-scans with a bigger table).
+EXA_API int64_t exa_label_bboxes(const uint32_t* labels, int64_t nz,
+                                 int64_t H, int64_t W, int64_t z_off,
+                                 int64_t n_labels, int64_t* bbox,
+                                 int64_t* counts) {
+  for (int64_t z = 0; z < nz; ++z) {
+    for (int64_t y = 0; y < H; ++y) {
+      for (int64_t x = 0; x < W; ++x) {
+        const uint32_t lab = labels[(z * H + y) * W + x];
+        if (lab == 0) continue;
+        if (static_cast<int64_t>(lab) > n_labels) return -1;
+        int64_t* bb = bbox + static_cast<int64_t>(lab) * 6;
+        const int64_t gz = z + z_off;
+        if (gz < bb[0]) bb[0] = gz;
+        if (gz > bb[1]) bb[1] = gz;
+        if (y < bb[2]) bb[2] = y;
+        if (y > bb[3]) bb[3] = y;
+        if (x < bb[4]) bb[4] = x;
+        if (x > bb[5]) bb[5] = x;
+        ++counts[lab];
+      }
+    }
+  }
+  return 0;
 }
 
 EXA_API int64_t exa_skel_count(void* handle) {

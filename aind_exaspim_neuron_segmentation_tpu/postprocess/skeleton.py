@@ -99,6 +99,18 @@ def _bind(lib):
         u32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, f64p,
         ctypes.c_int32, ctypes.c_int32,
     ]
+    lib.exa_skeletonize_crop.restype = ctypes.c_void_p
+    lib.exa_skeletonize_crop.argtypes = [
+        u32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_uint32, f64p, ctypes.c_int32, ctypes.c_int32,
+    ]
+    lib.exa_label_bboxes.restype = ctypes.c_int64
+    lib.exa_label_bboxes.argtypes = [
+        u32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, i64p, i64p,
+    ]
     lib.exa_skel_count.restype = ctypes.c_int64
     lib.exa_skel_count.argtypes = [ctypes.c_void_p]
     lib.exa_skel_label.restype = ctypes.c_uint32
@@ -132,6 +144,7 @@ def skeletonize(
     fill_holes=True,
     max_paths=None,
     parallel=1,
+    slab_planes=64,
 ):
     """TEASAR-skeletonize every labeled segment.
 
@@ -143,22 +156,34 @@ def skeletonize(
     concatenated), like kimimaro.
     """
     del max_paths  # accepted for parity; the trace loop runs to coverage
+    # Lazy chunked handles (io.LazyArray subclasses) stream through the
+    # crop engine; anything array-like (numpy/jax/list) densifies.
+    if not isinstance(segmentation, (np.ndarray, list)) and not hasattr(
+        segmentation, "__array__"
+    ):
+        return skeletonize_lazy(
+            segmentation, scale=scale, const=const,
+            pdrf_exponent=pdrf_exponent, pdrf_scale=pdrf_scale,
+            soma_detection_threshold=soma_detection_threshold,
+            soma_acceptance_threshold=soma_acceptance_threshold,
+            soma_invalidation_scale=soma_invalidation_scale,
+            soma_invalidation_const=soma_invalidation_const,
+            anisotropy=anisotropy, fix_borders=fix_borders,
+            fill_holes=fill_holes, parallel=parallel,
+            slab_planes=slab_planes,
+        )
     seg = np.ascontiguousarray(segmentation, dtype=np.uint32)
     if seg.ndim != 3:
         raise ValueError(f"expected 3D segmentation, got {seg.shape}")
     lib = _bind(build.load())
-    params = np.asarray(
-        [
-            scale, const, pdrf_exponent, pdrf_scale,
-            soma_detection_threshold, soma_acceptance_threshold,
-            soma_invalidation_scale, soma_invalidation_const,
-            anisotropy[0], anisotropy[1], anisotropy[2],
-            max(int(parallel), 1),
-            # kimimaro black_border semantics: volume faces count as
-            # background only for single-label volumes.
-            1.0 if seg.min() == seg.max() else 0.0,
-        ],
-        dtype=np.float64,
+    params = _params_array(
+        scale, const, pdrf_exponent, pdrf_scale,
+        soma_detection_threshold, soma_acceptance_threshold,
+        soma_invalidation_scale, soma_invalidation_const, anisotropy,
+        parallel,
+        # kimimaro black_border semantics: volume faces count as
+        # background only for single-label volumes.
+        black_border=(seg.min() == seg.max()),
     )
     handle = lib.exa_skeletonize(
         seg.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
@@ -167,10 +192,33 @@ def skeletonize(
         1 if fix_borders else 0,
         1 if fill_holes else 0,
     )
+    pieces = _collect_pieces(lib, handle)
+    return _merge_pieces(pieces)
+
+
+def _params_array(scale, const, pdrf_exponent, pdrf_scale,
+                  soma_detection_threshold, soma_acceptance_threshold,
+                  soma_invalidation_scale, soma_invalidation_const,
+                  anisotropy, parallel, black_border):
+    return np.asarray(
+        [
+            scale, const, pdrf_exponent, pdrf_scale,
+            soma_detection_threshold, soma_acceptance_threshold,
+            soma_invalidation_scale, soma_invalidation_const,
+            anisotropy[0], anisotropy[1], anisotropy[2],
+            max(int(parallel), 1),
+            1.0 if black_border else 0.0,
+        ],
+        dtype=np.float64,
+    )
+
+
+def _collect_pieces(lib, handle, pieces=None):
     if not handle:
         raise RuntimeError("skeletonization failed")
-    try:
+    if pieces is None:
         pieces = {}
+    try:
         for i in range(lib.exa_skel_count(handle)):
             label = int(lib.exa_skel_label(handle, i))
             nv = lib.exa_skel_nverts(handle, i)
@@ -187,7 +235,10 @@ def skeletonize(
             pieces.setdefault(label, []).append((verts, radii, edges))
     finally:
         lib.exa_skel_free(handle)
+    return pieces
 
+
+def _merge_pieces(pieces):
     skeletons = {}
     for label, parts in pieces.items():
         offset = 0
@@ -204,3 +255,96 @@ def skeletonize(
             edges=np.concatenate(edges),
         )
     return skeletons
+
+
+def skeletonize_lazy(
+    labels,
+    scale=1.25,
+    const=450,
+    pdrf_exponent=4,
+    pdrf_scale=100000,
+    soma_detection_threshold=1000,
+    soma_acceptance_threshold=3500,
+    soma_invalidation_scale=1.0,
+    soma_invalidation_const=300,
+    anisotropy=(1.0, 1.0, 1.0),
+    fix_borders=True,
+    fill_holes=True,
+    parallel=1,
+    slab_planes=64,
+):
+    """TEASAR-skeletonize a lazy (zarr/N5) label handle beyond RAM.
+
+    Two streaming passes over the (D, H, W) uint32 store: a Z-slab
+    discovery pass collects per-label bounding boxes (native
+    ``exa_label_bboxes``), then each label's 1-voxel-padded bbox crop
+    is read back and skeletonized in isolation
+    (``exa_skeletonize_crop``). The pad guarantees a label only touches
+    crop faces where it touches true volume faces, so EDT, fix_borders,
+    black_border, and fill_holes semantics -- and therefore the output
+    -- are bit-identical to the dense engine (tests/test_skeleton.py
+    TestSkeletonizeLazy). Peak host RAM is one slab plus the largest
+    single label's bbox crop, never the full volume.
+    """
+    if labels.ndim != 3:
+        raise ValueError(f"expected 3D label handle, got {labels.shape}")
+    d, h, w = labels.shape
+    lib = _bind(build.load())
+    i64p = ctypes.POINTER(ctypes.c_int64)
+
+    # Discovery pass: per-label bboxes + global min/max (black_border).
+    n_labels = 0
+    bbox = np.empty((1, 6), np.int64)
+    counts = np.zeros(1, np.int64)
+    gmin, gmax = None, None
+    for lo in range(0, d, slab_planes):
+        hi = min(lo + slab_planes, d)
+        slab = np.ascontiguousarray(labels[lo:hi], dtype=np.uint32)
+        smax = int(slab.max())
+        gmin = int(slab.min()) if gmin is None else min(gmin, int(slab.min()))
+        gmax = smax if gmax is None else max(gmax, smax)
+        if smax > n_labels:
+            grow = np.empty((smax - n_labels, 6), np.int64)
+            grow[:, 0::2] = np.iinfo(np.int64).max
+            grow[:, 1::2] = -1
+            bbox = np.concatenate([bbox, grow])
+            counts = np.concatenate(
+                [counts, np.zeros(smax - n_labels, np.int64)]
+            )
+            n_labels = smax
+        rc = lib.exa_label_bboxes(
+            slab.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            hi - lo, h, w, lo, n_labels,
+            bbox.ctypes.data_as(i64p), counts.ctypes.data_as(i64p),
+        )
+        if rc < 0:
+            raise RuntimeError("label bbox scan failed")
+
+    params = _params_array(
+        scale, const, pdrf_exponent, pdrf_scale,
+        soma_detection_threshold, soma_acceptance_threshold,
+        soma_invalidation_scale, soma_invalidation_const, anisotropy,
+        parallel, black_border=(gmin == gmax),
+    )
+
+    # Per-label crop pass.
+    pieces = {}
+    for lab in range(1, n_labels + 1):
+        if counts[lab] == 0:
+            continue
+        z0, z1, y0, y1, x0, x1 = bbox[lab]
+        z0, y0, x0 = max(z0 - 1, 0), max(y0 - 1, 0), max(x0 - 1, 0)
+        z1, y1, x1 = min(z1 + 2, d), min(y1 + 2, h), min(x1 + 2, w)
+        crop = np.ascontiguousarray(
+            labels[z0:z1, y0:y1, x0:x1], dtype=np.uint32
+        )
+        handle = lib.exa_skeletonize_crop(
+            crop.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            z1 - z0, y1 - y0, x1 - x0, z0, y0, x0, d, h, w,
+            lab,
+            params.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            1 if fix_borders else 0,
+            1 if fill_holes else 0,
+        )
+        _collect_pieces(lib, handle, pieces)
+    return _merge_pieces(pieces)

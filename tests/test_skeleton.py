@@ -121,3 +121,77 @@ class TestPipelineSurface:
         hit = vol > 0
         assert hit.sum() > 0
         assert (seg[hit] == 1).all()
+
+
+class TestSkeletonizeLazy:
+    """Streaming per-label-crop skeletonization: bit-parity vs dense."""
+
+    @staticmethod
+    def _store(tmp_path, seg, name="labels.zarr"):
+        from aind_exaspim_neuron_segmentation_tpu.io import read
+        from aind_exaspim_neuron_segmentation_tpu.io.zarr_lite import (
+            write_zarr,
+        )
+
+        path = str(tmp_path / name)
+        write_zarr(path, seg, chunks=(8,) + seg.shape[1:])
+        return read(path)
+
+    @staticmethod
+    def _assert_same(dense, lazy):
+        assert set(dense) == set(lazy)
+        for lab, skel in dense.items():
+            np.testing.assert_array_equal(skel.vertices, lazy[lab].vertices)
+            np.testing.assert_array_equal(skel.radii, lazy[lab].radii)
+            np.testing.assert_array_equal(skel.edges, lazy[lab].edges)
+
+    def test_multi_label_parity(self, tmp_path):
+        seg = np.zeros((24, 18, 16), np.uint32)
+        seg[2:22, 4, 4] = 1            # tube crossing slab boundaries
+        seg[5:9, 8:16, 10] = 2         # bar
+        seg[12:20, 10:14, 2:14] = 3    # slab-ish block
+        seg[1, 1, 1] = 4               # single voxel at volume corner
+        dense = skeletonize(seg)
+        lazy = skeletonize(self._store(tmp_path, seg), slab_planes=5)
+        self._assert_same(dense, lazy)
+
+    def test_border_touching_label(self, tmp_path):
+        """fix_borders semantics must follow TRUE volume faces only."""
+        seg = np.zeros((16, 12, 12), np.uint32)
+        seg[0:16, 5, 5] = 1   # spans the full Z extent (touches faces)
+        seg[4:8, 0:4, 8] = 2  # touches the y=0 face
+        dense = skeletonize(seg)
+        lazy = skeletonize(self._store(tmp_path, seg), slab_planes=4)
+        self._assert_same(dense, lazy)
+
+    def test_disconnected_same_label(self, tmp_path):
+        """Two components of one label merge pieces in the same order."""
+        seg = np.zeros((20, 10, 10), np.uint32)
+        seg[2:6, 2:6, 2:6] = 7
+        seg[12:18, 3:8, 3:8] = 7
+        dense = skeletonize(seg)
+        lazy = skeletonize(self._store(tmp_path, seg), slab_planes=6)
+        self._assert_same(dense, lazy)
+
+    def test_single_label_black_border(self, tmp_path):
+        """A store with one value everywhere flips kimimaro's
+        black_border switch; the lazy scan must see it globally."""
+        seg = np.ones((10, 8, 8), np.uint32)
+        dense = skeletonize(seg)
+        lazy = skeletonize(self._store(tmp_path, seg), slab_planes=3)
+        self._assert_same(dense, lazy)
+
+    def test_zipped_swcs_from_lazy(self, tmp_path):
+        seg = np.zeros((16, 12, 12), np.uint32)
+        seg[3:13, 4, 4] = 1
+        seg[5:9, 7:11, 8] = 2
+        zp_d = str(tmp_path / "dense.zip")
+        zp_l = str(tmp_path / "lazy.zip")
+        inference.segmentation_to_zipped_swcs(seg, zp_d)
+        inference.segmentation_to_zipped_swcs(
+            self._store(tmp_path, seg), zp_l
+        )
+        zd, zl = zipfile.ZipFile(zp_d), zipfile.ZipFile(zp_l)
+        assert sorted(zd.namelist()) == sorted(zl.namelist())
+        for name in zd.namelist():
+            assert zd.read(name) == zl.read(name)
