@@ -464,6 +464,7 @@ class StreamSegmenter:
         self.n_segments = None
 
     def close(self):
+        """Free the native handle (idempotent; also runs on GC/exit)."""
         if self._h:
             self._lib.exa_streamseg_free(self._h)
             self._h = None
