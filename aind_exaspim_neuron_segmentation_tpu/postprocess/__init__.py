@@ -59,3 +59,12 @@ def skeletonize(segmentation, **teasar_params):
     )
 
     return _skeletonize(segmentation, **teasar_params)
+
+
+def segment_streaming(affinities, **kwargs):
+    """Beyond-RAM lazy-zarr segmentation -- postprocess.streaming."""
+    from aind_exaspim_neuron_segmentation_tpu.postprocess.streaming import (
+        segment_streaming as _segment_streaming,
+    )
+
+    return _segment_streaming(affinities, **kwargs)
