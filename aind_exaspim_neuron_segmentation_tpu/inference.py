@@ -222,7 +222,11 @@ def predict(
     of float affinities: 4 bytes/voxel fetched instead of 12, and
     ``affinities_to_segmentation((plan, qaff))`` then skips every float
     read on the host. Uses the default watershed thresholds
-    (low=0.1, high=0.9999). Incompatible with ``out_path``.
+    (low=0.1, high=0.9999). With ``out_path=(plan_path, qaff_path)``
+    the two digests stream into Zarr stores (4 bytes/voxel of disk
+    instead of 12 for float affinities) and the returned pair is lazy
+    handles -- ``affinities_to_segmentation`` accepts it directly for
+    the beyond-RAM pipeline with no re-digest pass.
     """
     # Lazy (chunked) inputs stream slab-by-slab; in-memory arrays follow
     # the reference's dense path exactly (inference.py:79-80). Both give
@@ -269,8 +273,13 @@ def predict(
     if predigest:
         if not affinity_mode:
             raise ValueError("predigest requires affinity_mode=True")
-        if out_path is not None:
-            raise ValueError("predigest is incompatible with out_path")
+        if out_path is not None and (
+            not isinstance(out_path, (tuple, list)) or len(out_path) != 2
+        ):
+            raise ValueError(
+                "predigest streams TWO stores; pass "
+                "out_path=(plan_path, qaff_path)"
+            )
         from aind_exaspim_neuron_segmentation_tpu.ops.predigest import (
             predigest_slab,
         )
@@ -315,7 +324,15 @@ def predict(
         max_slab_rows = max((budget // per_z - patch_shape[0]) // stride_z, 1)
 
     plans = _slab_plan(z_starts, patch_shape[0], trim, dim[0], max_slab_rows)
-    if out_path is not None:
+    writer = plan_writer = qaff_writer = out = None
+    if out_path is not None and predigest:
+        from aind_exaspim_neuron_segmentation_tpu.io.zarr_lite import (
+            ZarrAppendWriter,
+        )
+
+        plan_writer = ZarrAppendWriter(out_path[0], dim, np.uint8)
+        qaff_writer = ZarrAppendWriter(out_path[1], (3,) + dim, np.uint8)
+    elif out_path is not None:
         from aind_exaspim_neuron_segmentation_tpu.io.zarr_lite import (
             ZarrAppendWriter,
         )
@@ -324,14 +341,10 @@ def predict(
             (out_channels,) + dim if affinity_mode else dim
         )
         writer = ZarrAppendWriter(out_path, out_shape, np.float32)
-        out = None
     elif predigest:
-        writer = None
-        out = None
         plan_out = np.zeros(dim, np.uint8)
         qaff_out = np.zeros((3,) + dim, np.uint8)
     else:
-        writer = None
         out = np.zeros((out_channels,) + dim, dtype=np.float32)
     pbar = None
     if verbose:
@@ -351,8 +364,12 @@ def predict(
         own_lo, own_hi, payload = entry
         if predigest:
             plan_dev, qaff_dev = payload
-            plan_out[own_lo:own_hi] = np.asarray(plan_dev)
-            qaff_out[:, own_lo:own_hi] = np.asarray(qaff_dev)
+            if plan_writer is not None:
+                plan_writer.append(np.asarray(plan_dev))
+                qaff_writer.append(np.asarray(qaff_dev))
+            else:
+                plan_out[own_lo:own_hi] = np.asarray(plan_dev)
+                qaff_out[:, own_lo:own_hi] = np.asarray(qaff_dev)
         elif writer is not None:
             block = np.asarray(payload)
             writer.append(block if affinity_mode else block[0])
@@ -431,6 +448,12 @@ def predict(
         pbar.refresh()
         pbar.close()
 
+    if plan_writer is not None:
+        from aind_exaspim_neuron_segmentation_tpu.io import read
+
+        plan_writer.close()
+        qaff_writer.close()
+        return read(out_path[0]), read(out_path[1])
     if writer is not None:
         from aind_exaspim_neuron_segmentation_tpu.io import read
 
@@ -479,6 +502,11 @@ def affinities_to_segmentation(
       pipeline. Bit-identical to the dense path
       (tests/test_streamseg.py).
 
+    The ``(plan, qaff)`` pair may itself be LAZY handles (from
+    ``predict(..., predigest=True, out_path=(p1, p2))``): pass 1 then
+    replays pure integer work straight from the plan store with no
+    device involvement at all.
+
     ``out_path`` (lazy input only): stream the labeling into a Zarr
     store there and return the opened lazy handle instead of a dense
     array -- the full zarr-in/zarr-out beyond-RAM contract.
@@ -490,7 +518,28 @@ def affinities_to_segmentation(
     """
     from aind_exaspim_neuron_segmentation_tpu import native, postprocess
 
+    def _is_lazy(x):
+        return not isinstance(x, (np.ndarray, jnp.ndarray, list)) and (
+            not hasattr(x, "__array__")
+        )
+
     predigested = isinstance(affinities, tuple) and len(affinities) == 2
+    if predigested and _is_lazy(affinities[0]):
+        # Lazy digest-store pair from predict(predigest=True,
+        # out_path=(p1, p2)): pure integer streaming, no device pass.
+        from aind_exaspim_neuron_segmentation_tpu.postprocess.streaming import (
+            segment_streaming,
+        )
+
+        return segment_streaming(
+            affinities,
+            agglomeration_thresholds=agglomeration_thresholds,
+            min_segment_size=min_segment_size,
+            aff_threshold_low=aff_threshold_low,
+            aff_threshold_high=aff_threshold_high,
+            out_path=out_path,
+            tmp_dir=tmp_dir,
+        )
     lazy = not predigested and not isinstance(
         affinities, (np.ndarray, jnp.ndarray, list)
     )

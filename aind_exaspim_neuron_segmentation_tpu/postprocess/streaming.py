@@ -50,21 +50,38 @@ def segment_streaming(
     deleted on return). ``slab_planes``: Z planes per slab (default
     sizes the device digest slab to ~512 MB of f32).
 
+    ``affinities`` may also be a ``(plan, qaff)`` PAIR of lazy handles,
+    e.g. from ``predict(..., predigest=True, out_path=(p1, p2))``: the
+    TPU already digested the volume, so pass 1 replays pure integer
+    work straight from the plan store (no device involvement, no qaff
+    temp -- the qaff store is re-read in pass 2) and the low/high
+    thresholds must be the defaults baked in at digest time.
+
     Requires ``aff_threshold_low <= aff_threshold_high`` (the pipeline
     default): the slab watershed's cross-boundary stitching relies on
     background voxels never joining fragments, which only >= low
     unions guarantee (streamseg.cpp header note).
     """
-    import jax.numpy as jnp
-
-    from aind_exaspim_neuron_segmentation_tpu.ops.predigest import (
-        predigest_slab,
-    )
-
-    if affinities.ndim != 4 or affinities.shape[0] != 3:
-        raise ValueError(
-            f"expected (3, D, H, W) handle, got {affinities.shape}"
-        )
+    digest_pair = isinstance(affinities, (tuple, list))
+    if digest_pair:
+        plan_h, qaff_h = affinities
+        if (aff_threshold_low, aff_threshold_high) != (0.1, 0.9999):
+            raise ValueError(
+                "aff thresholds are baked into the plan bytes at digest "
+                "time; re-digest for non-defaults"
+            )
+        if plan_h.ndim != 3 or qaff_h.shape != (3,) + tuple(plan_h.shape):
+            raise ValueError(
+                f"digest pair shapes {plan_h.shape} / {qaff_h.shape} "
+                "do not match"
+            )
+        d, h, w = plan_h.shape
+    else:
+        if affinities.ndim != 4 or affinities.shape[0] != 3:
+            raise ValueError(
+                f"expected (3, D, H, W) handle, got {affinities.shape}"
+            )
+        _, d, h, w = affinities.shape
     if aff_threshold_low > aff_threshold_high:
         raise ValueError(
             "streaming segmentation requires aff_threshold_low <= "
@@ -74,7 +91,6 @@ def segment_streaming(
     if not th or any(b < a for a, b in zip(th, th[1:])):
         raise ValueError("thresholds must be non-empty and ascending")
 
-    _, d, h, w = affinities.shape
     if slab_planes is None:
         budget = 512 * 1024**2
         slab_planes = max(int(budget // (3 * h * w * 4)), 1)
@@ -84,36 +100,58 @@ def segment_streaming(
         frag_mm = np.memmap(
             os.path.join(work, "frag.u32"), np.uint32, "w+", shape=(d, h, w)
         )
-        # Plane-major qaff so slab slices stay contiguous for rag_feed.
-        qaff_mm = np.memmap(
-            os.path.join(work, "qaff.u8"), np.uint8, "w+",
-            shape=(d, 3, h, w),
-        )
         seg = native.StreamSegmenter((d, h, w))
 
-        # Pass 1: digest on device, watershed + stitch on host.
-        prev = None
-        for lo in range(0, d, slab_planes):
-            hi = min(lo + slab_planes, d)
-            block = jnp.asarray(
-                np.asarray(affinities[:, lo:hi], dtype=np.float32)
+        if digest_pair:
+            # Pass 1: pure integer replay from the plan store.
+            qaff_mm = None
+            for lo in range(0, d, slab_planes):
+                hi = min(lo + slab_planes, d)
+                frag_mm[lo:hi] = seg.feed(
+                    np.asarray(plan_h[lo:hi], dtype=np.uint8)
+                )
+        else:
+            import jax.numpy as jnp
+
+            from aind_exaspim_neuron_segmentation_tpu.ops.predigest import (
+                predigest_slab,
             )
-            plan, qaff = predigest_slab(
-                block, prev, first_slab=(lo == 0), last_slab=(hi == d),
-                low=aff_threshold_low, high=aff_threshold_high,
+
+            # Plane-major qaff so slab slices stay contiguous for
+            # rag_feed.
+            qaff_mm = np.memmap(
+                os.path.join(work, "qaff.u8"), np.uint8, "w+",
+                shape=(d, 3, h, w),
             )
-            prev = block[0, -1]
-            frag_mm[lo:hi] = seg.feed(np.asarray(plan))
-            qaff_mm[lo:hi] = np.moveaxis(np.asarray(qaff), 0, 1)
-        del prev, block, plan, qaff
+            # Pass 1: digest on device, watershed + stitch on host.
+            prev = None
+            for lo in range(0, d, slab_planes):
+                hi = min(lo + slab_planes, d)
+                block = jnp.asarray(
+                    np.asarray(affinities[:, lo:hi], dtype=np.float32)
+                )
+                plan, qaff = predigest_slab(
+                    block, prev, first_slab=(lo == 0), last_slab=(hi == d),
+                    low=aff_threshold_low, high=aff_threshold_high,
+                )
+                prev = block[0, -1]
+                frag_mm[lo:hi] = seg.feed(np.asarray(plan))
+                qaff_mm[lo:hi] = np.moveaxis(np.asarray(qaff), 0, 1)
+            del prev, block, plan, qaff
+            qaff_mm.flush()
         frag_mm.flush()
-        qaff_mm.flush()
         seg.fragments_done()
 
         # Pass 2: streamed RAG build, then merge + lut composition.
         for lo in range(0, d, slab_planes):
             hi = min(lo + slab_planes, d)
-            seg.rag_feed(frag_mm[lo:hi], qaff_mm[lo:hi])
+            if qaff_mm is not None:
+                q_slab = qaff_mm[lo:hi]
+            else:
+                q_slab = np.moveaxis(
+                    np.asarray(qaff_h[:, lo:hi], dtype=np.uint8), 0, 1
+                )
+            seg.rag_feed(frag_mm[lo:hi], q_slab)
         seg.merge(
             th, quantile_pct=quantile_pct,
             min_segment_size=min_segment_size,

@@ -173,3 +173,72 @@ class TestStreamSegmenterAPI:
     def test_bad_shape_rejected(self):
         with pytest.raises(ValueError):
             native.StreamSegmenter((0, 4, 4))
+
+
+class TestDigestStores:
+    """predict(predigest=True, out_path=(p1, p2)) digest-store pipeline."""
+
+    def test_segmentation_from_lazy_digest_pair(self, tmp_path):
+        """Lazy (plan, qaff) stores -> bit-identical segmentation,
+        with no device pass in the postprocess."""
+        from aind_exaspim_neuron_segmentation_tpu.ops.predigest import (
+            predigest,
+        )
+
+        aff = _blobby_affs(shape=(26, 18, 18), r=4, seed=31, step=10)
+        plan, qaff = predigest(aff)
+        pp = str(tmp_path / "plan.zarr")
+        qp = str(tmp_path / "qaff.zarr")
+        write_zarr(pp, plan, chunks=(6, 18, 18))
+        write_zarr(qp, qaff, chunks=(3, 6, 18, 18))
+        want = inference.affinities_to_segmentation(aff)
+        got = inference.affinities_to_segmentation((read(pp), read(qp)))
+        np.testing.assert_array_equal(want, got)
+
+    def test_lazy_pair_rejects_nondefault_thresholds(self, tmp_path):
+        from aind_exaspim_neuron_segmentation_tpu.ops.predigest import (
+            predigest,
+        )
+
+        aff = _noisy_affs(shape=(8, 8, 8))
+        plan, qaff = predigest(aff)
+        pp, qp = str(tmp_path / "p.zarr"), str(tmp_path / "q.zarr")
+        write_zarr(pp, plan)
+        write_zarr(qp, qaff)
+        with pytest.raises(ValueError, match="baked"):
+            inference.affinities_to_segmentation(
+                (read(pp), read(qp)), aff_threshold_low=0.3,
+            )
+
+    def test_predict_digest_stores_match_in_ram(self, tmp_path):
+        """predict with out_path pair streams the same bytes the in-RAM
+        predigest path returns."""
+        runner = inference.load_model(
+            affinity_mode=True, width_multiplier=0.25
+        )
+        rng = np.random.default_rng(0)
+        vol = rng.uniform(0, 1000, (48, 40, 40)).astype(np.float32)
+        kw = dict(
+            patch_shape=(32, 32, 32), overlap=(16, 16, 16), trim=4,
+            batch_size=2, verbose=False, predigest=True,
+        )
+        plan_ram, qaff_ram = inference.predict(vol, runner, **kw)
+        pp = str(tmp_path / "plan.zarr")
+        qp = str(tmp_path / "qaff.zarr")
+        plan_h, qaff_h = inference.predict(
+            vol, runner, out_path=(pp, qp), **kw
+        )
+        np.testing.assert_array_equal(plan_ram, np.asarray(plan_h[:]))
+        np.testing.assert_array_equal(qaff_ram, np.asarray(qaff_h[:]))
+
+    def test_predict_predigest_bad_out_path(self):
+        runner = inference.load_model(
+            affinity_mode=True, width_multiplier=0.25
+        )
+        with pytest.raises(ValueError, match="TWO stores"):
+            inference.predict(
+                np.zeros((40, 40, 40), np.float32), runner,
+                patch_shape=(32, 32, 32), overlap=(16, 16, 16),
+                predigest=True, out_path="single_path.zarr",
+                verbose=False,
+            )
