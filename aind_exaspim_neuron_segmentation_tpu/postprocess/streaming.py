@@ -19,6 +19,8 @@ bit-identical to the dense path (reference inference.py:196-237 +
 utils/img_util.py:536-559 semantics; pinned by tests/test_streamseg.py).
 """
 
+import ctypes
+import mmap as _mmap
 import os
 import shutil
 import tempfile
@@ -26,6 +28,32 @@ import tempfile
 import numpy as np
 
 from aind_exaspim_neuron_segmentation_tpu import native
+
+_libc = ctypes.CDLL(None, use_errno=True)
+_MS_SYNC = 4
+_MADV_DONTNEED = 4
+
+
+def _drop_pages(arr):
+    """Flush + evict a memmap-backed slab from resident memory.
+
+    Dirty file-backed pages count toward RSS until the kernel writes
+    them back, so a streaming pass that writes a whole volume of temp
+    memmap would LOOK like it held the volume in RAM. msync(MS_SYNC)
+    persists the slab, madvise(MADV_DONTNEED) drops the now-clean
+    pages; later passes refault them from disk on demand. Best-effort:
+    errors are ignored (the data is correct either way -- this only
+    tightens the resident-set accounting/footprint).
+    """
+    addr = arr.ctypes.data
+    length = arr.nbytes
+    page = _mmap.PAGESIZE
+    start = addr - (addr % page)
+    length += addr - start
+    _libc.msync(ctypes.c_void_p(start), ctypes.c_size_t(length), _MS_SYNC)
+    _libc.madvise(
+        ctypes.c_void_p(start), ctypes.c_size_t(length), _MADV_DONTNEED
+    )
 
 
 def segment_streaming(
@@ -110,6 +138,7 @@ def segment_streaming(
                 frag_mm[lo:hi] = seg.feed(
                     np.asarray(plan_h[lo:hi], dtype=np.uint8)
                 )
+                _drop_pages(frag_mm[lo:hi])
         else:
             import jax.numpy as jnp
 
@@ -137,9 +166,9 @@ def segment_streaming(
                 prev = block[0, -1]
                 frag_mm[lo:hi] = seg.feed(np.asarray(plan))
                 qaff_mm[lo:hi] = np.moveaxis(np.asarray(qaff), 0, 1)
+                _drop_pages(frag_mm[lo:hi])
+                _drop_pages(qaff_mm[lo:hi])
             del prev, block, plan, qaff
-            qaff_mm.flush()
-        frag_mm.flush()
         seg.fragments_done()
 
         # Pass 2: streamed RAG build, then merge + lut composition.
@@ -152,6 +181,9 @@ def segment_streaming(
                     np.asarray(qaff_h[:, lo:hi], dtype=np.uint8), 0, 1
                 )
             seg.rag_feed(frag_mm[lo:hi], q_slab)
+            _drop_pages(frag_mm[lo:hi])
+            if qaff_mm is not None:
+                _drop_pages(qaff_mm[lo:hi])
         seg.merge(
             th, quantile_pct=quantile_pct,
             min_segment_size=min_segment_size,
@@ -167,6 +199,7 @@ def segment_streaming(
             for lo in range(0, d, slab_planes):
                 hi = min(lo + slab_planes, d)
                 writer.append(seg.map(frag_mm[lo:hi]))
+                _drop_pages(frag_mm[lo:hi])
             writer.close()
             seg.close()
             return open_zarr(out_path)
