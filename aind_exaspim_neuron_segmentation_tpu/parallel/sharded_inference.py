@@ -182,11 +182,15 @@ def predict_sharded(
     ``inference.affinities_to_segmentation`` -- 4 bytes/voxel cross
     the PCIe/DCN boundary instead of 12, and the host watershed
     replays pure integer work. Requires ``affinity_mode`` and a
-    single band, and excludes ``out_path`` (for beyond-HBM volumes
-    stream f32 to ``out_path`` and feed the lazy handle to
-    ``affinities_to_segmentation``, which digests slab-wise).
-    Digesting the assembled float output of the same sharded run
-    gives bit-identical bytes.
+    single band (for beyond-HBM volumes stream f32 to a single
+    ``out_path`` and feed the lazy handle to
+    ``affinities_to_segmentation``, which digests slab-wise). With
+    ``out_path=(plan_path, qaff_path)`` the digests stream into two
+    u8 Zarr stores (process-disjoint rows on multi-process meshes)
+    and the returned pair is lazy handles that
+    ``affinities_to_segmentation`` consumes directly. Digesting the
+    assembled float output of the same sharded run gives bit-identical
+    bytes.
     """
     import contextlib
 
@@ -214,11 +218,14 @@ def predict_sharded(
     if predigest:
         if not affinity_mode:
             raise ValueError("predigest=True requires affinity_mode=True")
-        if out_path is not None:
+        if out_path is not None and (
+            not isinstance(out_path, (tuple, list)) or len(out_path) != 2
+        ):
             raise ValueError(
-                "predigest=True excludes out_path: the digest replaces "
-                "the float volume (write f32 with out_path and feed the "
-                "lazy handle to affinities_to_segmentation instead)"
+                "predigest streams TWO stores; pass "
+                "out_path=(plan_path, qaff_path) -- or stream f32 with a "
+                "single out_path and digest the lazy handle via "
+                "affinities_to_segmentation"
             )
     mesh = mesh or make_mesh()
     axes = mesh.axis_names
@@ -627,11 +634,33 @@ def predict_sharded(
                 )
     writer = None
     plane_writer = None
+    digest_writers = None
     out = None
     asm_channels = 4 if predigest else out_channels
     asm_dtype = np.uint8 if predigest else np.float32
     out_shape = (out_channels,) + tuple(dim) if affinity_mode else dim
-    if out_path is not None and multiproc:
+    if out_path is not None and predigest:
+        # Two u8 stores (plan, qaff); same row streaming as the float
+        # writers -- ZarrPlaneWriter rows are process-disjoint on
+        # multi-process meshes, ZarrAppendWriter otherwise.
+        from aind_exaspim_neuron_segmentation_tpu.io.zarr_lite import (
+            ZarrAppendWriter, ZarrPlaneWriter,
+        )
+
+        cls = ZarrPlaneWriter if multiproc else ZarrAppendWriter
+        digest_writers = (
+            cls(out_path[0], tuple(dim), np.uint8),
+            cls(out_path[1], (3,) + tuple(dim), np.uint8),
+        )
+
+        def emit(z_lo, z_hi, block):
+            if multiproc:
+                digest_writers[0].write_planes(z_lo, block[0])
+                digest_writers[1].write_planes(z_lo, block[1:])
+            else:
+                digest_writers[0].append(block[0])
+                digest_writers[1].append(block[1:])
+    elif out_path is not None and multiproc:
         # Each process writes ONLY its own Z rows: one-plane-deep output
         # chunks make disjoint z-ranges touch disjoint chunk keys, so no
         # cross-process coordination is needed; unwritten chunks read as
@@ -767,16 +796,26 @@ def predict_sharded(
                 if last_b:
                     break
 
-    if writer is not None and next_z < dim[0]:
-        # trailing never-covered trim planes (the append writer must
+    if (
+        (writer is not None or (digest_writers and not multiproc))
+        and next_z < dim[0]
+    ):
+        # trailing never-covered trim planes (the append writers must
         # cover the full declared extent; the plane writer reads them
         # as fill; dense output is already zero there)
         emit(
             next_z, dim[0],
-            np.zeros((out_channels, dim[0] - next_z, dim[1], dim[2]),
-                     np.float32),
+            np.zeros((asm_channels, dim[0] - next_z, dim[1], dim[2]),
+                     asm_dtype),
         )
 
+    if digest_writers is not None:
+        from aind_exaspim_neuron_segmentation_tpu.io import read
+
+        if not multiproc:  # append writers verify+flush; plane writers
+            for dw in digest_writers:  # need no close (chunked puts)
+                dw.close()
+        return read(out_path[0]), read(out_path[1])
     if writer is not None or plane_writer is not None:
         from aind_exaspim_neuron_segmentation_tpu.io import read
 

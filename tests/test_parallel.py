@@ -361,6 +361,27 @@ class TestShardedPredigest:
         seg_p = inference.affinities_to_segmentation((plan, qaff))
         np.testing.assert_array_equal(seg_f, seg_p)
 
+    def test_digest_stores_match_in_ram(self, runner, volume, tmp_path):
+        """out_path=(plan, qaff) streams the same bytes into Zarr and
+        the lazy pair feeds affinities_to_segmentation directly."""
+        mesh = parallel.make_mesh(4)
+        want_plan, want_q = parallel.predict_sharded(
+            volume, runner, mesh=mesh, predigest=True, **self.KW
+        )
+        pp = str(tmp_path / "plan.zarr")
+        qp = str(tmp_path / "qaff.zarr")
+        plan_h, qaff_h = parallel.predict_sharded(
+            volume, runner, mesh=mesh, predigest=True,
+            out_path=(pp, qp), **self.KW
+        )
+        np.testing.assert_array_equal(want_plan, np.asarray(plan_h[:]))
+        np.testing.assert_array_equal(want_q, np.asarray(qaff_h[:]))
+        seg_ram = inference.affinities_to_segmentation(
+            (want_plan, want_q)
+        )
+        seg_lazy = inference.affinities_to_segmentation((plan_h, qaff_h))
+        np.testing.assert_array_equal(seg_ram, seg_lazy)
+
     def test_rejected_combinations(self, runner, volume):
         mesh = parallel.make_mesh(2)
         with pytest.raises(ValueError, match="affinity_mode"):
