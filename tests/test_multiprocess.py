@@ -97,6 +97,87 @@ def test_two_process_sharded_predict(tmp_path):
     np.testing.assert_allclose(got, want, atol=1e-6)
 
 
+_DIGEST_WORKER = """
+import os, sys
+pid = int(sys.argv[1])
+port = sys.argv[2]
+in_path, out_prefix = sys.argv[3], sys.argv[4]
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address=f"localhost:{port}", num_processes=2,
+    process_id=pid, local_device_ids=list(range(4)),
+)
+from aind_exaspim_neuron_segmentation_tpu import inference, parallel
+from aind_exaspim_neuron_segmentation_tpu.io import zarr_lite
+
+runner = inference.load_model(
+    affinity_mode=True, width_multiplier=0.25, dtype="float32"
+)
+lazy = zarr_lite.open_zarr(in_path)
+parallel.predict_sharded(
+    lazy, runner, mesh=parallel.make_mesh(8), predigest=True,
+    patch_shape=(16, 16, 16), overlap=(8, 8, 4), trim=2, batch_size=4,
+    out_path=(out_prefix + ".plan.zarr", out_prefix + ".qaff.zarr"),
+)
+print(f"[p{pid}] done", flush=True)
+"""
+
+
+def test_two_process_digest_stores(tmp_path):
+    """Two real processes stream the on-device digests into shared
+    (plan, qaff) Zarr stores via process-disjoint plane writes; the
+    joint stores match a single-process sharded digest of the same
+    volume on the same 8-device mesh bit-for-bit."""
+    rng = np.random.default_rng(23)
+    vol = rng.integers(0, 1500, (48, 44, 20)).astype(np.uint16)
+    in_path = str(tmp_path / "in.zarr")
+    zarr_lite.write_zarr(in_path, vol, chunks=(16, 16, 20))
+    out_prefix = str(tmp_path / "digest")
+    worker = tmp_path / "worker.py"
+    worker.write_text(_DIGEST_WORKER)
+
+    port = str(_free_port())
+    env = dict(os.environ)
+    env["PYTHONPATH"] = (
+        "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+    )
+    env.pop("JAX_PLATFORMS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(pid), port, in_path,
+             out_prefix],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for pid in (0, 1)
+    ]
+    outputs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        outputs.append(out)
+    for p, out in zip(procs, outputs):
+        assert p.returncode == 0, out[-3000:]
+
+    from aind_exaspim_neuron_segmentation_tpu import parallel
+
+    runner = inference.load_model(
+        affinity_mode=True, width_multiplier=0.25, dtype=np.float32
+    )
+    want_plan, want_q = parallel.predict_sharded(
+        vol, runner, mesh=parallel.make_mesh(8), predigest=True,
+        patch_shape=(16, 16, 16), overlap=(8, 8, 4), trim=2,
+        batch_size=4,
+    )
+    got_plan = np.asarray(
+        zarr_lite.open_zarr(out_prefix + ".plan.zarr")[:]
+    )
+    got_q = np.asarray(zarr_lite.open_zarr(out_prefix + ".qaff.zarr")[:])
+    np.testing.assert_array_equal(want_plan, got_plan)
+    np.testing.assert_array_equal(want_q, got_q)
+
+
 _YSPLIT_WORKER = """
 import os, sys
 pid = int(sys.argv[1])
