@@ -30,27 +30,29 @@ import numpy as np
 from aind_exaspim_neuron_segmentation_tpu import native
 
 _libc = ctypes.CDLL(None, use_errno=True)
-_MS_SYNC = 4
+_MS_ASYNC = 1
 _MADV_DONTNEED = 4
 
 
 def _drop_pages(arr):
-    """Flush + evict a memmap-backed slab from resident memory.
+    """Schedule writeback + evict a memmap slab from resident memory.
 
     Dirty file-backed pages count toward RSS until the kernel writes
     them back, so a streaming pass that writes a whole volume of temp
-    memmap would LOOK like it held the volume in RAM. msync(MS_SYNC)
-    persists the slab, madvise(MADV_DONTNEED) drops the now-clean
-    pages; later passes refault them from disk on demand. Best-effort:
-    errors are ignored (the data is correct either way -- this only
-    tightens the resident-set accounting/footprint).
+    memmap would LOOK like it held the volume in RAM. msync(MS_ASYNC)
+    schedules the slab's writeback without blocking the compute path;
+    madvise(MADV_DONTNEED) then evicts the range (for MAP_SHARED file
+    mappings the kernel preserves not-yet-written dirty data --
+    verified empirically; later passes refault from disk on demand).
+    Best-effort: errors are ignored (the data is correct either way --
+    this only tightens the resident-set footprint).
     """
     addr = arr.ctypes.data
     length = arr.nbytes
     page = _mmap.PAGESIZE
     start = addr - (addr % page)
     length += addr - start
-    _libc.msync(ctypes.c_void_p(start), ctypes.c_size_t(length), _MS_SYNC)
+    _libc.msync(ctypes.c_void_p(start), ctypes.c_size_t(length), _MS_ASYNC)
     _libc.madvise(
         ctypes.c_void_p(start), ctypes.c_size_t(length), _MADV_DONTNEED
     )
@@ -66,6 +68,7 @@ def segment_streaming(
     out_path=None,
     tmp_dir=None,
     slab_planes=None,
+    verbose=False,
 ):
     """Lazy (3, D, H, W) affinity handle -> final-threshold segmentation.
 
@@ -76,7 +79,8 @@ def segment_streaming(
 
     ``tmp_dir``: directory for the two temp memmaps (~7 bytes/voxel,
     deleted on return). ``slab_planes``: Z planes per slab (default
-    sizes the device digest slab to ~512 MB of f32).
+    sizes the device digest slab to ~512 MB of f32). ``verbose``:
+    stderr stamps at each phase boundary.
 
     ``affinities`` may also be a ``(plan, qaff)`` PAIR of lazy handles,
     e.g. from ``predict(..., predigest=True, out_path=(p1, p2))``: the
@@ -122,6 +126,16 @@ def segment_streaming(
     if slab_planes is None:
         budget = 512 * 1024**2
         slab_planes = max(int(budget // (3 * h * w * 4)), 1)
+
+    import sys
+    import time
+
+    t0 = time.time()
+
+    def stamp(msg):
+        if verbose:
+            print(f"[segment_streaming {time.time() - t0:7.0f}s] {msg}",
+                  file=sys.stderr, flush=True)
 
     work = tempfile.mkdtemp(prefix="exa_streamseg_", dir=tmp_dir)
     try:
@@ -169,7 +183,9 @@ def segment_streaming(
                 _drop_pages(frag_mm[lo:hi])
                 _drop_pages(qaff_mm[lo:hi])
             del prev, block, plan, qaff
+        stamp("pass 1 (digest + watershed + stitch) done")
         seg.fragments_done()
+        stamp(f"fragments stitched: K={seg.n_fragments}")
 
         # Pass 2: streamed RAG build, then merge + lut composition.
         for lo in range(0, d, slab_planes):
@@ -184,10 +200,12 @@ def segment_streaming(
             _drop_pages(frag_mm[lo:hi])
             if qaff_mm is not None:
                 _drop_pages(qaff_mm[lo:hi])
+        stamp("pass 2 (RAG build) done")
         seg.merge(
             th, quantile_pct=quantile_pct,
             min_segment_size=min_segment_size,
         )
+        stamp(f"merge done: n_segments={seg.n_segments}")
 
         # Pass 3: relabel.
         if out_path is not None:
