@@ -475,6 +475,7 @@ def affinities_to_segmentation(
     aff_threshold_high=0.9999,
     out_path=None,
     tmp_dir=None,
+    verbose=False,
 ):
     """Affinity map -> instance segmentation.
 
@@ -539,6 +540,7 @@ def affinities_to_segmentation(
             aff_threshold_high=aff_threshold_high,
             out_path=out_path,
             tmp_dir=tmp_dir,
+            verbose=verbose,
         )
     lazy = not predigested and not isinstance(
         affinities, (np.ndarray, jnp.ndarray, list)
@@ -556,6 +558,7 @@ def affinities_to_segmentation(
             aff_threshold_high=aff_threshold_high,
             out_path=out_path,
             tmp_dir=tmp_dir,
+            verbose=verbose,
         )
     if out_path is not None:
         raise ValueError(
