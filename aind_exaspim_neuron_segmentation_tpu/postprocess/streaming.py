@@ -5,8 +5,8 @@ through three Z-slab passes (native ``streamseg.cpp`` via
 :class:`..native.StreamSegmenter`):
 
 1. device pre-digest (:func:`..ops.predigest.predigest_slab`) + slab
-   watershed; provisional fragment labels and u8 affinities park in
-   temp memmaps (7 bytes/voxel of DISK, not RAM);
+   watershed; provisional fragment labels and u8 affinities spool to
+   sequential temp files (7 bytes/voxel of DISK, not RAM);
 2. streamed RAG build + the shared merge loop + threshold/min-size
    lut composition;
 3. relabel slabs through the lut into a dense array or a Zarr store.
@@ -19,8 +19,6 @@ bit-identical to the dense path (reference inference.py:196-237 +
 utils/img_util.py:536-559 semantics; pinned by tests/test_streamseg.py).
 """
 
-import ctypes
-import mmap as _mmap
 import os
 import shutil
 import tempfile
@@ -29,33 +27,40 @@ import numpy as np
 
 from aind_exaspim_neuron_segmentation_tpu import native
 
-_libc = ctypes.CDLL(None, use_errno=True)
-_MS_ASYNC = 1
-_MADV_DONTNEED = 4
 
+class _SlabFile:
+    """Sequential slab spool: plain buffered file I/O, not mmap.
 
-def _drop_pages(arr):
-    """Schedule writeback + evict a memmap slab from resident memory.
-
-    Dirty file-backed pages count toward RSS until the kernel writes
-    them back, so a streaming pass that writes a whole volume of temp
-    memmap would LOOK like it held the volume in RAM. msync(MS_ASYNC)
-    schedules the slab's writeback without blocking the compute path;
-    madvise(MADV_DONTNEED) then evicts the range (for MAP_SHARED file
-    mappings the kernel preserves not-yet-written dirty data --
-    verified empirically; later passes refault from disk on demand).
-    Best-effort: errors are ignored (the data is correct either way --
-    this only tightens the resident-set footprint).
+    The temp volumes are written once and re-read sequentially, so a
+    memory MAPPING buys nothing and costs twice: per-page minor faults
+    on every touch, and -- decisive for the beyond-RAM contract --
+    dirty mmap pages count toward the process RSS until writeback, so
+    a streaming pass LOOKS like it held the whole volume in RAM
+    (peak-RSS timelines confirmed growth to ~the kernel dirty-threshold
+    ceiling). write()/read() move the data through the kernel page
+    cache instead, which is reclaimable and never attributed to this
+    process.
     """
-    addr = arr.ctypes.data
-    length = arr.nbytes
-    page = _mmap.PAGESIZE
-    start = addr - (addr % page)
-    length += addr - start
-    _libc.msync(ctypes.c_void_p(start), ctypes.c_size_t(length), _MS_ASYNC)
-    _libc.madvise(
-        ctypes.c_void_p(start), ctypes.c_size_t(length), _MADV_DONTNEED
-    )
+
+    def __init__(self, path):
+        self._f = open(path, "wb+", buffering=0)
+        self._offsets = []  # byte offset of each slab, append order
+
+    def write_slab(self, arr):
+        """Append one contiguous slab (any shape/dtype, recorded)."""
+        self._offsets.append(self._f.tell())
+        self._f.write(memoryview(np.ascontiguousarray(arr)))
+
+    def read_slab(self, i, shape, dtype):
+        """Read back slab ``i`` as ``shape``/``dtype`` (writable copy)."""
+        self._f.seek(self._offsets[i])
+        n = int(np.prod(shape)) * np.dtype(dtype).itemsize
+        buf = bytearray(self._f.read(n))
+        return np.frombuffer(buf, dtype).reshape(shape)
+
+    def close(self):
+        """Close the spool file handle."""
+        self._f.close()
 
 
 def segment_streaming(
@@ -77,7 +82,7 @@ def segment_streaming(
     otherwise a dense uint32 array is returned (RAM permitting --
     4 bytes/voxel for the result only).
 
-    ``tmp_dir``: directory for the two temp memmaps (~7 bytes/voxel,
+    ``tmp_dir``: directory for the two temp spool files (~7 bytes/voxel,
     deleted on return). ``slab_planes``: Z planes per slab (default
     sizes the device digest slab to ~512 MB of f32). ``verbose``:
     stderr stamps at each phase boundary.
@@ -86,7 +91,7 @@ def segment_streaming(
     e.g. from ``predict(..., predigest=True, out_path=(p1, p2))``: the
     TPU already digested the volume, so pass 1 replays pure integer
     work straight from the plan store (no device involvement, no qaff
-    temp -- the qaff store is re-read in pass 2) and the low/high
+    spool -- the qaff store is re-read in pass 2) and the low/high
     thresholds must be the defaults baked in at digest time.
 
     Requires ``aff_threshold_low <= aff_threshold_high`` (the pipeline
@@ -126,6 +131,9 @@ def segment_streaming(
     if slab_planes is None:
         budget = 512 * 1024**2
         slab_planes = max(int(budget // (3 * h * w * 4)), 1)
+    bounds = [
+        (lo, min(lo + slab_planes, d)) for lo in range(0, d, slab_planes)
+    ]
 
     import sys
     import time
@@ -139,20 +147,16 @@ def segment_streaming(
 
     work = tempfile.mkdtemp(prefix="exa_streamseg_", dir=tmp_dir)
     try:
-        frag_mm = np.memmap(
-            os.path.join(work, "frag.u32"), np.uint32, "w+", shape=(d, h, w)
-        )
+        frag_sp = _SlabFile(os.path.join(work, "frag.u32"))
+        qaff_sp = None
         seg = native.StreamSegmenter((d, h, w))
 
         if digest_pair:
             # Pass 1: pure integer replay from the plan store.
-            qaff_mm = None
-            for lo in range(0, d, slab_planes):
-                hi = min(lo + slab_planes, d)
-                frag_mm[lo:hi] = seg.feed(
-                    np.asarray(plan_h[lo:hi], dtype=np.uint8)
+            for lo, hi in bounds:
+                frag_sp.write_slab(
+                    seg.feed(np.asarray(plan_h[lo:hi], dtype=np.uint8))
                 )
-                _drop_pages(frag_mm[lo:hi])
         else:
             import jax.numpy as jnp
 
@@ -160,16 +164,12 @@ def segment_streaming(
                 predigest_slab,
             )
 
-            # Plane-major qaff so slab slices stay contiguous for
-            # rag_feed.
-            qaff_mm = np.memmap(
-                os.path.join(work, "qaff.u8"), np.uint8, "w+",
-                shape=(d, 3, h, w),
-            )
+            # Plane-major qaff spool so pass-2 slabs come back in
+            # rag_feed's (nz, 3, H, W) layout.
+            qaff_sp = _SlabFile(os.path.join(work, "qaff.u8"))
             # Pass 1: digest on device, watershed + stitch on host.
             prev = None
-            for lo in range(0, d, slab_planes):
-                hi = min(lo + slab_planes, d)
+            for lo, hi in bounds:
                 block = jnp.asarray(
                     np.asarray(affinities[:, lo:hi], dtype=np.float32)
                 )
@@ -178,34 +178,33 @@ def segment_streaming(
                     low=aff_threshold_low, high=aff_threshold_high,
                 )
                 prev = block[0, -1]
-                frag_mm[lo:hi] = seg.feed(np.asarray(plan))
-                qaff_mm[lo:hi] = np.moveaxis(np.asarray(qaff), 0, 1)
-                _drop_pages(frag_mm[lo:hi])
-                _drop_pages(qaff_mm[lo:hi])
+                frag_sp.write_slab(seg.feed(np.asarray(plan)))
+                qaff_sp.write_slab(np.moveaxis(np.asarray(qaff), 0, 1))
             del prev, block, plan, qaff
         stamp("pass 1 (digest + watershed + stitch) done")
         seg.fragments_done()
         stamp(f"fragments stitched: K={seg.n_fragments}")
 
         # Pass 2: streamed RAG build, then merge + lut composition.
-        for lo in range(0, d, slab_planes):
-            hi = min(lo + slab_planes, d)
-            if qaff_mm is not None:
-                q_slab = qaff_mm[lo:hi]
+        for i, (lo, hi) in enumerate(bounds):
+            nz = hi - lo
+            if qaff_sp is not None:
+                q_slab = qaff_sp.read_slab(i, (nz, 3, h, w), np.uint8)
             else:
                 q_slab = np.moveaxis(
                     np.asarray(qaff_h[:, lo:hi], dtype=np.uint8), 0, 1
                 )
-            seg.rag_feed(frag_mm[lo:hi], q_slab)
-            _drop_pages(frag_mm[lo:hi])
-            if qaff_mm is not None:
-                _drop_pages(qaff_mm[lo:hi])
+            seg.rag_feed(
+                frag_sp.read_slab(i, (nz, h, w), np.uint32), q_slab
+            )
         stamp("pass 2 (RAG build) done")
         seg.merge(
             th, quantile_pct=quantile_pct,
             min_segment_size=min_segment_size,
         )
         stamp(f"merge done: n_segments={seg.n_segments}")
+        if qaff_sp is not None:
+            qaff_sp.close()
 
         # Pass 3: relabel.
         if out_path is not None:
@@ -214,18 +213,22 @@ def segment_streaming(
             )
 
             writer = ZarrAppendWriter(out_path, (d, h, w), np.uint32)
-            for lo in range(0, d, slab_planes):
-                hi = min(lo + slab_planes, d)
-                writer.append(seg.map(frag_mm[lo:hi]))
-                _drop_pages(frag_mm[lo:hi])
+            for i, (lo, hi) in enumerate(bounds):
+                writer.append(
+                    seg.map(frag_sp.read_slab(i, (hi - lo, h, w),
+                                              np.uint32))
+                )
             writer.close()
             seg.close()
+            frag_sp.close()
             return open_zarr(out_path)
         out = np.empty((d, h, w), np.uint32)
-        for lo in range(0, d, slab_planes):
-            hi = min(lo + slab_planes, d)
-            out[lo:hi] = seg.map(frag_mm[lo:hi])
+        for i, (lo, hi) in enumerate(bounds):
+            out[lo:hi] = seg.map(
+                frag_sp.read_slab(i, (hi - lo, h, w), np.uint32)
+            )
         seg.close()
+        frag_sp.close()
         return out
     finally:
         shutil.rmtree(work, ignore_errors=True)
