@@ -24,6 +24,7 @@ patch-sampling datasets index (reference data_handling.py:134-153).
 """
 
 import gzip as _gzip
+import itertools
 import json
 import math
 import zlib
@@ -176,22 +177,23 @@ class LazyArray:
             for s, c in zip(slices, self.chunks)
         ]
 
-        def walk(axis, idx):
-            if axis == self.ndim:
-                chunk = self._chunk(tuple(idx))
+        # Iterative chunk walk (same nested-loop visit order a recursive
+        # helper would produce). Deliberately NOT a recursive closure: a
+        # function that closes over itself is a reference cycle, and it
+        # would drag `out` (a whole decoded block) along until the
+        # cyclic GC happens to run -- measured as ~one retained block
+        # PER READ on streaming workloads, defeating the beyond-RAM
+        # paths built on this reader.
+        if all(len(r) for r in ranges):
+            for idx in itertools.product(*ranges):
+                chunk = self._chunk(idx)
                 src, dst = [], []
-                for a, (ci, s, c) in enumerate(zip(idx, slices, self.chunks)):
+                for ci, s, c in zip(idx, slices, self.chunks):
                     lo = max(s.start, ci * c)
                     hi = min(s.stop, (ci + 1) * c)
                     src.append(slice(lo - ci * c, hi - ci * c))
                     dst.append(slice(lo - s.start, hi - s.start))
                 out[tuple(dst)] = chunk[tuple(src)]
-                return
-            for ci in ranges[axis]:
-                walk(axis + 1, idx + [ci])
-
-        if all(len(r) for r in ranges):
-            walk(0, [])
         out = out[tuple(post)]
         if squeeze:
             out = out.reshape(
