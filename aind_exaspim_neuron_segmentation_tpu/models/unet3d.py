@@ -94,6 +94,7 @@ class DoubleConv(nn.Module):
     mid_channels: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
     fused_bn: bool = False
+    padding: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -101,14 +102,14 @@ class DoubleConv(nn.Module):
             raise ValueError("fused_bn is an inference-only fast path")
         mid = self.mid_channels or self.out_channels
         x = nn.Conv(
-            mid, kernel_size=(3, 3, 3), padding=1, dtype=self.dtype,
-            name="conv1",
+            mid, kernel_size=(3, 3, 3), padding=self.padding,
+            dtype=self.dtype, name="conv1",
         )(x)
         if not self.fused_bn:
             x = BatchNorm3d(name="bn1")(x, train=train)
         x = nn.leaky_relu(x, negative_slope=0.01)
         x = nn.Conv(
-            self.out_channels, kernel_size=(3, 3, 3), padding=1,
+            self.out_channels, kernel_size=(3, 3, 3), padding=self.padding,
             dtype=self.dtype, name="conv2",
         )(x)
         if not self.fused_bn:
@@ -137,6 +138,19 @@ class Up(nn.Module):
 
     Reference: machine_learning/unet3d.py:215-289, including the
     D/H-to-H/W pad quirk documented at module level.
+
+    ``valid_trim=t`` (call arg, t > 0) returns only the central
+    ``dim - 2t`` region of the full output along each spatial axis --
+    the part callers keep after a ``t``-voxel border trim
+    (reference inference.py:161-162). When the geometry allows
+    (trilinear, exact x2 skip match, ``t >= 2``) the block computes
+    ONLY that region: the two 3^3 convs run unpadded (VALID) on the
+    ``dim-2t+4 -> dim-2t+2 -> dim-2t`` cascade, whose interior conv
+    windows see operands identical to the padded full-size forward, so
+    every returned value matches the sliced full output. This removes
+    ~1/3 of the FLOPs and HBM bytes of the dominant full-resolution
+    stage for the default 96^3/trim=8 grid. Otherwise it falls back to
+    the full forward followed by a slice (same return contract).
     """
 
     out_channels: int
@@ -145,7 +159,29 @@ class Up(nn.Module):
     fused_bn: bool = False
 
     @nn.compact
-    def __call__(self, x1, x2, train: bool = False):
+    def __call__(self, x1, x2, train: bool = False, valid_trim: int = 0):
+        t = int(valid_trim)
+        fast = (
+            t >= 2
+            and self.trilinear
+            and all(
+                2 * a == b and b - 2 * t > 0
+                for a, b in zip(x1.shape[1:4], x2.shape[1:4])
+            )
+        )
+        if fast:
+            ranges = tuple((t - 2, 2 * a - (t - 2)) for a in x1.shape[1:4])
+            x1 = trilinear_upsample_x2(x1, out_ranges=ranges)
+            x2 = x2[:, t - 2: x2.shape[1] - (t - 2),
+                    t - 2: x2.shape[2] - (t - 2),
+                    t - 2: x2.shape[3] - (t - 2), :]
+            mid = (x1.shape[-1] + x2.shape[-1]) // 2
+            x = jnp.concatenate([x2, x1], axis=-1)
+            return DoubleConv(
+                self.out_channels, mid_channels=mid, dtype=self.dtype,
+                fused_bn=self.fused_bn, padding=0, name="conv",
+            )(x, train=train)
+
         if self.trilinear:
             x1 = trilinear_upsample_x2(x1)
             mid = (x1.shape[-1] + x2.shape[-1]) // 2
@@ -170,10 +206,13 @@ class Up(nn.Module):
         if diff_y or diff_x:
             x1 = jnp.pad(x1, pad)
         x = jnp.concatenate([x2, x1], axis=-1)
-        return DoubleConv(
+        out = DoubleConv(
             self.out_channels, mid_channels=mid, dtype=self.dtype,
             fused_bn=self.fused_bn, name="conv",
         )(x, train=train)
+        if t > 0:
+            out = out[:, t:-t, t:-t, t:-t, :]
+        return out
 
 
 class UNet3D(nn.Module):
@@ -192,7 +231,14 @@ class UNet3D(nn.Module):
     fused_bn: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, valid_trim: int = 0):
+        """Forward logits; ``valid_trim=t`` returns only the central
+        ``dim - 2t`` region per spatial axis (what callers keep after the
+        reference's ``t``-voxel border trim, inference.py:161-162),
+        computing the final full-resolution decoder stage only over that
+        region when the geometry allows (see :class:`Up`). Values match
+        the sliced full forward exactly; shapes must keep ``dim > 2t``.
+        """
         ch = [int(c * self.width_multiplier) for c in self.channels]
         factor = 2 if self.trilinear else 1
         dt = self.dtype
@@ -217,7 +263,7 @@ class UNet3D(nn.Module):
         y = Up(ch[1] // factor, self.trilinear, dtype=dt, fused_bn=fb,
                name="up3")(y, x2, train=train)
         y = Up(ch[0], self.trilinear, dtype=dt, fused_bn=fb, name="up4")(
-            y, x1, train=train
+            y, x1, train=train, valid_trim=valid_trim
         )
         logits = nn.Conv(
             self.output_channels, kernel_size=(1, 1, 1), dtype=dt,

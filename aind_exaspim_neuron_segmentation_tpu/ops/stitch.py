@@ -156,12 +156,13 @@ def accumulate_core(
     def batch_step(acc, batch):
         b_starts, b_valid = batch
         patches = jax.vmap(gather)(b_starts)  # (B, d, h, w)
+        # valid_trim: the model returns the trimmed core directly,
+        # computing the final decoder stage only over it (exact;
+        # models/unet3d.py Up docstring).
         logits = module.apply(
-            variables, patches[..., None], train=False
-        )  # (B, d, h, w, C)
+            variables, patches[..., None], train=False, valid_trim=trim
+        )  # (B, d-2t, h-2t, w-2t, C)
         probs = jax.nn.sigmoid(logits.astype(jnp.float32))
-        if trim > 0:
-            probs = probs[:, trim:-trim, trim:-trim, trim:-trim, :]
         probs = probs * b_valid[:, None, None, None, None]
         if windows is not None:
             wwz, wwy, wwx = windows
@@ -204,10 +205,12 @@ def forward_batch(variables, volume, starts, valid, *, module, patch_shape,
         return jax.lax.dynamic_slice(volume, start, patch_shape)
 
     patches = jax.vmap(gather)(starts)
-    logits = module.apply(variables, patches[..., None], train=False)
+    # valid_trim: the model returns the trimmed core directly, computing
+    # the final decoder stage only over it (exact; models/unet3d.py Up).
+    logits = module.apply(
+        variables, patches[..., None], train=False, valid_trim=trim
+    )
     probs = jax.nn.sigmoid(logits.astype(jnp.float32))
-    if trim > 0:
-        probs = probs[:, trim:-trim, trim:-trim, trim:-trim, :]
     probs = probs * valid[:, None, None, None, None]
     if windows is not None:
         wz, wy, wx = windows

@@ -176,3 +176,36 @@ def test_fused_bn_rejects_train_mode():
     x = jnp.zeros((1, 8, 8, 8, 1), jnp.float32)
     with pytest.raises(ValueError, match="inference-only"):
         jm.init(jax.random.PRNGKey(0), x, train=True)
+
+
+@pytest.mark.parametrize("fused_bn", [False, True])
+def test_valid_trim_matches_sliced_full_forward(fused_bn):
+    """valid_trim=t output is bit-identical to the sliced full forward.
+
+    The fast path (trilinear, dims divisible by 16, t >= 2) computes the
+    final decoder stage only over the trimmed core via unpadded convs on
+    the exact receptive-field slab (models/unet3d.py Up); the interior
+    conv windows see identical operands, so equality is exact in f32.
+    """
+    from aind_exaspim_neuron_segmentation_tpu.models.convert import (
+        fold_batchnorm,
+    )
+    from aind_exaspim_neuron_segmentation_tpu.models.unet3d import (
+        init_unet3d,
+    )
+
+    model, variables = init_unet3d(
+        jax.random.PRNGKey(0), output_channels=3, patch_shape=(32, 32, 32)
+    )
+    if fused_bn:
+        model = UNet3D(output_channels=3, fused_bn=True)
+        variables = jax.tree.map(jnp.asarray, fold_batchnorm(variables))
+    x = jax.random.normal(
+        jax.random.PRNGKey(1), (2, 32, 32, 32, 1), jnp.float32
+    )
+    full = np.asarray(model.apply(variables, x, train=False))
+    for t in (1, 2, 4):  # t=1 exercises the fallback, t>=2 the fast path
+        fast = np.asarray(
+            model.apply(variables, x, train=False, valid_trim=t)
+        )
+        np.testing.assert_array_equal(full[:, t:-t, t:-t, t:-t, :], fast)
