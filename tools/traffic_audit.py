@@ -54,7 +54,7 @@ def shape_bytes(shape_str):
     return total
 
 
-def build_forward(batch=16):
+def build_forward(batch=16, trim=0):
     import jax
     import jax.numpy as jnp
 
@@ -63,7 +63,9 @@ def build_forward(batch=16):
     runner = inference.load_model(affinity_mode=True)
 
     def fwd(variables, x):
-        logits = runner.module.apply(variables, x, train=False)
+        logits = runner.module.apply(
+            variables, x, train=False, valid_trim=trim
+        )
         return jax.nn.sigmoid(logits.astype(jnp.float32))
 
     x = jnp.asarray(
@@ -212,10 +214,16 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--out", default=None)
     ap.add_argument("--top", type=int, default=25)
+    ap.add_argument(
+        "--trim", type=int, default=0,
+        help="valid_trim for the production trimmed forward "
+             "(the minimal-traffic model is NOT adjusted; compare "
+             "measured totals across runs instead)",
+    )
     args = ap.parse_args()
 
     print("# building + compiling forward...", file=sys.stderr)
-    jitted, variables, x = build_forward(args.batch)
+    jitted, variables, x = build_forward(args.batch, args.trim)
 
     print("# capturing device trace...", file=sys.stderr)
     t0 = time.time()
