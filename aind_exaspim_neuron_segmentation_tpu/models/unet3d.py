@@ -31,6 +31,7 @@ import jax.numpy as jnp
 
 from aind_exaspim_neuron_segmentation_tpu.ops.upsample import (
     trilinear_upsample_x2,
+    x2_support_trim,
 )
 
 DEFAULT_CHANNELS = (32, 64, 128, 256, 512)
@@ -143,14 +144,23 @@ class Up(nn.Module):
     ``dim - 2t`` region of the full output along each spatial axis --
     the part callers keep after a ``t``-voxel border trim
     (reference inference.py:161-162). When the geometry allows
-    (trilinear, exact x2 skip match, ``t >= 2``) the block computes
-    ONLY that region: the two 3^3 convs run unpadded (VALID) on the
-    ``dim-2t+4 -> dim-2t+2 -> dim-2t`` cascade, whose interior conv
-    windows see operands identical to the padded full-size forward, so
-    every returned value matches the sliced full output. This removes
-    ~1/3 of the FLOPs and HBM bytes of the dominant full-resolution
-    stage for the default 96^3/trim=8 grid. Otherwise it falls back to
-    the full forward followed by a slice (same return contract).
+    (trilinear, exact x2 skip match, ``t >= 2``, eval mode) the block
+    computes ONLY that region: the two 3^3 convs run unpadded (VALID)
+    on the ``dim-2t+4 -> dim-2t+2 -> dim-2t`` cascade, whose interior
+    conv windows see operands identical to the padded full-size
+    forward, so every returned value matches the sliced full output.
+    This removes ~1/3 of the FLOPs and HBM bytes of the dominant
+    full-resolution stage for the default 96^3/trim=8 grid. Otherwise
+    it falls back to the full forward followed by a slice (same return
+    contract).
+
+    ``x1_trim=s`` (call arg, s > 0) declares that ``x1`` holds only the
+    central ``[s, a - s)`` rows of its nominal ``a``-row half-res grid
+    on every spatial axis -- the previous decoder stage already ran
+    valid-region decoding with ``valid_trim=s`` because the rows it
+    dropped have zero weight in this block's row-sliced upsample
+    (cascaded valid decoding; the upsample checks that statically).
+    Only meaningful with the fast path; raises otherwise.
     """
 
     out_channels: int
@@ -159,19 +169,30 @@ class Up(nn.Module):
     fused_bn: bool = False
 
     @nn.compact
-    def __call__(self, x1, x2, train: bool = False, valid_trim: int = 0):
+    def __call__(self, x1, x2, train: bool = False, valid_trim: int = 0,
+                 x1_trim: int = 0):
         t = int(valid_trim)
+        s = int(x1_trim)
         fast = (
             t >= 2
             and self.trilinear
+            and not train
             and all(
-                2 * a == b and b - 2 * t > 0
+                2 * (a + 2 * s) == b and b - 2 * t > 0
                 for a, b in zip(x1.shape[1:4], x2.shape[1:4])
             )
         )
+        if s and not fast:
+            raise ValueError(
+                "x1_trim requires the valid-region fast path "
+                f"(valid_trim={t}, trilinear={self.trilinear}, "
+                f"train={train}, shapes {x1.shape[1:4]}/{x2.shape[1:4]})"
+            )
         if fast:
-            ranges = tuple((t - 2, 2 * a - (t - 2)) for a in x1.shape[1:4])
-            x1 = trilinear_upsample_x2(x1, out_ranges=ranges)
+            ranges = tuple(
+                (t - 2, 2 * (a + 2 * s) - (t - 2)) for a in x1.shape[1:4]
+            )
+            x1 = trilinear_upsample_x2(x1, out_ranges=ranges, in_trim=s)
             x2 = x2[:, t - 2: x2.shape[1] - (t - 2),
                     t - 2: x2.shape[2] - (t - 2),
                     t - 2: x2.shape[3] - (t - 2), :]
@@ -256,14 +277,33 @@ class UNet3D(nn.Module):
             x4, train=train
         )
 
+        # Cascaded valid decoding: when up4 will run its valid fast path,
+        # its row-sliced upsample only reads the central rows of up3's
+        # output -- so up3 itself runs valid-region decoding over exactly
+        # that support (vt3 > 0), and up4 is told via x1_trim. Values are
+        # unchanged: the dropped rows carry zero interpolation weight
+        # (checked statically inside the upsample).
+        t = int(valid_trim)
+        vt3 = 0
+        if t >= 2 and self.trilinear and not train:
+            a_dims, b_dims = x2.shape[1:4], x1.shape[1:4]
+            if all(2 * a == b and b - 2 * t > 0
+                   for a, b in zip(a_dims, b_dims)):
+                s = min(
+                    x2_support_trim(a, t - 2, 2 * a - (t - 2))
+                    for a in a_dims
+                )
+                if s >= 2 and all(a - 2 * s > 0 for a in a_dims):
+                    vt3 = s
+
         y = Up(ch[3] // factor, self.trilinear, dtype=dt, fused_bn=fb,
                name="up1")(x5, x4, train=train)
         y = Up(ch[2] // factor, self.trilinear, dtype=dt, fused_bn=fb,
                name="up2")(y, x3, train=train)
         y = Up(ch[1] // factor, self.trilinear, dtype=dt, fused_bn=fb,
-               name="up3")(y, x2, train=train)
+               name="up3")(y, x2, train=train, valid_trim=vt3)
         y = Up(ch[0], self.trilinear, dtype=dt, fused_bn=fb, name="up4")(
-            y, x1, train=train, valid_trim=valid_trim
+            y, x1, train=train, valid_trim=valid_trim, x1_trim=vt3
         )
         logits = nn.Conv(
             self.output_channels, kernel_size=(1, 1, 1), dtype=dt,

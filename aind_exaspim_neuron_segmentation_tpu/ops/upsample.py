@@ -39,7 +39,8 @@ def _interp_matrix(n_in: int, n_out: int) -> np.ndarray:
     return mat.astype(np.float32)
 
 
-def linear_resize_axis(x, axis: int, n_out: int, out_range=None):
+def linear_resize_axis(x, axis: int, n_out: int, out_range=None,
+                       in_range=None, nominal_in=None):
     """Resize one axis by dense-matrix contraction (align_corners=True).
 
     ``out_range=(lo, hi)`` computes only output rows ``lo:hi`` of the
@@ -48,6 +49,14 @@ def linear_resize_axis(x, axis: int, n_out: int, out_range=None):
     same row of the full resize (valid-region decoding, see
     ``models.unet3d.UNet3D`` ``valid_trim``).
 
+    ``in_range=(ilo, ihi)`` (requires ``nominal_in``) declares that ``x``
+    holds only rows ``ilo:ihi`` of the nominal ``nominal_in``-row input
+    axis: the interpolation matrix is column-sliced to match. The
+    requested output rows must not weight any dropped input row (checked
+    statically; true whenever the caller derives ``in_range`` from the
+    nonzero support of ``out_range``'s rows, as the valid-region decoder
+    cascade does).
+
     Formulation note (measured on TPU v5e, 48^3 x 32ch bf16): standalone,
     an in-place einsum (``bdhic,oi->bdhoc``) is 7.7x faster than this
     moveaxis round-trip -- but *inside the full UNet forward* the in-place
@@ -55,13 +64,31 @@ def linear_resize_axis(x, axis: int, n_out: int, out_range=None):
     112 ms at B=8). XLA canonicalizes the moveaxis form well in context,
     so it stays.
     """
-    n_in = x.shape[axis]
-    if n_in == n_out and out_range is None:
+    if in_range is not None:
+        if nominal_in is None:
+            raise ValueError("in_range requires nominal_in")
+        if x.shape[axis] != in_range[1] - in_range[0]:
+            raise ValueError(
+                f"in_range {in_range} does not match axis size "
+                f"{x.shape[axis]}"
+            )
+        n_in = nominal_in
+    else:
+        n_in = x.shape[axis]
+    if n_in == n_out and out_range is None and in_range is None:
         return x
     mat_np = _interp_matrix(n_in, n_out)
     if out_range is not None:
         lo, hi = out_range
         mat_np = mat_np[lo:hi]
+    if in_range is not None:
+        ilo, ihi = in_range
+        if mat_np[:, :ilo].any() or mat_np[:, ihi:].any():
+            raise ValueError(
+                "in_range drops input rows the requested output rows "
+                "depend on"
+            )
+        mat_np = mat_np[:, ilo:ihi]
     mat = jnp.asarray(mat_np, dtype=x.dtype)
     # float32 path: HIGHEST keeps parity with torch bit-for-bit. bfloat16
     # path: native MXU precision -- HIGHEST there would force a multi-pass
@@ -76,14 +103,44 @@ def linear_resize_axis(x, axis: int, n_out: int, out_range=None):
     return jnp.moveaxis(out, -1, axis)
 
 
-def trilinear_upsample_x2(x, out_ranges=None):
+def x2_support_trim(n_in: int, out_lo: int, out_hi: int) -> int:
+    """Largest symmetric input trim whose dropped border rows have zero
+    weight in output rows ``[out_lo, out_hi)`` of the x2 align-corners
+    upsample of an ``n_in``-row axis.
+
+    Used by the cascaded valid-region decoder (``models.unet3d.UNet3D``)
+    to decide how much of the *previous* decoder stage's output the next
+    stage's row-sliced upsample actually reads.
+    """
+    sub = _interp_matrix(n_in, 2 * n_in)[out_lo:out_hi]
+    nz = np.nonzero(sub.any(axis=0))[0]
+    if nz.size == 0:
+        return 0
+    return int(min(nz[0], n_in - (nz[-1] + 1)))
+
+
+def trilinear_upsample_x2(x, out_ranges=None, in_trim=0):
     """x2 upsample of NDHWC input on the three spatial axes (1, 2, 3).
 
     ``out_ranges``: optional per-spatial-axis ``(lo, hi)`` tuples (or
     None) selecting output rows of the doubled axis -- each value equals
     the same position of the full upsample bit-for-bit.
+
+    ``in_trim=s`` declares that ``x`` holds only the central
+    ``[s, a - s)`` rows of a nominal ``a``-row grid on every spatial
+    axis (so the doubled axis is ``2a``); the requested ``out_ranges``
+    must not depend on the dropped border rows (checked statically).
     """
     for i, axis in enumerate((1, 2, 3)):
         rng = out_ranges[i] if out_ranges is not None else None
-        x = linear_resize_axis(x, axis, 2 * x.shape[axis], out_range=rng)
+        if in_trim:
+            nominal = x.shape[axis] + 2 * in_trim
+            x = linear_resize_axis(
+                x, axis, 2 * nominal, out_range=rng,
+                in_range=(in_trim, nominal - in_trim), nominal_in=nominal,
+            )
+        else:
+            x = linear_resize_axis(
+                x, axis, 2 * x.shape[axis], out_range=rng
+            )
     return x

@@ -70,6 +70,36 @@ def test_trilinear_upsample_matches_torch():
     np.testing.assert_allclose(ours, ref, atol=1e-6)
 
 
+def test_resize_in_range_matches_full_columns():
+    """in_range-sliced resize equals the full resize on a trimmed input,
+    and rejects ranges that drop weighted rows."""
+    from aind_exaspim_neuron_segmentation_tpu.ops.upsample import (
+        linear_resize_axis,
+        x2_support_trim,
+    )
+
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, 16, 5, 4, 3)).astype(np.float32)
+    full = np.asarray(
+        linear_resize_axis(jnp.asarray(x), 1, 32, out_range=(6, 26))
+    )
+    s = x2_support_trim(16, 6, 26)
+    assert s == 2
+    part = np.asarray(
+        linear_resize_axis(
+            jnp.asarray(x[:, s:16 - s]), 1, 32, out_range=(6, 26),
+            in_range=(s, 16 - s), nominal_in=16,
+        )
+    )
+    np.testing.assert_array_equal(full, part)
+    with pytest.raises(ValueError):  # rows 0..31 need every input row
+        linear_resize_axis(
+            jnp.asarray(x[:, 2:14]), 1, 32, in_range=(2, 14), nominal_in=16
+        )
+    with pytest.raises(ValueError):  # missing nominal_in
+        linear_resize_axis(jnp.asarray(x[:, 2:14]), 1, 32, in_range=(2, 14))
+
+
 @needs_ref
 @pytest.mark.parametrize("out_ch,trilinear", [(3, True), (1, True), (3, False)])
 def test_forward_parity_eval(out_ch, trilinear):
@@ -204,7 +234,18 @@ def test_valid_trim_matches_sliced_full_forward(fused_bn):
         jax.random.PRNGKey(1), (2, 32, 32, 32, 1), jnp.float32
     )
     full = np.asarray(model.apply(variables, x, train=False))
-    for t in (1, 2, 4):  # t=1 exercises the fallback, t>=2 the fast path
+    # t=1 exercises the fallback, t in (2, 4) the fast path with a full
+    # up3 stage, and t in (7, 8) the cascade where up3 itself runs
+    # valid-region decoding (x2_support_trim = 2 on this 32^3 geometry,
+    # same as the production 96^3/t=8 grid).
+    from aind_exaspim_neuron_segmentation_tpu.ops.upsample import (
+        x2_support_trim,
+    )
+
+    assert x2_support_trim(16, 5, 27) == 2  # t=7
+    assert x2_support_trim(16, 6, 26) == 2  # t=8
+    assert x2_support_trim(16, 2, 30) == 0  # t=4: no cascade
+    for t in (1, 2, 4, 7, 8):
         fast = np.asarray(
             model.apply(variables, x, train=False, valid_trim=t)
         )
