@@ -158,7 +158,7 @@ def parse_trace_ops(xplane_path, module_prefix="jit_fwd"):
     return ops, module_ns
 
 
-def minimal_traffic_model(batch=16):
+def minimal_traffic_model(batch=16, trim=0):
     """Hand-computed minimum HBM bytes per forward iteration.
 
     Model: every activation tensor is written once by its producer and
@@ -166,6 +166,14 @@ def minimal_traffic_model(batch=16):
     read once, input read once, output written once. bf16 activations
     and weights; the final sigmoid output is f32 (3 channels).
     Channel ladder (32, 64, 128, 256, 512) at width 1, NDHWC.
+
+    ``trim=t > 0`` models the valid-region-decoded forward
+    (``UNet3D(valid_trim=t)``, models/unet3d.py): the final decoder
+    stage computes only the kept core (upsample emits ``96 - 2(t-2)``
+    rows per axis, VALID convs cascade ``-2`` each), the enc0 skip is
+    read only over that support, and the cascaded up3 stage (trim ``s``
+    from ``ops.upsample.x2_support_trim``) shrinks the same way. The
+    encoder is unchanged (full receptive field still required).
     """
     chans = [32, 64, 128, 256, 512]
     res = [96, 48, 24, 12, 6]
@@ -177,7 +185,33 @@ def minimal_traffic_model(batch=16):
     def add(name, nbytes):
         nonlocal total
         entries.append((name, nbytes))
-        total += nbytes
+        total += int(nbytes)
+
+    t = int(trim)
+    s = 0
+    if t >= 2:
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        from aind_exaspim_neuron_segmentation_tpu.ops.upsample import (
+            x2_support_trim,
+        )
+        a = res[1]  # half-res rows feeding the final upsample
+        s = x2_support_trim(a, t - 2, 2 * a - (t - 2))
+        if s < 2 or a - 2 * s <= 0:
+            s = 0
+
+    # per-level decoder output dims (full forward unless trimmed)
+    dec_dim = {lvl: res[lvl] for lvl in range(4)}
+    up_dim = {lvl: res[lvl] for lvl in range(4)}
+    skip_dim = {lvl: res[lvl] for lvl in range(4)}
+    if t >= 2:
+        up_dim[0] = res[0] - 2 * (t - 2)   # rows the sliced upsample emits
+        skip_dim[0] = res[0] - 2 * (t - 2)
+        dec_dim[0] = res[0] - 2 * t        # after the two VALID convs
+        if s:
+            up_dim[1] = res[1] - 2 * (s - 2)
+            skip_dim[1] = res[1] - 2 * (s - 2)
+            dec_dim[1] = res[1] - 2 * s
 
     # input volume (f32 read once)
     add("input f32", B * 96**3 * 1 * 4)
@@ -190,19 +224,25 @@ def minimal_traffic_model(batch=16):
         add(f"enc{lvl} conv1 out ({r}^3 x{c})", 2 * n)  # write + read
         add(f"enc{lvl} conv2 out ({r}^3 x{c})", 2 * n)
         if lvl < 4:
-            add(f"enc{lvl} skip reread", n)  # decoder concat read
+            add(f"enc{lvl} skip reread",
+                B * skip_dim[lvl]**3 * c * act)  # decoder concat read
             add(f"pool{lvl} out", 2 * (B * res[lvl + 1]**3 * c * act))
     # Decoder: 4 up levels; upsample writes at the higher res with the
-    # lower level's channels, concat feeds DoubleConv (c_out = chans)
+    # lower level's channels, concat feeds DoubleConv (c_out = chans).
+    # conv1 output sits between the upsample dim and the final dim.
     for lvl in range(3, -1, -1):
         r, c = res[lvl], chans[lvl]
         c_up = chans[lvl + 1]
-        add(f"up{lvl} upsampled ({r}^3 x{c_up})",
-            2 * (B * r**3 * c_up * act))
-        add(f"dec{lvl} conv1 out ({r}^3 x{c})", 2 * (B * r**3 * c * act))
-        add(f"dec{lvl} conv2 out ({r}^3 x{c})", 2 * (B * r**3 * c * act))
+        u, d = up_dim[lvl], dec_dim[lvl]
+        mid = d + 2 if d != r else r  # VALID conv1 out when trimmed
+        add(f"up{lvl} upsampled ({u}^3 x{c_up})",
+            2 * (B * u**3 * c_up * act))
+        add(f"dec{lvl} conv1 out ({mid}^3 x{c})",
+            2 * (B * mid**3 * c * act))
+        add(f"dec{lvl} conv2 out ({d}^3 x{c})", 2 * (B * d**3 * c * act))
     # output (f32, 3 channels, written once)
-    add("output f32 x3", B * 96**3 * 3 * 4)
+    out_dim = dec_dim[0]
+    add(f"output f32 x3 ({out_dim}^3)", B * out_dim**3 * 3 * 4)
     # weights, read once (19M params bf16)
     add("weights bf16", 19_000_000 * act)
     return total, entries
@@ -217,8 +257,8 @@ def main():
     ap.add_argument(
         "--trim", type=int, default=0,
         help="valid_trim for the production trimmed forward "
-             "(the minimal-traffic model is NOT adjusted; compare "
-             "measured totals across runs instead)",
+             "(the minimal-traffic model adjusts to the trimmed "
+             "dataflow)",
     )
     args = ap.parse_args()
 
@@ -248,7 +288,7 @@ def main():
                      count / args.iters))
     rows.sort(key=lambda r: -r[4])
 
-    minimal, model_entries = minimal_traffic_model(args.batch)
+    minimal, model_entries = minimal_traffic_model(args.batch, args.trim)
 
     lines = []
     lines.append(f"# HBM traffic audit (B={args.batch} bf16 forward, "
