@@ -92,8 +92,14 @@ def main():
     if "--measure-torch" in sys.argv:
         baseline = measure_torch_baseline()
 
+    # batch=64 puts all 64 patches of the 256^3 grid in ONE dispatch:
+    # accumulate_predictions chains each batch through the accumulator,
+    # so at batch=16 the 4 sequential dispatches each pay this tunnel's
+    # ~100 ms dispatch latency (BASELINE.md device characterization);
+    # one dispatch pays it once (measured 81.4 -> 142.0 Mvox/s/chip,
+    # 2026-08-18 sweep). A real PCIe host would not see the gap.
     dim = (256, 256, 256)
-    patch, overlap, trim, batch = (96, 96, 96), (32, 32, 32), 8, 16
+    patch, overlap, trim, batch = (96, 96, 96), (32, 32, 32), 8, 64
 
     runner = inference.load_model(affinity_mode=True)
     rng = np.random.default_rng(0)
