@@ -1,0 +1,298 @@
+"""Command-line interface: the README workflows as one-line commands.
+
+The reference package has no CLI (entry is via Python imports only;
+reference README.md:43-117) -- this is a beyond-parity convenience
+wrapping the same public API, aimed at production batch jobs:
+
+    python -m aind_exaspim_neuron_segmentation_tpu predict \\
+        --input vol.zarr --model weights.pth --output affs.zarr
+    python -m aind_exaspim_neuron_segmentation_tpu segment \\
+        --affinities affs.zarr --output seg.zarr
+    python -m aind_exaspim_neuron_segmentation_tpu swc \\
+        --segmentation seg.zarr --output skeletons.zip
+    python -m aind_exaspim_neuron_segmentation_tpu run \\
+        --input vol.zarr --model weights.pth --workdir /tmp/job \\
+        --output skeletons.zip
+    python -m aind_exaspim_neuron_segmentation_tpu train \\
+        --output runs/ --images a.zarr b.zarr --labels la.zarr lb.zarr
+
+Every path accepts what :func:`..io.read` accepts (zarr / N5 / TIFF,
+local or gs:// / s3://); volume outputs stream to Zarr stores, so
+beyond-RAM volumes work end to end (`run` uses the on-device pre-digest
++ streaming segmentation pipeline throughout).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _triple(text):
+    """'96' or '96,96,96' -> (96, 96, 96)."""
+    parts = [int(p) for p in text.replace("x", ",").split(",")]
+    if len(parts) == 1:
+        parts = parts * 3
+    if len(parts) != 3:
+        raise argparse.ArgumentTypeError(f"expected 1 or 3 ints: {text!r}")
+    return tuple(parts)
+
+
+def _read(path):
+    from aind_exaspim_neuron_segmentation_tpu import io
+
+    return io.read(path)
+
+
+def _add_predict_args(p):
+    p.add_argument("--model", default=None,
+                   help=".pth checkpoint (default: random weights)")
+    p.add_argument("--foreground", action="store_true",
+                   help="1-channel foreground mode instead of affinities")
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--patch", type=_triple, default=(96, 96, 96),
+                   metavar="D,H,W")
+    p.add_argument("--overlap", type=_triple, default=(32, 32, 32),
+                   metavar="D,H,W")
+    p.add_argument("--trim", type=int, default=8)
+    p.add_argument("--brightness-clip", type=float, default=1000)
+    p.add_argument("--blend", choices=("uniform", "gaussian"),
+                   default="uniform")
+    p.add_argument("--width-multiplier", type=float, default=1,
+                   help="channel-ladder scale (must match the checkpoint)")
+
+
+def cmd_predict(args):
+    from aind_exaspim_neuron_segmentation_tpu import inference
+
+    runner = inference.load_model(
+        args.model, affinity_mode=not args.foreground,
+        width_multiplier=args.width_multiplier,
+    )
+    img = _read(args.input)
+    out = inference.predict(
+        img, runner,
+        affinity_mode=not args.foreground,
+        batch_size=args.batch_size,
+        brightness_clip=args.brightness_clip,
+        patch_shape=args.patch,
+        overlap=args.overlap,
+        trim=args.trim,
+        blend_mode=args.blend,
+        out_path=(tuple(args.predigest_out) if args.predigest_out
+                  else args.output),
+        predigest=bool(args.predigest_out),
+        verbose=not args.quiet,
+    )
+    del out
+    where = (args.predigest_out if args.predigest_out else args.output)
+    print(json.dumps({"predict": where}))
+
+
+def cmd_segment(args):
+    from aind_exaspim_neuron_segmentation_tpu import inference
+
+    if args.plan:
+        affs = (_read(args.plan), _read(args.qaff))
+    else:
+        affs = _read(args.affinities)
+    seg = inference.affinities_to_segmentation(
+        affs,
+        agglomeration_thresholds=tuple(args.thresholds),
+        min_segment_size=args.min_size,
+        out_path=args.output,
+        verbose=not args.quiet,
+    )
+    del seg
+    print(json.dumps({"segment": args.output}))
+
+
+def cmd_swc(args):
+    from aind_exaspim_neuron_segmentation_tpu import inference
+
+    seg = _read(args.segmentation)
+    skeletons = inference.segmentation_to_zipped_swcs(
+        seg, args.output, anisotropy=tuple(args.anisotropy)
+    )
+    print(json.dumps({"swc": args.output, "n": len(skeletons)}))
+
+
+def cmd_run(args):
+    """input volume -> pre-digest predict -> streaming segment -> SWC zip.
+
+    The whole pipeline is the beyond-RAM configuration: digests and the
+    segmentation live in Zarr stores under --workdir, never dense in
+    host RAM (BASELINE.md round-3 slab-streaming engine).
+    """
+    from aind_exaspim_neuron_segmentation_tpu import inference
+
+    os.makedirs(args.workdir, exist_ok=True)
+    plan_p = os.path.join(args.workdir, "plan.zarr")
+    qaff_p = os.path.join(args.workdir, "qaff.zarr")
+    seg_p = os.path.join(args.workdir, "segmentation.zarr")
+
+    runner = inference.load_model(
+        args.model, affinity_mode=True,
+        width_multiplier=args.width_multiplier,
+    )
+    img = _read(args.input)
+    t0 = time.time()
+    plan, qaff = inference.predict(
+        img, runner,
+        batch_size=args.batch_size,
+        brightness_clip=args.brightness_clip,
+        patch_shape=args.patch, overlap=args.overlap, trim=args.trim,
+        blend_mode=args.blend,
+        predigest=True, out_path=(plan_p, qaff_p),
+        verbose=not args.quiet,
+    )
+    t1 = time.time()
+    seg = inference.affinities_to_segmentation(
+        (plan, qaff),
+        agglomeration_thresholds=tuple(args.thresholds),
+        min_segment_size=args.min_size,
+        out_path=seg_p,
+        verbose=not args.quiet,
+    )
+    t2 = time.time()
+    inference.segmentation_to_zipped_swcs(
+        seg, args.output, anisotropy=tuple(args.anisotropy)
+    )
+    t3 = time.time()
+    print(json.dumps({
+        "run": args.output,
+        "stages_s": {"predict": round(t1 - t0, 1),
+                     "segment": round(t2 - t1, 1),
+                     "swc": round(t3 - t2, 1)},
+        "workdir": args.workdir,
+    }))
+
+
+def cmd_train(args):
+    from aind_exaspim_neuron_segmentation_tpu.machine_learning import (
+        data_handling,
+    )
+    from aind_exaspim_neuron_segmentation_tpu.machine_learning.train import (
+        Trainer,
+    )
+
+    if len(args.images) != len(args.labels):
+        raise SystemExit("--images and --labels must pair up")
+    common = dict(
+        affinity_mode=not args.foreground,
+        patch_shape=args.patch,
+        brightness_clip=args.brightness_clip,
+    )
+    train_ds = data_handling.TrainDataset(
+        list(args.images), list(args.labels), transform=True,
+        seed=args.seed, **common,
+    )
+    val_ds = data_handling.ValidateDataset(
+        list(args.val_images or args.images),
+        list(args.val_labels or args.labels),
+        containment_buffer=args.containment_buffer,
+        **common,
+    )
+    trainer = Trainer(
+        args.output,
+        affinity_mode=not args.foreground,
+        batch_size=args.batch_size,
+        lr=args.lr,
+        max_epochs=args.epochs,
+        width_multiplier=args.width_multiplier,
+        seed=args.seed,
+    )
+    trainer.run(train_ds, val_ds)
+    print(json.dumps({"train": trainer.log_dir}))
+
+
+def build_parser():
+    top = argparse.ArgumentParser(
+        prog="python -m aind_exaspim_neuron_segmentation_tpu",
+        description=__doc__.split("\n\n")[0],
+    )
+    sub = top.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("predict", help="volume -> affinity Zarr store")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", help="output .zarr path (float affinities)")
+    p.add_argument(
+        "--predigest-out", nargs=2, metavar=("PLAN", "QAFF"),
+        help="stream on-device digests to these two .zarr paths instead "
+             "of float affinities (4 bytes/voxel instead of 12)",
+    )
+    _add_predict_args(p)
+    p.add_argument("--quiet", action="store_true")
+    p.set_defaults(fn=cmd_predict)
+
+    p = sub.add_parser("segment",
+                       help="affinities (or digests) -> label Zarr store")
+    p.add_argument("--affinities", help="float (3,D,H,W) zarr/N5 store")
+    p.add_argument("--plan", help="pre-digest plan store (with --qaff)")
+    p.add_argument("--qaff", help="pre-digest qaff store (with --plan)")
+    p.add_argument("--output", required=True, help="output .zarr path")
+    p.add_argument("--thresholds", type=float, nargs="+",
+                   default=(0.6, 0.8, 0.9))
+    p.add_argument("--min-size", type=int, default=100)
+    p.add_argument("--quiet", action="store_true")
+    p.set_defaults(fn=cmd_segment)
+
+    p = sub.add_parser("swc", help="segmentation -> zipped SWC skeletons")
+    p.add_argument("--segmentation", required=True)
+    p.add_argument("--output", required=True, help="output .zip path")
+    p.add_argument("--anisotropy", type=float, nargs=3, default=(1, 1, 1))
+    p.set_defaults(fn=cmd_swc)
+
+    p = sub.add_parser(
+        "run", help="volume -> segmentation -> SWC zip (beyond-RAM path)"
+    )
+    p.add_argument("--input", required=True)
+    p.add_argument("--workdir", required=True,
+                   help="directory for the intermediate Zarr stores")
+    p.add_argument("--output", required=True, help="output SWC .zip path")
+    _add_predict_args(p)
+    p.add_argument("--thresholds", type=float, nargs="+",
+                   default=(0.6, 0.8, 0.9))
+    p.add_argument("--min-size", type=int, default=100)
+    p.add_argument("--anisotropy", type=float, nargs=3, default=(1, 1, 1))
+    p.add_argument("--quiet", action="store_true")
+    p.set_defaults(fn=cmd_run)
+
+    p = sub.add_parser("train", help="train UNet3D on volume/label pairs")
+    p.add_argument("--output", required=True, help="runs directory")
+    p.add_argument("--images", nargs="+", required=True)
+    p.add_argument("--labels", nargs="+", required=True)
+    p.add_argument("--val-images", nargs="+")
+    p.add_argument("--val-labels", nargs="+")
+    p.add_argument("--foreground", action="store_true")
+    p.add_argument("--patch", type=_triple, default=(96, 96, 96),
+                   metavar="D,H,W")
+    p.add_argument("--brightness-clip", type=float, default=300)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--epochs", type=int, default=1000)
+    p.add_argument("--width-multiplier", type=float, default=1)
+    p.add_argument("--containment-buffer", type=int, default=64,
+                   help="validation-grid center containment margin "
+                        "(reference default 64; use 0 for small volumes)")
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_train)
+    return top
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.command == "predict" and not (
+        args.output or args.predigest_out
+    ):
+        raise SystemExit("predict needs --output or --predigest-out")
+    if args.command == "segment" and not (
+        args.affinities or (args.plan and args.qaff)
+    ):
+        raise SystemExit("segment needs --affinities or --plan + --qaff")
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
