@@ -25,7 +25,6 @@ beyond-RAM volumes work end to end (`run` uses the on-device pre-digest
 import argparse
 import json
 import os
-import sys
 import time
 
 
@@ -64,6 +63,7 @@ def _add_predict_args(p):
 
 
 def cmd_predict(args):
+    """Volume -> affinity Zarr store (or pre-digest plan+qaff stores)."""
     from aind_exaspim_neuron_segmentation_tpu import inference
 
     runner = inference.load_model(
@@ -91,6 +91,7 @@ def cmd_predict(args):
 
 
 def cmd_segment(args):
+    """Affinities (float store or digest pair) -> label Zarr store."""
     from aind_exaspim_neuron_segmentation_tpu import inference
 
     if args.plan:
@@ -109,6 +110,7 @@ def cmd_segment(args):
 
 
 def cmd_swc(args):
+    """Segmentation store -> zipped SWC skeletons."""
     from aind_exaspim_neuron_segmentation_tpu import inference
 
     seg = _read(args.segmentation)
@@ -170,6 +172,7 @@ def cmd_run(args):
 
 
 def cmd_train(args):
+    """Train UNet3D on image/label volume pairs (reference train loop)."""
     from aind_exaspim_neuron_segmentation_tpu.machine_learning import (
         data_handling,
     )
@@ -208,6 +211,7 @@ def cmd_train(args):
 
 
 def build_parser():
+    """Build the top-level argparse parser with all five subcommands."""
     top = argparse.ArgumentParser(
         prog="python -m aind_exaspim_neuron_segmentation_tpu",
         description=__doc__.split("\n\n")[0],
@@ -282,6 +286,7 @@ def build_parser():
 
 
 def main(argv=None):
+    """Parse ``argv`` (default ``sys.argv[1:]``) and run the subcommand."""
     args = build_parser().parse_args(argv)
     if args.command == "predict" and not (
         args.output or args.predigest_out
