@@ -81,6 +81,33 @@ def test_cli_run_beyond_ram_pipeline(volume_store, tmp_path, capsys):
     assert zipfile.ZipFile(zip_p).testzip() is None
 
 
+def test_cli_predigest_predict_segment(volume_store, tmp_path, capsys):
+    """predict --predigest-out + segment --plan/--qaff == float path."""
+    affs = str(tmp_path / "affs.zarr")
+    main(["predict", "--input", volume_store, "--output", affs] + PATCH)
+    capsys.readouterr()
+    seg_f = str(tmp_path / "seg_float.zarr")
+    main(["segment", "--affinities", affs, "--output", seg_f,
+          "--min-size", "10", "--quiet"])
+    capsys.readouterr()
+
+    plan_p = str(tmp_path / "plan.zarr")
+    qaff_p = str(tmp_path / "qaff.zarr")
+    main(["predict", "--input", volume_store,
+          "--predigest-out", plan_p, qaff_p] + PATCH)
+    assert _capture_json(capsys) == {"predict": [plan_p, qaff_p]}
+    assert io.read(plan_p).shape == (48, 48, 48)
+    assert io.read(qaff_p).shape == (3, 48, 48, 48)
+
+    seg_d = str(tmp_path / "seg_digest.zarr")
+    main(["segment", "--plan", plan_p, "--qaff", qaff_p,
+          "--output", seg_d, "--min-size", "10", "--quiet"])
+    assert _capture_json(capsys) == {"segment": seg_d}
+    np.testing.assert_array_equal(
+        np.asarray(io.read(seg_d)), np.asarray(io.read(seg_f))
+    )
+
+
 def test_cli_run_matches_library_path(volume_store, tmp_path, capsys):
     """CLI `run` output labels == direct library dense-path output."""
     from aind_exaspim_neuron_segmentation_tpu import inference
