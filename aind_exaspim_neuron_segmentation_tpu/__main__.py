@@ -212,10 +212,14 @@ def cmd_train(args):
 
 def build_parser():
     """Build the top-level argparse parser with all five subcommands."""
+    from aind_exaspim_neuron_segmentation_tpu import __version__
+
     top = argparse.ArgumentParser(
         prog="python -m aind_exaspim_neuron_segmentation_tpu",
         description=__doc__.split("\n\n")[0],
     )
+    top.add_argument("--version", action="version",
+                     version=f"%(prog)s {__version__}")
     sub = top.add_subparsers(dest="command", required=True)
 
     p = sub.add_parser("predict", help="volume -> affinity Zarr store")

@@ -154,3 +154,8 @@ def test_cli_arg_validation(capsys):
         main(["predict", "--input", "x.zarr"])  # no output
     with pytest.raises(SystemExit):
         main(["segment", "--output", "y.zarr"])  # no input source
+    with pytest.raises(SystemExit) as exc:
+        main(["--version"])
+    assert exc.value.code == 0
+    from aind_exaspim_neuron_segmentation_tpu import __version__
+    assert __version__ in capsys.readouterr().out
