@@ -292,14 +292,36 @@ def build_parser():
 def main(argv=None):
     """Parse ``argv`` (default ``sys.argv[1:]``) and run the subcommand."""
     args = build_parser().parse_args(argv)
-    if args.command == "predict" and not (
-        args.output or args.predigest_out
-    ):
-        raise SystemExit("predict needs --output or --predigest-out")
-    if args.command == "segment" and not (
-        args.affinities or (args.plan and args.qaff)
-    ):
-        raise SystemExit("segment needs --affinities or --plan + --qaff")
+    if args.command == "predict":
+        if not (args.output or args.predigest_out):
+            raise SystemExit("predict needs --output or --predigest-out")
+        if args.output and args.predigest_out:
+            raise SystemExit(
+                "predict takes --output OR --predigest-out, not both"
+            )
+    if args.command == "segment":
+        if (args.plan is None) != (args.qaff is None):
+            raise SystemExit("--plan and --qaff must be given together")
+        if args.affinities and args.plan:
+            raise SystemExit(
+                "segment takes --affinities OR --plan/--qaff, not both"
+            )
+        if not (args.affinities or args.plan):
+            raise SystemExit(
+                "segment needs --affinities or --plan + --qaff"
+            )
+    if args.command == "run" and args.foreground:
+        raise SystemExit(
+            "run is the affinity->segmentation pipeline; foreground "
+            "output cannot feed segmentation (use `predict --foreground`)"
+        )
+    if args.command == "train":
+        if (args.val_images is None) != (args.val_labels is None):
+            raise SystemExit(
+                "--val-images and --val-labels must be given together"
+            )
+        if args.val_images and len(args.val_images) != len(args.val_labels):
+            raise SystemExit("--val-images and --val-labels must pair up")
     args.fn(args)
 
 

@@ -154,6 +154,30 @@ def test_cli_arg_validation(capsys):
         main(["predict", "--input", "x.zarr"])  # no output
     with pytest.raises(SystemExit):
         main(["segment", "--output", "y.zarr"])  # no input source
+    # --output and --predigest-out are mutually exclusive
+    with pytest.raises(SystemExit):
+        main(["predict", "--input", "x.zarr", "--output", "a.zarr",
+              "--predigest-out", "p.zarr", "q.zarr"])
+    # --plan/--qaff must come as a pair ...
+    with pytest.raises(SystemExit):
+        main(["segment", "--affinities", "a.zarr", "--plan", "p.zarr",
+              "--output", "y.zarr"])
+    # ... and are mutually exclusive with --affinities
+    with pytest.raises(SystemExit):
+        main(["segment", "--affinities", "a.zarr", "--plan", "p.zarr",
+              "--qaff", "q.zarr", "--output", "y.zarr"])
+    # run hardcodes affinity mode; --foreground must be rejected
+    with pytest.raises(SystemExit):
+        main(["run", "--input", "x.zarr", "--workdir", "w",
+              "--output", "o.zip", "--foreground"])
+    # validation volumes must come as matching pairs
+    with pytest.raises(SystemExit):
+        main(["train", "--output", "o", "--images", "i.zarr",
+              "--labels", "l.zarr", "--val-images", "v.zarr"])
+    with pytest.raises(SystemExit):
+        main(["train", "--output", "o", "--images", "i.zarr",
+              "--labels", "l.zarr", "--val-images", "v.zarr", "w.zarr",
+              "--val-labels", "vl.zarr"])
     with pytest.raises(SystemExit) as exc:
         main(["--version"])
     assert exc.value.code == 0
