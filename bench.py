@@ -13,10 +13,21 @@ shared axon dev tunnel shows intermittent multi-x contention (measured
 2026-08-16, BASELINE.md "device variance"), and best-of-N recovers the
 uncontended per-chip figure the metric is defined as.
 
-``mfu``: model FLOPs utilization = voxel throughput x 418 KFLOP/voxel
-(analytic UNet3D cost at width 1: 209K MACs/voxel -- per-layer 27-tap
-MAC counts summed over the resolution pyramid) / 197 TFLOP/s bf16 peak
-(TPU v5e).
+``mfu_effective``: model FLOPs utilization crediting the FULL forward
+cost = voxel throughput x 418 KFLOP/voxel (analytic UNet3D cost at
+width 1: 209K MACs/voxel -- per-layer 27-tap MAC counts summed over the
+resolution pyramid) / 197 TFLOP/s bf16 peak (TPU v5e). This is a
+sparse-attention-style accounting: valid-region decoding deliberately
+SKIPS part of the up3/up4/outc work, and effective MFU credits the
+skipped FLOPs as if executed.
+
+``mfu_executed``: utilization over FLOPs actually executed -- the same
+analytic per-layer count with the valid-trim cascade's real conv output
+extents (up3 runs VALID convs on the ``48-2s+2 -> 48-2s`` grid with
+``s = x2_support_trim(...)``, up4 on ``dim-2t+2 -> dim-2t``, outc on
+the trimmed region; see :func:`analytic_macs_per_patch`, cross-checked
+against XLA's own ``cost_analysis()`` FLOP count). ``"mfu"`` remains an
+alias of ``mfu_effective`` for cross-round comparability.
 
 vs_baseline divides by the reference PyTorch-CPU forward throughput
 measured in this environment (0.152 Mvox/s, see BASELINE.md). Re-measure
@@ -47,6 +58,58 @@ import numpy as np
 TORCH_CPU_BASELINE_MVOX_S = 0.152  # measured 2026-08-16, see BASELINE.md
 MODEL_FLOP_PER_VOXEL = 418_000  # analytic, width_multiplier=1 (docstring)
 PEAK_BF16_FLOPS = 197e12  # TPU v5e
+
+
+def analytic_macs_per_patch(patch=96, trim=0, out_channels=3):
+    """Analytic UNet3D conv MACs for one ``patch**3`` forward.
+
+    27-tap MAC counts per layer at width 1 (channels 32/64/128/256/512,
+    trilinear); ``trim > 0`` applies the valid-region decoding cascade
+    (models/unet3d.py:286-307): up3 runs VALID convs over the
+    ``a-2s+2 -> a-2s`` half-res grid with ``s = x2_support_trim(a,
+    t-2, 2a-(t-2))``, up4 over ``dim-2t+2 -> dim-2t``, and outc over
+    the trimmed output only. ``trim=0`` reproduces the 209K MACs/voxel
+    constant behind MODEL_FLOP_PER_VOXEL; FLOPs = 2 x MACs.
+    """
+    ch = (32, 64, 128, 256, 512)
+    p = patch
+    dims = [p, p // 2, p // 4, p // 8, p // 16]  # x1..x5 grids
+    macs = 0
+    # Encoder: inc + down1..down4 (down4 bottleneck at ch[4]//2).
+    enc_io = [
+        (1, ch[0], ch[0]), (ch[0], ch[1], ch[1]), (ch[1], ch[2], ch[2]),
+        (ch[2], ch[3], ch[3]), (ch[3], ch[4] // 2, ch[4] // 2),
+    ]
+    for d, (cin, mid, cout) in zip(dims, enc_io):
+        macs += 27 * d**3 * (cin * mid + mid * cout)
+    # Decoder up1/up2 (always full): concat doubles channels, DoubleConv
+    # mid = half the concat width.
+    for d, skip in ((dims[3], ch[3]), (dims[2], ch[2])):
+        # concat = skip + skip channels in, mid = skip, out = skip // 2
+        macs += 27 * d**3 * (2 * skip * skip + skip * (skip // 2))
+    # up3 / up4 / outc: valid-region cascade when trim >= 2.
+    s = 0
+    if trim >= 2:
+        from aind_exaspim_neuron_segmentation_tpu.ops.upsample import (
+            x2_support_trim,
+        )
+
+        a = dims[1]
+        s = x2_support_trim(a, trim - 2, 2 * a - (trim - 2))
+        if s < 2 or a - 2 * s <= 0:
+            s = 0
+    d3, d4 = dims[1], dims[0]
+    if s:
+        macs += 27 * ((2 * ch[1]) * ch[1] * (d3 - 2 * s + 2) ** 3
+                      + ch[1] * (ch[1] // 2) * (d3 - 2 * s) ** 3)
+        macs += 27 * ((2 * ch[0]) * ch[0] * (d4 - 2 * trim + 2) ** 3
+                      + ch[0] * ch[0] * (d4 - 2 * trim) ** 3)
+        macs += ch[0] * out_channels * (d4 - 2 * trim) ** 3
+    else:
+        macs += 27 * d3**3 * (2 * ch[1] * ch[1] + ch[1] * (ch[1] // 2))
+        macs += 27 * d4**3 * (2 * ch[0] * ch[0] + ch[0] * ch[0])
+        macs += ch[0] * out_channels * d4**3
+    return macs
 
 
 def measure_torch_baseline():
@@ -145,13 +208,22 @@ def main():
     voxels = n_real * np.prod(patch) * iters
     mvox_s = voxels / best / 1e6
     del checksum
+    mfu_eff = mvox_s * 1e6 * MODEL_FLOP_PER_VOXEL / PEAK_BF16_FLOPS
+    flop_executed = 2 * analytic_macs_per_patch(patch[0], trim) / np.prod(
+        patch
+    )
     print(json.dumps({
         "metric": "affinity_inference_throughput",
         "value": round(mvox_s, 2),
         "unit": "Mvox/s/chip",
         "vs_baseline": round(mvox_s / baseline, 1),
-        "mfu": round(mvox_s * 1e6 * MODEL_FLOP_PER_VOXEL / PEAK_BF16_FLOPS,
-                     4),
+        "mfu": round(mfu_eff, 4),
+        "mfu_effective": round(mfu_eff, 4),
+        "mfu_executed": round(
+            mvox_s * 1e6 * flop_executed / PEAK_BF16_FLOPS, 4
+        ),
+        "flop_per_voxel": {"effective": MODEL_FLOP_PER_VOXEL,
+                           "executed": round(flop_executed)},
     }))
 
 
