@@ -67,6 +67,19 @@ constexpr uint64_t kNoFg = ~0ull;
 struct StreamSeg {
   int64_t D, H, W;
 
+  // ---- distributed mode (multi-rank Z partition; see the
+  // exa_streamseg_set_distributed block at the bottom) ----
+  bool distributed = false;
+  int64_t z_offset = 0;             // global Z index of local plane 0
+  std::vector<uint32_t> first_ids;  // plane-0 piece ids (first feed)
+  std::vector<uint8_t> first_plan;  // plane-0 plan bytes
+  bool local_done_flag = false;
+  bool rag_flushed = false;
+  int64_t n_roots = 0;
+  std::vector<uint32_t> root_of_piece;  // piece -> root enum index + 1
+  std::vector<uint64_t> root_first_fg;  // per root (enum order)
+  std::vector<uint64_t> root_fg;
+
   // ---- pass 1 state ----
   int64_t z_done = 0;
   std::vector<uint32_t> prev_ids;   // piece id per last-plane voxel (0=none)
@@ -166,6 +179,49 @@ void rag_plane(StreamSeg& s, const uint32_t* fp, const uint8_t* q3,
       }
     }
   }
+}
+
+// Shared tail of the merge: advance the replay forest through every
+// threshold (the reference keeps only the last labeling,
+// inference.py:229-233), apply the min-size filter (keep strictly
+// greater), and number kept segments by first appearance (ascending
+// fragment id IS ascending first-foreground scan order). Returns the
+// segment count and fills lut_ws (K + 1 entries, fragment -> final
+// label). Used by the single-process merge and the distributed rank-0
+// merge so both are bit-identical by construction.
+int64_t finalize_lut_ws(exa_rag::MergeEvents& me, int64_t K,
+                        int64_t n_thresholds, const uint64_t* frag_fg,
+                        int64_t min_size, std::vector<uint32_t>& lut_ws) {
+  std::vector<uint32_t> rparent(static_cast<size_t>(K) + 1);
+  for (int64_t f = 0; f <= K; ++f) rparent[f] = static_cast<uint32_t>(f);
+  std::vector<uint32_t> applied(me.n_comps, 0);
+  for (int64_t k = 0; k < n_thresholds; ++k) {
+    exa_rag::apply_threshold(me, k, rparent, applied);
+  }
+  me.comp_events.clear();
+  auto rfind = [&](uint32_t x) {
+    while (rparent[x] != x) {
+      rparent[x] = rparent[rparent[x]];
+      x = rparent[x];
+    }
+    return x;
+  };
+
+  // Segment sizes = summed fragment foreground counts.
+  std::vector<uint64_t> sizes(static_cast<size_t>(K) + 1, 0);
+  for (int64_t ws = 1; ws <= K; ++ws) {
+    sizes[rfind(static_cast<uint32_t>(ws))] += frag_fg[ws];
+  }
+  std::vector<uint32_t> seg_of_root(static_cast<size_t>(K) + 1, 0);
+  lut_ws.assign(static_cast<size_t>(K) + 1, 0);
+  uint32_t next = 1;
+  for (int64_t ws = 1; ws <= K; ++ws) {
+    const uint32_t r = rfind(static_cast<uint32_t>(ws));
+    if (sizes[r] <= static_cast<uint64_t>(min_size)) continue;
+    if (seg_of_root[r] == 0) seg_of_root[r] = next++;
+    lut_ws[ws] = seg_of_root[r];
+  }
+  return static_cast<int64_t>(next - 1);
 }
 
 }  // namespace
@@ -276,13 +332,28 @@ EXA_API int64_t exa_streamseg_feed(void* handle, const uint8_t* plan,
           prov_of_root[r] = p;
         }
         if (s.piece_first_fg[p] == kNoFg) {
-          s.piece_first_fg[p] =
-              static_cast<uint64_t>((s.z_done + z) * HW + y * W + x);
+          // Global scan index: z_offset is 0 single-process; in
+          // distributed mode it makes first-appearance numbering agree
+          // across ranks (disjoint Z ranges => indices never collide).
+          s.piece_first_fg[p] = static_cast<uint64_t>(
+              (s.z_offset + s.z_done + z) * HW + y * W + x);
         }
         ++s.piece_fg_count[p];
         frag_out[v] = p;
       }
     }
+  }
+
+  // Distributed mode: park plane 0 (piece ids + plan bytes) for the
+  // cross-RANK stitch on rank 0 -- the mirror image of prev_ids /
+  // prev_plan below. frag_out's first plane already holds the piece
+  // assignment, and under the driver-enforced low <= high precondition
+  // it equals prov_of_root[local.find(v)] exactly: union flags imply a
+  // >= high >= low incident edge, so every union endpoint has dir != 0
+  // and background voxels are singletons with no piece (header note).
+  if (s.distributed && s.z_done == 0) {
+    s.first_ids.assign(frag_out, frag_out + HW);
+    s.first_plan.assign(plan, plan + HW);
   }
 
   // Cross-slab stitching. Forward (+z) unions recorded on the previous
@@ -330,7 +401,7 @@ EXA_API int64_t exa_streamseg_feed(void* handle, const uint8_t* plan,
 // (bit-identical to the dense replay's renumber). Returns K.
 EXA_API int64_t exa_streamseg_fragments_done(void* handle) {
   StreamSeg& s = *static_cast<StreamSeg*>(handle);
-  if (s.z_done != s.D || s.frags_done) return -1;
+  if (s.z_done != s.D || s.frags_done || s.distributed) return -1;
   s.frags_done = true;
   const uint32_t P = static_cast<uint32_t>(s.piece_parent.size() - 1);
 
@@ -415,7 +486,7 @@ EXA_API int64_t exa_streamseg_merge(void* handle, const float* thresholds,
                                     int32_t quantile_pct, int64_t min_size) {
   StreamSeg& s = *static_cast<StreamSeg*>(handle);
   if (!s.frags_done || s.z_rag != s.D || n_thresholds <= 0 ||
-      s.n_segments >= 0) {
+      s.n_segments >= 0 || s.distributed) {
     return -1;
   }
   for (int64_t i = 1; i < n_thresholds; ++i) {
@@ -435,45 +506,13 @@ EXA_API int64_t exa_streamseg_merge(void* handle, const float* thresholds,
   s.edge_index.reset(16);
   s.edges.release();
 
-  // Advance the replay forest through every threshold (the reference
-  // keeps only the last labeling, inference.py:229-233).
-  std::vector<uint32_t> rparent(static_cast<size_t>(s.K) + 1);
-  for (int64_t f = 0; f <= s.K; ++f) rparent[f] = static_cast<uint32_t>(f);
-  std::vector<uint32_t> applied(me.n_comps, 0);
-  for (int64_t k = 0; k < n_thresholds; ++k) {
-    exa_rag::apply_threshold(me, k, rparent, applied);
-  }
-  me.comp_events.clear();
-  auto rfind = [&](uint32_t x) {
-    while (rparent[x] != x) {
-      rparent[x] = rparent[rparent[x]];
-      x = rparent[x];
-    }
-    return x;
-  };
-
-  // Segment sizes = summed fragment foreground counts.
-  std::vector<uint64_t> sizes(static_cast<size_t>(s.K) + 1, 0);
-  for (int64_t ws = 1; ws <= s.K; ++ws) {
-    sizes[rfind(static_cast<uint32_t>(ws))] += s.frag_fg[ws];
-  }
-  // Number kept segments by first appearance: ascending fragment id IS
-  // ascending first-foreground scan order, and a segment first appears
-  // with its lowest-numbered fragment.
-  std::vector<uint32_t> seg_of_root(static_cast<size_t>(s.K) + 1, 0);
-  std::vector<uint32_t> lut_ws(static_cast<size_t>(s.K) + 1, 0);
-  uint32_t next = 1;
-  for (int64_t ws = 1; ws <= s.K; ++ws) {
-    const uint32_t r = rfind(static_cast<uint32_t>(ws));
-    if (sizes[r] <= static_cast<uint64_t>(min_size)) continue;
-    if (seg_of_root[r] == 0) seg_of_root[r] = next++;
-    lut_ws[ws] = seg_of_root[r];
-  }
+  std::vector<uint32_t> lut_ws;
+  s.n_segments = finalize_lut_ws(me, s.K, n_thresholds, s.frag_fg.data(),
+                                 min_size, lut_ws);
   s.final_lut.assign(s.ws_of_piece.size(), 0);
   for (size_t p = 0; p < s.ws_of_piece.size(); ++p) {
     s.final_lut[p] = lut_ws[s.ws_of_piece[p]];
   }
-  s.n_segments = static_cast<int64_t>(next - 1);
   return s.n_segments;
 }
 
@@ -484,4 +523,335 @@ EXA_API int64_t exa_streamseg_map(void* handle, const uint32_t* frag,
   if (s.n_segments < 0 || n < 0) return -1;
   for (int64_t i = 0; i < n; ++i) out[i] = s.final_lut[frag[i]];
   return 0;
+}
+
+// ---------------------------------------------------------------------
+// Distributed mode: the identical pipeline partitioned over contiguous
+// Z ranges of MULTIPLE PROCESSES (postprocess/distributed.py drives it
+// over jax.distributed ranks). Each rank runs pass 1 on its own range
+// (D = local planes, z_offset = global index of local plane 0); the
+// per-cut stitching that `feed` does between slabs happens on rank 0
+// instead, at PIECE granularity, from each rank's exported boundary
+// planes -- the same single-plane contract. Rank 0 numbers fragments
+// globally (min first-foreground scan index over all ranks' pieces --
+// Z ranges are disjoint so indices never collide), each rank builds its
+// local RAG in ITS scan order (cut z-edges come from the neighbor
+// rank's first-plane fragment ids, exchanged through rank 0), and rank
+// 0 concatenates the serialized RAGs IN RANK ORDER: every scan position
+// of rank p precedes every position of rank p+1, so first-appearance
+// edge indices -- and therefore the merge loop's bucket FIFO tie order
+// -- reproduce the dense engine's global scan exactly. Distributions
+// are commutative counts, so cross-rank accumulation is exact. The
+// merge + min-size + numbering tail is the shared finalize_lut_ws.
+// Bit parity with the single-process engine is pinned by
+// tests/test_streamseg_distributed.py.
+//
+// Serialization is little-endian host layout (ranks of one job share
+// an architecture; the driver asserts this).
+
+// Enable distributed mode; must precede the first feed.
+EXA_API int64_t exa_streamseg_set_distributed(void* handle,
+                                              int64_t z_offset) {
+  StreamSeg& s = *static_cast<StreamSeg*>(handle);
+  if (s.z_done != 0 || s.frags_done || z_offset < 0) return -1;
+  s.distributed = true;
+  s.z_offset = z_offset;
+  return 0;
+}
+
+// Finish local pass 1: reduce the piece union-find to local roots
+// (enumerated in ascending root piece id -- deterministic), each with
+// its min first-foreground scan index and foreground count. Returns the
+// local root count R; pass-1 voxel state is freed (boundary exports and
+// the piece -> root map are kept for set_ws / get_boundary).
+EXA_API int64_t exa_streamseg_local_done(void* handle) {
+  StreamSeg& s = *static_cast<StreamSeg*>(handle);
+  if (!s.distributed || s.z_done != s.D || s.frags_done ||
+      s.local_done_flag) {
+    return -1;
+  }
+  s.local_done_flag = true;
+  const uint32_t P = static_cast<uint32_t>(s.piece_parent.size() - 1);
+  std::vector<uint64_t> min_fg(P + 1, kNoFg);
+  std::vector<uint64_t> cnt(P + 1, 0);
+  for (uint32_t p = 1; p <= P; ++p) {
+    const uint32_t r = s.piece_find(p);
+    min_fg[r] = std::min(min_fg[r], s.piece_first_fg[p]);
+    cnt[r] += s.piece_fg_count[p];
+  }
+  // Every root is exported (foreground or not): a foreground-free root
+  // can still carry cross-cut connectivity in pathological inputs; the
+  // numbering on rank 0 drops no-foreground roots exactly as
+  // fragments_done does.
+  s.root_of_piece.assign(P + 1, 0);
+  std::vector<uint32_t> idx_of_root(P + 1, 0);
+  for (uint32_t p = 1; p <= P; ++p) {
+    if (s.piece_parent[p] == p) {
+      idx_of_root[p] = static_cast<uint32_t>(++s.n_roots);
+      s.root_first_fg.push_back(min_fg[p]);
+      s.root_fg.push_back(cnt[p]);
+    }
+  }
+  for (uint32_t p = 1; p <= P; ++p) {
+    s.root_of_piece[p] = idx_of_root[s.piece_find(p)];
+  }
+  s.piece_parent.clear();
+  s.piece_parent.shrink_to_fit();
+  s.piece_size.clear();
+  s.piece_size.shrink_to_fit();
+  s.piece_first_fg.clear();
+  s.piece_first_fg.shrink_to_fit();
+  s.piece_fg_count.clear();
+  s.piece_fg_count.shrink_to_fit();
+  return s.n_roots;
+}
+
+// Local root table: first_fg[i] (global scan index, ~0ull = none) and
+// fg_count[i] for root enum index i in [0, R).
+EXA_API int64_t exa_streamseg_get_piece_table(void* handle,
+                                              uint64_t* first_fg,
+                                              uint64_t* fg_count) {
+  StreamSeg& s = *static_cast<StreamSeg*>(handle);
+  if (!s.local_done_flag || s.frags_done) return -1;
+  std::memcpy(first_fg, s.root_first_fg.data(),
+              s.root_first_fg.size() * sizeof(uint64_t));
+  std::memcpy(fg_count, s.root_fg.data(),
+              s.root_fg.size() * sizeof(uint64_t));
+  return s.n_roots;
+}
+
+// Boundary planes for the rank-0 stitch, all HW-sized: plane-0 /
+// last-plane root enum indices + 1 (0 = background) and plan bytes.
+EXA_API int64_t exa_streamseg_get_boundary(void* handle,
+                                           uint32_t* first_root,
+                                           uint8_t* first_plan,
+                                           uint32_t* last_root,
+                                           uint8_t* last_plan) {
+  StreamSeg& s = *static_cast<StreamSeg*>(handle);
+  if (!s.local_done_flag || s.frags_done) return -1;
+  const int64_t HW = s.H * s.W;
+  for (int64_t i = 0; i < HW; ++i) {
+    first_root[i] = s.root_of_piece[s.first_ids[i]];
+    last_root[i] = s.root_of_piece[s.prev_ids[i]];
+  }
+  std::memcpy(first_plan, s.first_plan.data(), HW);
+  std::memcpy(last_plan, s.prev_plan.data(), HW);
+  return 0;
+}
+
+// Install rank 0's global numbering: ws_of_root[i] is the global
+// watershed fragment id (1..K, 0 = dropped no-foreground root) of local
+// root enum index i. Enables rag_feed / map.
+EXA_API int64_t exa_streamseg_set_ws(void* handle,
+                                     const uint32_t* ws_of_root,
+                                     int64_t K) {
+  StreamSeg& s = *static_cast<StreamSeg*>(handle);
+  if (!s.local_done_flag || s.frags_done || K < 0) return -1;
+  s.frags_done = true;
+  s.K = K;
+  s.ws_of_piece.assign(s.root_of_piece.size(), 0);
+  for (size_t p = 1; p < s.root_of_piece.size(); ++p) {
+    const uint32_t r = s.root_of_piece[p];
+    s.ws_of_piece[p] = r == 0 ? 0 : ws_of_root[r - 1];
+  }
+  s.root_of_piece.clear();
+  s.root_of_piece.shrink_to_fit();
+  s.root_first_fg.clear();
+  s.root_first_fg.shrink_to_fit();
+  s.root_fg.clear();
+  s.root_fg.shrink_to_fit();
+  s.first_ids.clear();
+  s.first_ids.shrink_to_fit();
+  s.first_plan.clear();
+  s.first_plan.shrink_to_fit();
+  s.prev_ids.clear();
+  s.prev_ids.shrink_to_fit();
+  s.prev_plan.clear();
+  s.prev_plan.shrink_to_fit();
+  return 0;
+}
+
+// Flush pass 2's pending last plane. next_plane (HW global fragment
+// ids of the NEXT rank's first plane, from rank 0) supplies the cut's
+// outgoing z-edges; null for the globally last rank (no z successors,
+// the digest guarantees no +z flags there).
+EXA_API int64_t exa_streamseg_rag_flush(void* handle,
+                                        const uint32_t* next_plane) {
+  StreamSeg& s = *static_cast<StreamSeg*>(handle);
+  if (!s.distributed || !s.frags_done || s.z_rag != s.D ||
+      s.rag_flushed || !s.have_pending) {
+    return -1;
+  }
+  rag_plane(s, s.pending_frag.data(), s.pending_q.data(), next_plane);
+  s.have_pending = false;
+  s.pending_frag.clear();
+  s.pending_frag.shrink_to_fit();
+  s.pending_q.clear();
+  s.pending_q.shrink_to_fit();
+  s.rag_flushed = true;
+  return 0;
+}
+
+namespace {
+
+// Serialized-edge byte size (see exa_streamseg_rag_export).
+size_t edge_wire_size(const Edge& e) {
+  if (e.hist.empty()) return 4 + 4 + 1 + 1 + e.n_inl;
+  size_t nnz = 0;
+  for (int b = 0; b < exa_rag::kBins; ++b) nnz += e.hist[b] != 0;
+  return 4 + 4 + 1 + 2 + nnz * 5;
+}
+
+template <typename T>
+void wr(uint8_t*& p, T v) {
+  std::memcpy(p, &v, sizeof(T));
+  p += sizeof(T);
+}
+
+template <typename T>
+T rd(const uint8_t*& p) {
+  T v;
+  std::memcpy(&v, p, sizeof(T));
+  p += sizeof(T);
+  return v;
+}
+
+}  // namespace
+
+// Wire size of the local RAG serialization.
+EXA_API int64_t exa_streamseg_rag_export_size(void* handle) {
+  StreamSeg& s = *static_cast<StreamSeg*>(handle);
+  if (!s.rag_flushed || s.n_segments >= 0) return -1;
+  size_t total = 8;  // u64 edge count
+  for (size_t i = 0; i < s.edges.size(); ++i) {
+    total += edge_wire_size(s.edges[i]);
+  }
+  return static_cast<int64_t>(total);
+}
+
+// Serialize the local RAG in ascending edge index (= local
+// first-appearance scan order). Per edge: u32 a, u32 b (a < b), u8 tag;
+// tag 0: u8 n, n raw u8-quantized samples; tag 1: u16 nnz, nnz x
+// (u8 bin, u32 count). Frees the local RAG. Returns bytes written.
+EXA_API int64_t exa_streamseg_rag_export(void* handle, uint8_t* out,
+                                         int64_t cap) {
+  StreamSeg& s = *static_cast<StreamSeg*>(handle);
+  if (!s.rag_flushed || s.n_segments >= 0) return -1;
+  uint8_t* p = out;
+  uint8_t* end = out + cap;
+  if (end - p < 8) return -2;
+  wr<uint64_t>(p, s.edges.size());
+  for (size_t i = 0; i < s.edges.size(); ++i) {
+    Edge& e = s.edges[i];
+    if (static_cast<size_t>(end - p) < edge_wire_size(e)) return -2;
+    wr<uint32_t>(p, e.a);
+    wr<uint32_t>(p, e.b);
+    if (e.hist.empty()) {
+      wr<uint8_t>(p, 0);
+      wr<uint8_t>(p, e.n_inl);
+      std::memcpy(p, e.inl, e.n_inl);
+      p += e.n_inl;
+    } else {
+      wr<uint8_t>(p, 1);
+      uint16_t nnz = 0;
+      for (int b = 0; b < exa_rag::kBins; ++b) nnz += e.hist[b] != 0;
+      wr<uint16_t>(p, nnz);
+      for (int b = 0; b < exa_rag::kBins; ++b) {
+        if (e.hist[b] != 0) {
+          wr<uint8_t>(p, static_cast<uint8_t>(b));
+          wr<uint32_t>(p, e.hist[b]);
+        }
+      }
+    }
+  }
+  s.edge_index.reset(16);
+  s.edges.release();
+  return static_cast<int64_t>(p - out);
+}
+
+// Install the final fragment -> label lut (K + 1 entries from rank 0's
+// merge); enables map().
+EXA_API int64_t exa_streamseg_set_lut(void* handle, const uint32_t* lut_ws,
+                                      int64_t n_segments) {
+  StreamSeg& s = *static_cast<StreamSeg*>(handle);
+  if (!s.distributed || !s.frags_done || s.n_segments >= 0 ||
+      n_segments < 0) {
+    return -1;
+  }
+  s.final_lut.assign(s.ws_of_piece.size(), 0);
+  for (size_t p = 0; p < s.ws_of_piece.size(); ++p) {
+    s.final_lut[p] = lut_ws[s.ws_of_piece[p]];
+  }
+  s.n_segments = n_segments;
+  return 0;
+}
+
+// Rank 0: rebuild the global RAG from the ranks' serialized parts
+// (concatenated in rank order inside `buf`, part i spanning
+// [offsets[i], offsets[i+1])), run the shared merge loop, and fill
+// lut_ws_out (K + 1 fragment -> final label entries). find_or_insert
+// over the rank-ordered stream assigns each edge its GLOBAL
+// first-appearance index; duplicate (a, b) keys accumulate their
+// distributions (commutative counts). Returns the segment count.
+EXA_API int64_t exa_streamseg_merge_parts(
+    const uint8_t* buf, const int64_t* offsets, int64_t n_parts,
+    int64_t K, const uint64_t* frag_fg, const float* thresholds,
+    int64_t n_thresholds, int32_t quantile_pct, int64_t min_size,
+    uint32_t* lut_ws_out) {
+  if (n_parts <= 0 || K < 0 || n_thresholds <= 0) return -1;
+  for (int64_t i = 1; i < n_thresholds; ++i) {
+    if (thresholds[i] < thresholds[i - 1]) return -1;
+  }
+  FlatMap edge_index{1024};
+  EdgeStore edges;
+  for (int64_t part = 0; part < n_parts; ++part) {
+    const uint8_t* p = buf + offsets[part];
+    const uint8_t* end = buf + offsets[part + 1];
+    if (end - p < 8) return -2;
+    const uint64_t n_edges = rd<uint64_t>(p);
+    for (uint64_t ei = 0; ei < n_edges; ++ei) {
+      if (end - p < 9) return -2;
+      const uint32_t a = rd<uint32_t>(p);
+      const uint32_t b = rd<uint32_t>(p);
+      if (a == 0 || a >= b || static_cast<int64_t>(b) > K) return -2;
+      const uint8_t tag = rd<uint8_t>(p);
+      auto [slot, fresh] = edge_index.find_or_insert(
+          EdgeKey{a, b}.packed(), static_cast<uint32_t>(edges.size()));
+      if (fresh) edges.emplace_back(a, b);
+      Edge& e = edges[*slot];
+      if (tag == 0) {
+        if (end - p < 1) return -2;
+        const uint8_t n = rd<uint8_t>(p);
+        if (end - p < n) return -2;
+        for (uint8_t k = 0; k < n; ++k) e.add_bin(p[k]);
+        p += n;
+      } else if (tag == 1) {
+        if (end - p < 2) return -2;
+        const uint16_t nnz = rd<uint16_t>(p);
+        if (end - p < static_cast<int64_t>(nnz) * 5) return -2;
+        if (e.hist.empty()) e.to_hist();
+        for (uint16_t k = 0; k < nnz; ++k) {
+          const uint8_t bin = rd<uint8_t>(p);
+          const uint32_t c = rd<uint32_t>(p);
+          e.hist[bin] += c;
+          e.count += c;
+        }
+        e.cached_bin = -1;
+      } else {
+        return -2;
+      }
+    }
+    if (p != end) return -2;
+  }
+
+  exa_rag::MergeEvents me = exa_rag::run_merge(
+      edge_index, edges, K, thresholds, n_thresholds, quantile_pct);
+  edge_index.reset(16);
+  edges.release();
+
+  std::vector<uint32_t> lut_ws;
+  const int64_t n_segments =
+      finalize_lut_ws(me, K, n_thresholds, frag_fg, min_size, lut_ws);
+  std::memcpy(lut_ws_out, lut_ws.data(), lut_ws.size() * sizeof(uint32_t));
+  return n_segments;
 }

@@ -68,3 +68,14 @@ def segment_streaming(affinities, **kwargs):
     )
 
     return _segment_streaming(affinities, **kwargs)
+
+
+def segment_streaming_sharded(affinities, **kwargs):
+    """Multi-process streaming segmentation over ``jax.distributed``
+    (bit-identical to :func:`segment_streaming`) --
+    postprocess.distributed."""
+    from aind_exaspim_neuron_segmentation_tpu.postprocess.distributed import (
+        segment_streaming_sharded as _sharded,
+    )
+
+    return _sharded(affinities, **kwargs)

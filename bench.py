@@ -37,6 +37,12 @@ with --measure-torch.
 (BASELINE.json config #5) in GB/hr: TPU sliding-window predict, native
 C++ watershed + agglomeration, TEASAR skeletonization, SWC zip.
 
+``--e2e --sharded``: the same pipeline with the segmentation stage
+distributed over two REAL ``jax.distributed`` processes
+(``postprocess.segment_streaming_sharded``) -- per-process Z-range
+watershed + local RAG, rank-0 stitch/merge, per-process relabel into
+one shared store.
+
 ``--sharded [--dryrun N]``: multi-chip ``parallel.predict_sharded``
 throughput over whatever mesh exists (all visible devices), with a
 per-stage breakdown (load_slabs / normalize / forward / fetch_assemble).
@@ -290,6 +296,123 @@ def main_e2e():
     }))
 
 
+_E2E_SHARDED_WORKER = """
+import os, sys
+pid = int(sys.argv[1])
+port = sys.argv[2]
+plan_p, qaff_p, out_p = sys.argv[3], sys.argv[4], sys.argv[5]
+os.environ.setdefault("EXA_DIST_HOST", "127.0.0.1")
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address=f"localhost:{port}", num_processes=2,
+    process_id=pid, local_device_ids=[0],
+)
+from aind_exaspim_neuron_segmentation_tpu import postprocess
+from aind_exaspim_neuron_segmentation_tpu.io import zarr_lite
+
+postprocess.segment_streaming_sharded(
+    (zarr_lite.open_zarr(plan_p), zarr_lite.open_zarr(qaff_p)),
+    out_path=out_p,
+)
+"""
+
+
+def main_e2e_sharded():
+    """--e2e --sharded: volume -> TPU digest stores -> the segmentation
+    stage DISTRIBUTED over two real jax.distributed processes -> SWC.
+
+    The segment stage is the e2e-dominating single-host stage
+    (BASELINE.md round-3 accounting); this line exercises its
+    multi-process path (postprocess.segment_streaming_sharded) on the
+    same blobby volume as --e2e. On this 1-core host both ranks share
+    one CPU, so the number validates the path rather than the speedup;
+    a real pod gives each rank its own host.
+    """
+    import os
+    import socket
+    import subprocess
+    import tempfile
+
+    from aind_exaspim_neuron_segmentation_tpu import inference
+    from aind_exaspim_neuron_segmentation_tpu.io import zarr_lite
+    from aind_exaspim_neuron_segmentation_tpu.utils.cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
+    dim = (256, 256, 256)
+    rng = np.random.default_rng(0)
+    vol = rng.integers(0, 300, dim).astype(np.uint16)
+    r = 15
+    for cz, cy, cx in rng.integers(30, 226, (40, 3)):
+        sl = tuple(slice(c - r, c + r + 1) for c in (cz, cy, cx))
+        zz, yy, xx = np.ogrid[-r: r + 1, -r: r + 1, -r: r + 1]
+        vol[sl][zz**2 + yy**2 + xx**2 < r**2] = 1200
+    runner = inference.load_model(affinity_mode=True)
+
+    work = tempfile.mkdtemp()
+    plan_p = os.path.join(work, "plan.zarr")
+    qaff_p = os.path.join(work, "qaff.zarr")
+    seg_p = os.path.join(work, "seg.zarr")
+    t0 = time.time()
+    inference.predict(
+        vol, runner, verbose=False, predigest=True,
+        out_path=(plan_p, qaff_p),
+    )
+    t1 = time.time()
+    print(f"# predict done in {t1 - t0:.0f}s", file=sys.stderr, flush=True)
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = str(s.getsockname()[1])
+    worker = os.path.join(work, "worker.py")
+    with open(worker, "w") as f:
+        f.write(_E2E_SHARDED_WORKER)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get(
+        "PYTHONPATH", ""
+    )
+    env.pop("JAX_PLATFORMS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), port, plan_p, qaff_p,
+             seg_p],
+            env=env,
+        )
+        for pid in (0, 1)
+    ]
+    for p in procs:
+        p.wait(timeout=3600)
+        assert p.returncode == 0, f"rank failed rc={p.returncode}"
+    t2 = time.time()
+    print(f"# distributed segment done in {t2 - t1:.0f}s",
+          file=sys.stderr, flush=True)
+    seg = np.asarray(zarr_lite.open_zarr(seg_p)[:])
+    zip_path = os.path.join(work, "swcs.zip")
+    inference.segmentation_to_zipped_swcs(seg, zip_path)
+    t3 = time.time()
+
+    vol_gb = vol.nbytes / 1e9
+    print(json.dumps({
+        "metric": "e2e_sharded_volume_to_swc_throughput",
+        "value": round(vol_gb / ((t3 - t0) / 3600.0), 3),
+        "unit": "GB/hr",
+        "vs_baseline": None,
+        "n_processes": 2,
+        "stages_s": {
+            "predict": round(t1 - t0, 1),
+            "segment_sharded_2proc": round(t2 - t1, 1),
+            "skeletonize_swc": round(t3 - t2, 1),
+        },
+        "n_segments": int(seg.max()),
+        "caveats": "both segmentation ranks share this host's single "
+                   "CPU core; the line validates the multi-process "
+                   "path (bit-identical labels), not multi-host "
+                   "speedup",
+    }))
+
+
 def main_sharded():
     """Multi-chip predict_sharded Mvox/s with per-stage breakdown."""
     import os
@@ -432,7 +555,9 @@ def main_train():
 
 
 if __name__ == "__main__":
-    if "--e2e" in sys.argv:
+    if "--e2e" in sys.argv and "--sharded" in sys.argv:
+        main_e2e_sharded()
+    elif "--e2e" in sys.argv:
         main_e2e()
     elif "--sharded" in sys.argv:
         main_sharded()

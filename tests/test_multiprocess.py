@@ -269,6 +269,73 @@ def test_two_process_ysplit_partial(tmp_path):
     np.testing.assert_allclose(part0 + part1, want, atol=1e-6)
 
 
+_SEGMENT_WORKER = """
+import os, sys
+pid = int(sys.argv[1])
+port = sys.argv[2]
+aff_path, out_path = sys.argv[3], sys.argv[4]
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+os.environ["EXA_DIST_HOST"] = "127.0.0.1"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address=f"localhost:{port}", num_processes=2,
+    process_id=pid, local_device_ids=list(range(4)),
+)
+from aind_exaspim_neuron_segmentation_tpu import postprocess
+from aind_exaspim_neuron_segmentation_tpu.io import zarr_lite
+
+lazy = zarr_lite.open_zarr(aff_path)
+postprocess.segment_streaming_sharded(
+    lazy, out_path=out_path, slab_planes=6,
+)
+print(f"[p{pid}] done", flush=True)
+"""
+
+
+def test_two_process_streaming_segmentation(tmp_path):
+    """Two real jax.distributed processes partition the Z range of the
+    e2e-dominating segmentation stage (per-process watershed + local
+    RAG, rank-0 stitch/merge over a TCP hub, per-process relabel into
+    one shared store) and must reproduce single-process
+    ``segment_streaming`` BIT-identically."""
+    from aind_exaspim_neuron_segmentation_tpu.postprocess.streaming import (
+        segment_streaming,
+    )
+    from .test_streamseg import _blobby_affs
+
+    aff = _blobby_affs(shape=(40, 24, 24), r=5, seed=17, step=12)
+    aff_path = str(tmp_path / "aff.zarr")
+    zarr_lite.write_zarr(aff_path, aff, chunks=(3, 8, 24, 24))
+    out_path = str(tmp_path / "seg.zarr")
+    worker = tmp_path / "worker.py"
+    worker.write_text(_SEGMENT_WORKER)
+
+    port = str(_free_port())
+    env = dict(os.environ)
+    env["PYTHONPATH"] = (
+        "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+    )
+    env.pop("JAX_PLATFORMS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(pid), port, aff_path,
+             out_path],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for pid in (0, 1)
+    ]
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        assert p.returncode == 0, out[-3000:]
+
+    want = segment_streaming(zarr_lite.open_zarr(aff_path))
+    got = np.asarray(zarr_lite.open_zarr(out_path)[:])
+    assert got.max() > 1  # several kept segments cross the rank cut
+    np.testing.assert_array_equal(want, got)
+
+
 _TRAIN_WORKER = """
 import os, sys
 pid = int(sys.argv[1])

@@ -1,0 +1,186 @@
+"""Distributed streaming segmentation: bit-parity for any rank count.
+
+postprocess/distributed.py partitions the Z range over ranks (virtual
+in-process here; two REAL jax.distributed processes in
+tests/test_multiprocess.py) and must reproduce single-process
+``segment_streaming`` -- and therefore the dense engine -- EXACTLY:
+fragment numbering, RAG edge order, merge events, min-size filter.
+"""
+
+import threading
+
+import numpy as np
+import pytest
+
+from aind_exaspim_neuron_segmentation_tpu import inference
+from aind_exaspim_neuron_segmentation_tpu.io import read
+from aind_exaspim_neuron_segmentation_tpu.io.zarr_lite import write_zarr
+from aind_exaspim_neuron_segmentation_tpu.postprocess.distributed import (
+    _TcpComm,
+    partition_z,
+    segment_streaming_virtual,
+)
+
+from .test_streamseg import _blobby_affs, _lazy, _noisy_affs
+
+
+class TestPartition:
+    def test_balanced_cover(self):
+        for d, n in ((10, 3), (8, 8), (23, 4), (5, 1)):
+            parts = partition_z(d, n)
+            assert parts[0][0] == 0 and parts[-1][1] == d
+            assert all(a[1] == b[0] for a, b in zip(parts, parts[1:]))
+            sizes = [hi - lo for lo, hi in parts]
+            assert max(sizes) - min(sizes) <= 1
+
+    def test_too_many_ranks_rejected(self):
+        with pytest.raises(ValueError):
+            partition_z(3, 4)
+
+
+class TestDistributedParity:
+    @pytest.mark.parametrize("n_ranks", [1, 2, 3, 5])
+    def test_noisy_volume_rank_invariance(self, tmp_path, n_ranks):
+        """Worst-case noise (one giant cross-rank RAG component)."""
+        aff = _noisy_affs(shape=(22, 18, 14), seed=11)
+        want = inference.affinities_to_segmentation(aff)
+        got = segment_streaming_virtual(
+            _lazy(tmp_path, aff), n_ranks, tmp_dir=str(tmp_path)
+        )
+        np.testing.assert_array_equal(want, got)
+
+    @pytest.mark.parametrize("n_ranks", [2, 4])
+    def test_blobby_multi_component(self, tmp_path, n_ranks):
+        """Spheres crossing rank cuts stitch bit-identically."""
+        aff = _blobby_affs()
+        want = inference.affinities_to_segmentation(aff)
+        got = segment_streaming_virtual(
+            _lazy(tmp_path, aff), n_ranks, tmp_dir=str(tmp_path),
+            slab_planes=6,
+        )
+        assert want.max() > 1
+        np.testing.assert_array_equal(want, got)
+
+    def test_u_shape_fragment_across_rank_cut(self, tmp_path):
+        """Two pieces in earlier ranks union only through a later rank:
+        the rank-0 piece unification must chain across TWO cuts."""
+        shape = (12, 9, 9)
+        aff = np.full((3,) + shape, 0.02, np.float32)
+        aff[0, 0:10, 2, 2] = 0.95
+        aff[0, 0:10, 2, 6] = 0.95
+        aff[2, 9, 2, 2:6] = 0.95
+        want = inference.affinities_to_segmentation(
+            aff, min_segment_size=0
+        )
+        got = segment_streaming_virtual(
+            _lazy(tmp_path, aff), 3, min_segment_size=0,
+            tmp_dir=str(tmp_path),
+        )
+        assert want.max() == 1
+        np.testing.assert_array_equal(want, got)
+
+    @pytest.mark.parametrize("min_size", [0, 5, 100])
+    def test_min_size_filter(self, tmp_path, min_size):
+        aff = _blobby_affs(shape=(30, 20, 20), r=4, seed=9, step=10)
+        want = inference.affinities_to_segmentation(
+            aff, min_segment_size=min_size
+        )
+        got = segment_streaming_virtual(
+            _lazy(tmp_path, aff), 3, min_segment_size=min_size,
+            tmp_dir=str(tmp_path), slab_planes=4,
+        )
+        np.testing.assert_array_equal(want, got)
+
+    def test_custom_thresholds_and_lowhigh(self, tmp_path):
+        aff = _noisy_affs(shape=(18, 14, 12), seed=13)
+        kw = dict(
+            agglomeration_thresholds=(0.3, 0.7),
+            aff_threshold_low=0.25, aff_threshold_high=0.9,
+        )
+        want = inference.affinities_to_segmentation(aff, **kw)
+        got = segment_streaming_virtual(
+            _lazy(tmp_path, aff), 2, tmp_dir=str(tmp_path), **kw
+        )
+        np.testing.assert_array_equal(want, got)
+
+    def test_all_background(self, tmp_path):
+        aff = np.full((3, 10, 8, 8), 0.01, np.float32)
+        got = segment_streaming_virtual(
+            _lazy(tmp_path, aff), 3, tmp_dir=str(tmp_path)
+        )
+        assert got.dtype == np.uint32 and got.max() == 0
+
+    def test_digest_pair_replay(self, tmp_path):
+        """Lazy (plan, qaff) stores distribute without a device pass."""
+        from aind_exaspim_neuron_segmentation_tpu.ops.predigest import (
+            predigest,
+        )
+
+        aff = _blobby_affs(shape=(26, 18, 18), r=4, seed=31, step=10)
+        plan, qaff = predigest(aff)
+        pp, qp = str(tmp_path / "p.zarr"), str(tmp_path / "q.zarr")
+        write_zarr(pp, plan, chunks=(6, 18, 18))
+        write_zarr(qp, qaff, chunks=(3, 6, 18, 18))
+        want = inference.affinities_to_segmentation(aff)
+        got = segment_streaming_virtual(
+            (read(pp), read(qp)), 3, tmp_dir=str(tmp_path)
+        )
+        np.testing.assert_array_equal(want, got)
+
+    def test_zarr_output_contract(self, tmp_path):
+        """Each rank writes its own Z rows; the joint store matches."""
+        aff = _blobby_affs(shape=(24, 16, 16), r=4, seed=21, step=10)
+        want = inference.affinities_to_segmentation(aff)
+        out_path = str(tmp_path / "seg.zarr")
+        handle = segment_streaming_virtual(
+            _lazy(tmp_path, aff), 2, out_path=out_path,
+            tmp_dir=str(tmp_path),
+        )
+        assert handle.shape == want.shape
+        np.testing.assert_array_equal(want, np.asarray(handle[:]))
+
+    def test_single_plane_ranks(self, tmp_path):
+        """Degenerate partition: every rank holds exactly one plane."""
+        aff = _noisy_affs(shape=(6, 10, 10), seed=5)
+        want = inference.affinities_to_segmentation(aff)
+        got = segment_streaming_virtual(
+            _lazy(tmp_path, aff), 6, tmp_dir=str(tmp_path)
+        )
+        np.testing.assert_array_equal(want, got)
+
+
+class TestTcpComm:
+    def test_gather_scatter_broadcast(self):
+        """3-rank hub protocol over localhost sockets (threads)."""
+        import socket
+
+        srv = socket.socket()
+        srv.bind(("127.0.0.1", 0))
+        port = srv.getsockname()[1]
+        srv.close()
+        addr = f"127.0.0.1:{port}"
+        results = {}
+
+        def run(rank):
+            comm = _TcpComm(rank, 3, addr)
+            g = comm.gather({"rank": rank, "data": np.arange(rank + 1)})
+            if rank == 0:
+                assert [e["rank"] for e in g] == [0, 1, 2]
+                reply = [f"to-{r}" for r in range(3)]
+            else:
+                assert g is None
+                reply = None
+            mine = comm.scatter(reply)
+            assert mine == f"to-{rank}"
+            b = comm.broadcast("done" if rank == 0 else None)
+            results[rank] = b
+            comm.close()
+
+        threads = [
+            threading.Thread(target=run, args=(r,)) for r in (1, 2, 0)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        assert results == {0: "done", 1: "done", 2: "done"}
