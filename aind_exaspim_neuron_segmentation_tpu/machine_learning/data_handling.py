@@ -54,6 +54,23 @@ def _load(volume_or_path):
     return volume_or_path
 
 
+def compact_labels(label_patch):
+    """First-appearance relabel to the narrowest integer wire dtype.
+
+    Label-EQUALITY is all the on-device affinity-target computation
+    consumes, and the foreground test only needs zero-preservation, so
+    the contiguous first-appearance renumber (native fastremap-parity
+    engine) is exact; uint16 covers any patch with < 2^16 distinct
+    segments (a 96^3 patch virtually always), uint32 otherwise.
+    """
+    from aind_exaspim_neuron_segmentation_tpu import native
+
+    out, n = native.renumber(
+        np.ascontiguousarray(label_patch, dtype=np.uint32)
+    )
+    return out.astype(np.uint16) if n < 2**16 else out
+
+
 class BaseDataset:
     """Shared volume loading + patch extraction (reference :22-153)."""
 
@@ -104,7 +121,19 @@ class BaseDataset:
             )
         return shape
 
+    # Label-wire mode (set by the Trainer): targets leave the host as
+    # COMPACT INTEGER LABELS and the jitted step derives the affinity /
+    # foreground channels on device. Affinities are pure label-equality
+    # tests (core/affinities.py), so a first-appearance relabel is
+    # exact and the wire shrinks from 12 B/voxel of f32 channels to
+    # 2 B/voxel of uint16 -- decisive over thin host links
+    # (BASELINE.md round-3 train-step accounting). Bit-identical train
+    # digests are pinned by tests/test_training.py.
+    wire_labels = False
+
     def _target(self, label_patch):
+        if self.wire_labels:
+            return compact_labels(label_patch)
         if self.affinity_mode:
             return get_affinity_channels(label_patch[0]).astype(np.float32)
         return label_patch.astype(np.float32)

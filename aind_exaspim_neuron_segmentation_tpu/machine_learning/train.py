@@ -96,6 +96,7 @@ class Trainer:
         mesh=None,
         device_augment=False,
         prefetch=True,
+        wire_labels=True,
     ):
         exp_name = "session-" + datetime.today().strftime("%Y%m%d_%H%M")
         self.log_dir = os.path.join(output_dir, exp_name)
@@ -120,6 +121,14 @@ class Trainer:
         # DataLoader-workers role, reference train.py:103-106). Batches
         # and RNG streams are identical either way.
         self.prefetch = prefetch
+        # Label-wire batches: BaseDataset targets leave the host as
+        # compact uint16 labels and the jitted steps derive the
+        # affinity / foreground channels on device (bit-identical --
+        # see _targets_from_labels). Cuts the per-step host upload from
+        # 16 B/voxel to 6 (decisive over thin host links, BASELINE.md
+        # round-3 train-step accounting). False restores the host-side
+        # f32 target channels.
+        self.wire_labels = wire_labels
         self.input_wait_s = 0.0  # host time blocked waiting on batches
         self._augment_key = jax.random.PRNGKey(seed + 1)
         # Optional data parallelism: batches shard over the mesh's first
@@ -188,30 +197,48 @@ class Trainer:
 
     # --- jitted steps ---
 
+    @staticmethod
+    def _targets_from_labels(y, affinity):
+        """NDHWC integer label patches -> on-device training targets.
+
+        Affinity channels are label-equality tests and the foreground
+        channel is a zero test, so the result is bit-identical to the
+        host ``BaseDataset._target`` conversion for any
+        equality-preserving relabel (``data_handling.compact_labels``
+        ships uint16 over the wire on that basis).
+        """
+        from aind_exaspim_neuron_segmentation_tpu.core.affinities import (
+            affinity_channels_jax,
+        )
+
+        if affinity:
+            y = jax.vmap(
+                lambda l: affinity_channels_jax(l[..., 0])
+            )(y.astype(jnp.int32))
+            return jnp.moveaxis(y, 1, -1)
+        return (y > 0).astype(jnp.float32)
+
     def _build_train_step(self):
         module = self.module
         tx = self.tx
         quirk = self.accumulate_grads_quirk
         augment = self.device_augment
         affinity = self.affinity_mode
+        targets_from_labels = self._targets_from_labels
 
         def step(params, batch_stats, opt_state, grad_accum, x, y, w, key):
             if augment:
-                from aind_exaspim_neuron_segmentation_tpu.core.affinities import (
-                    affinity_channels_jax,
-                )
-                from aind_exaspim_neuron_segmentation_tpu.ops.augment_device import (
+                from aind_exaspim_neuron_segmentation_tpu.ops.augment_device import (  # noqa: E501
                     augment_batch,
                 )
 
                 x, label = augment_batch(key, x, y)
-                if affinity:
-                    y = jax.vmap(
-                        lambda l: affinity_channels_jax(l[..., 0])
-                    )(label.astype(jnp.int32))
-                    y = jnp.moveaxis(y, 1, -1)
-                else:
-                    y = (label > 0).astype(jnp.float32)
+                y = targets_from_labels(label, affinity)
+            elif jnp.issubdtype(y.dtype, jnp.integer):
+                # Label-wire batches (uint16/uint32 compact labels):
+                # derive the targets here instead of shipping 12
+                # B/voxel of f32 channels from the host.
+                y = targets_from_labels(y, affinity)
 
             def loss_fn(p):
                 logits, updates = module.apply(
@@ -251,8 +278,12 @@ class Trainer:
 
     def _build_eval_step(self):
         module = self.module
+        affinity = self.affinity_mode
+        targets_from_labels = self._targets_from_labels
 
         def step(params, batch_stats, x, y, w):
+            if jnp.issubdtype(y.dtype, jnp.integer):
+                y = targets_from_labels(y, affinity)
             logits = module.apply(
                 {"params": params, "batch_stats": batch_stats}, x,
                 train=False,
@@ -295,7 +326,23 @@ class Trainer:
         """Returns (x, y, example-mask); integer label targets stay
         integral (float32 would corrupt segment ids >= 2^24 before the
         on-device affinity computation)."""
-        xs = np.moveaxis(xs, 1, -1).astype(np.float32)  # NDHWC
+        xs = np.moveaxis(xs, 1, -1).astype(np.float32)
+        if (
+            self.wire_labels
+            and not self.device_augment
+            and self.module.dtype == jnp.bfloat16
+        ):
+            # bf16 image wire: the forward's first op casts x to the
+            # module dtype, so pre-rounding on the host (numpy
+            # ml_dtypes astype and XLA convert both round to nearest
+            # even) ships half the bytes and changes no value --
+            # logits, loss, and metrics all come out of f32 upcasts of
+            # the same bf16 stream (tests/test_training.py pins the
+            # rounding equality). device_augment jitters intensity in
+            # f32 BEFORE the model cast, so it keeps the f32 wire.
+            import ml_dtypes
+
+            xs = xs.astype(ml_dtypes.bfloat16)  # NDHWC
         ys = np.moveaxis(ys, 1, -1)
         if not np.issubdtype(ys.dtype, np.integer):
             ys = ys.astype(np.float32)
@@ -331,6 +378,17 @@ class Trainer:
             put(mask, mask_sharding),
         )
 
+    def _apply_wire_mode(self, dataset):
+        """Switch a BaseDataset to the compact-label wire when enabled
+        (no-op for plain indexables or device-augment datasets, whose
+        batches already carry raw label patches)."""
+        if (
+            self.wire_labels
+            and hasattr(dataset, "wire_labels")
+            and not getattr(dataset, "return_label_patches", False)
+        ):
+            dataset.wire_labels = True
+
     def _fetch_metric(self, arr):
         """Per-example metric vector as numpy; on multi-process meshes
         the batch axis spans processes, so an allgather materializes the
@@ -352,6 +410,7 @@ class Trainer:
         )
 
         stats = {"f1": None, "precision": [], "recall": [], "loss": []}
+        self._apply_wire_mode(train_dataset)
         batches = (
             prefetch_batches(train_dataset, self.batch_size)
             if self.prefetch
@@ -397,6 +456,7 @@ class Trainer:
         )
 
         stats = {"f1": None, "precision": [], "recall": [], "loss": []}
+        self._apply_wire_mode(val_dataset)
         batches = (
             prefetch_batches(val_dataset, self.batch_size)
             if self.prefetch

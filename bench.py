@@ -37,6 +37,11 @@ with --measure-torch.
 (BASELINE.json config #5) in GB/hr: TPU sliding-window predict, native
 C++ watershed + agglomeration, TEASAR skeletonization, SWC zip.
 
+``--e2e --typical``: the production-shaped counterpart -- the default
+--e2e volume is the single-giant-component worst case (random-weight
+affinities), so this line feeds multi-component blobby affinities
+(digested on device) to segment + skeletonize instead.
+
 ``--e2e --sharded``: the same pipeline with the segmentation stage
 distributed over two REAL ``jax.distributed`` processes
 (``postprocess.segment_streaming_sharded``) -- per-process Z-range
@@ -50,9 +55,13 @@ per-stage breakdown (load_slabs / normalize / forward / fetch_assemble).
 line ``"dryrun": true`` (numbers are then CPU-mesh validation, not TPU
 perf) -- so a real pod run is this one command with no flags.
 
-``--train``: training-step utilization -- steps/s, Mvox/s, and the
+``--train``: training-step utilization -- steps/s, Mvox/s, train MFU
+(3x-forward FLOP accounting), bytes uploaded per step, and the
 input-wait fraction (host time blocked on the prefetched batch
-pipeline), making the prefetch claim a number.
+pipeline), making the prefetch claim a number. The label wire
+(compact uint16 labels + on-device affinity targets, bit-identical)
+is on by default; ``--no-wire`` restores the f32-channel upload for
+A/B.
 """
 
 import json
@@ -296,6 +305,83 @@ def main_e2e():
     }))
 
 
+def main_e2e_typical():
+    """--e2e --typical: production-shaped (multi-component) pipeline.
+
+    The default --e2e volume is the adversarial WORST case: a
+    random-weight model turns any input into near-uniform affinities
+    whose RAG is ONE giant 22M-edge component, nullifying
+    component-parallel merging by construction (BASELINE.md round-3
+    accounting). Production volumes -- neurites separated by
+    background -- decompose into many components. This line feeds the
+    pipeline a synthetic production-shaped affinity field (the
+    streamseg test fixture pattern: high-affinity blobs on
+    below-threshold background), digested on device, so segment +
+    skeletonize see realistic multi-component structure. The predict
+    stage's cost is structure-independent (same patch grid; see the
+    worst-case line); here it is replaced by the on-device digest of
+    the synthetic field.
+    """
+    import os
+    import tempfile
+
+    from aind_exaspim_neuron_segmentation_tpu import inference
+    from aind_exaspim_neuron_segmentation_tpu.ops.predigest import (
+        predigest_streaming,
+    )
+    from aind_exaspim_neuron_segmentation_tpu.utils.cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
+    dim = (256, 256, 256)
+    rng = np.random.default_rng(1)
+    base = np.full(dim, np.float32(0.02))
+    r = 15
+    zz, yy, xx = np.ogrid[-r: r + 1, -r: r + 1, -r: r + 1]
+    ball = zz**2 + yy**2 + xx**2 < r**2
+    for cz, cy, cx in rng.integers(30, 226, (40, 3)):
+        sl = tuple(slice(c - r, c + r + 1) for c in (cz, cy, cx))
+        base[sl][ball] = 0.9
+    aff = np.empty((3,) + dim, np.float32)
+    for c in range(3):
+        aff[c] = np.clip(
+            base + rng.uniform(-0.05, 0.05, dim).astype(np.float32),
+            0.0, 1.0,
+        )
+    del base
+
+    t0 = time.time()
+    plan, qaff = predigest_streaming(aff)
+    t1 = time.time()
+    print(f"# digest done in {t1 - t0:.0f}s", file=sys.stderr, flush=True)
+    seg = inference.affinities_to_segmentation((plan, qaff))
+    t2 = time.time()
+    print(f"# segment done in {t2 - t1:.0f}s", file=sys.stderr, flush=True)
+    zip_path = os.path.join(tempfile.mkdtemp(), "swcs.zip")
+    inference.segmentation_to_zipped_swcs(seg, zip_path)
+    t3 = time.time()
+
+    vol_gb = 2 * np.prod(dim) / 1e9  # the uint16 volume this stands for
+    print(json.dumps({
+        "metric": "e2e_typical_volume_to_swc_throughput",
+        "value": round(vol_gb / ((t3 - t0) / 3600.0), 3),
+        "unit": "GB/hr",
+        "vs_baseline": None,
+        "stages_s": {
+            "digest": round(t1 - t0, 1),
+            "segment": round(t2 - t1, 1),
+            "skeletonize_swc": round(t3 - t2, 1),
+        },
+        "n_segments": int(seg.max()),
+        "caveats": "multi-component production-shaped affinities "
+                   "(synthetic blobs); predict replaced by the "
+                   "on-device digest -- its cost is "
+                   "structure-independent, see the worst-case --e2e "
+                   "line",
+    }))
+
+
 _E2E_SHARDED_WORKER = """
 import os, sys
 pid = int(sys.argv[1])
@@ -528,8 +614,21 @@ def main_train():
         [img] * 8, [lab] * 8, patch_shape=patch, seed=0, transform=True,
     )
     out = tempfile.mkdtemp()
-    trainer = Trainer(out, batch_size=batch, max_epochs=1)
+    wire = "--no-wire" not in sys.argv
+    trainer = Trainer(out, batch_size=batch, max_epochs=1,
+                      wire_labels=wire)
     trainer.train_step(ds, 0)  # warm: compile + caches
+    # Wire accounting: bytes shipped host->device per step (images +
+    # targets + mask). Label-wire mode ships compact uint16 labels and
+    # derives the f32 affinity channels on device (bit-identical,
+    # tests/test_training.py::TestLabelWire).
+    from aind_exaspim_neuron_segmentation_tpu.machine_learning.data_handling import (  # noqa: E501
+        iterate_batches,
+    )
+
+    xb, yb = next(iterate_batches(ds, batch))
+    shipped = trainer._to_device_batch(xb, yb)
+    upload_mb = sum(a.nbytes for a in shipped) / 1e6
     steps_per_epoch = -(-len(ds) // batch)
     t0 = time.time()
     epochs = 2
@@ -543,6 +642,11 @@ def main_train():
     shutil.rmtree(out, ignore_errors=True)
     steps_s = steps / elapsed
     mvox_s = steps * batch * np.prod(patch) / elapsed / 1e6
+    # Train MFU: fwd + bwd ~= 3x the full forward's conv FLOPs (no
+    # valid-trim in training), bf16 peak (use_amp on TPU).
+    flop_train = 3 * 2 * analytic_macs_per_patch(patch[0], 0) / np.prod(
+        patch
+    )
     print(json.dumps({
         "metric": "train_step_throughput",
         "value": round(mvox_s, 2),
@@ -551,12 +655,19 @@ def main_train():
         "steps_per_s": round(steps_s, 3),
         "batch_size": batch,
         "input_wait_frac": round(waits / elapsed, 3),
+        "upload_mb_per_step": round(upload_mb, 1),
+        "wire_labels": wire,
+        "train_mfu": round(
+            mvox_s * 1e6 * flop_train / PEAK_BF16_FLOPS, 4
+        ),
     }))
 
 
 if __name__ == "__main__":
     if "--e2e" in sys.argv and "--sharded" in sys.argv:
         main_e2e_sharded()
+    elif "--e2e" in sys.argv and "--typical" in sys.argv:
+        main_e2e_typical()
     elif "--e2e" in sys.argv:
         main_e2e()
     elif "--sharded" in sys.argv:

@@ -261,6 +261,105 @@ class TestTrainer:
         assert events
 
 
+class TestLabelWire:
+    """Compact-label wire batches must change NOTHING numerically."""
+
+    def test_compact_labels_preserve_structure(self):
+        rng = np.random.default_rng(0)
+        lab = rng.integers(0, 2**20, (1, 12, 12, 12)).astype(np.uint32)
+        lab[0, :3] = 0
+        compact = data_handling.compact_labels(lab)
+        assert compact.dtype == np.uint16
+        assert compact.shape == lab.shape
+        # zero-preserving, equality-preserving relabel
+        np.testing.assert_array_equal(compact == 0, lab == 0)
+        for a, b in ((0, 1), (3, 4), (5, 11)):
+            eq_old = lab[0, a] == lab[0, b]
+            eq_new = compact[0, a] == compact[0, b]
+            np.testing.assert_array_equal(eq_old, eq_new)
+
+    def test_device_targets_match_host(self):
+        """affinity channels from compact labels == host f32 channels."""
+        import jax.numpy as jnp
+
+        from aind_exaspim_neuron_segmentation_tpu.core.affinities import (
+            get_affinity_channels,
+        )
+
+        rng = np.random.default_rng(1)
+        lab = (rng.integers(0, 5, (1, 10, 10, 10)) * 977).astype(
+            np.uint32
+        )
+        want = get_affinity_channels(lab[0]).astype(np.float32)
+        compact = data_handling.compact_labels(lab)
+        y = jnp.moveaxis(jnp.asarray(compact), 0, -1)[None]  # NDHWC
+        got = Trainer._targets_from_labels(y, affinity=True)[0]
+        got = np.moveaxis(np.asarray(got), -1, 0)
+        np.testing.assert_array_equal(want, got)
+
+    @pytest.mark.parametrize("affinity_mode", [True, False])
+    def test_param_digest_bit_identical(self, tmp_path, affinity_mode):
+        """One seeded epoch with and without the label wire ends in
+        EXACTLY the same parameters and F1."""
+        import jax
+
+        digests = []
+        for wire in (False, True):
+            imgs, labs = make_volumes()
+            train_ds = data_handling.TrainDataset(
+                imgs, labs, patch_shape=PATCH, seed=3,
+                affinity_mode=affinity_mode, transform=True,
+            )
+            val_ds = data_handling.ValidateDataset(
+                imgs, labs, patch_shape=PATCH, containment_buffer=0,
+                affinity_mode=affinity_mode,
+            )
+            trainer = Trainer(
+                str(tmp_path / f"wire{wire}"), batch_size=4,
+                max_epochs=1, width_multiplier=0.25, use_amp=False,
+                affinity_mode=affinity_mode, wire_labels=wire,
+            )
+            trainer.run(train_ds, val_ds)
+            leaves = jax.tree_util.tree_leaves(trainer.params)
+            digests.append((
+                trainer.best_f1,
+                [np.asarray(leaf).tobytes() for leaf in leaves],
+            ))
+            if wire:
+                assert train_ds.wire_labels and val_ds.wire_labels
+        assert digests[0][0] == digests[1][0]
+        for a, b in zip(digests[0][1], digests[1][1]):
+            assert a == b
+
+    def test_bf16_image_wire_rounding_matches_device(self):
+        """Host ml_dtypes f32->bf16 rounding == on-device XLA convert,
+        so pre-rounding images on the wire changes no forward value."""
+        import jax.numpy as jnp
+        import ml_dtypes
+
+        rng = np.random.default_rng(2)
+        x = rng.standard_normal(4096).astype(np.float32) * rng.choice(
+            [1e-8, 1.0, 1e8], 4096
+        ).astype(np.float32)
+        host = x.astype(ml_dtypes.bfloat16)
+        dev = np.asarray(jnp.asarray(x).astype(jnp.bfloat16))
+        np.testing.assert_array_equal(
+            host.view(np.uint16), dev.view(np.uint16)
+        )
+
+    def test_wire_shrinks_batch_bytes(self):
+        imgs, labs = make_volumes()
+        ds = data_handling.TrainDataset(
+            imgs, labs, patch_shape=PATCH, seed=0
+        )
+        _, y_full = ds[0]
+        ds.wire_labels = True
+        _, y_wire = ds[0]
+        assert y_full.dtype == np.float32 and y_full.shape[0] == 3
+        assert y_wire.dtype == np.uint16 and y_wire.shape[0] == 1
+        assert y_wire.nbytes * 6 == y_full.nbytes
+
+
 class TestDeviceAugment:
     def test_augment_batch_properties(self):
         import jax
