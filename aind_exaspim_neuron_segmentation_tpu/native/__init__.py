@@ -221,8 +221,8 @@ def zstd_compress(data, level=5):
 
 _JPEG_ERRORS = {
     -1: "malformed JPEG stream",
-    -2: "unsupported JPEG mode (progressive/arithmetic/lossless)",
-    -3: "unsupported JPEG precision (only 8-bit baseline)",
+    -2: "unsupported JPEG mode (arithmetic/lossless/hierarchical)",
+    -3: "unsupported JPEG precision (only 8-bit)",
     -4: "unsupported JPEG component count or sampling factors",
     -5: "JPEG scan references a missing quantization/Huffman table",
     -6: "truncated or corrupt JPEG entropy data",
@@ -231,8 +231,8 @@ _JPEG_ERRORS = {
 
 
 def jpeg_decode(data, tables=None, color_transform=-1):
-    """Decode a baseline JPEG stream to a ``(H, W)`` or ``(H, W, C)``
-    uint8 array.
+    """Decode a baseline or progressive JPEG stream to a ``(H, W)`` or
+    ``(H, W, C)`` uint8 array.
 
     Native equivalent of the imagecodecs JPEG decoder the reference's
     tifffile stack uses for compression-7 TIFF pages (reference

@@ -8,14 +8,18 @@
 // 4:1:1 subsampling, restart markers, interleaved and non-interleaved
 // scans, and TIFF's abbreviated-stream convention (DQT/DHT/DRI supplied
 // separately via the JPEGTables tag, processed here as a prelude
-// stream). Progressive (SOF2), arithmetic coding (SOF9+), 12-bit
-// precision, and hierarchical modes are rejected with distinct error
-// codes -- they do not appear in the scientific-TIFF corpus this layer
-// targets.
+// stream). Progressive mode (SOF2, T.81 G.2) decodes through
+// coefficient-domain scan accumulation: DC/AC first passes and
+// successive-approximation refinement (EOB runs, correction bits --
+// the same algorithm as libjpeg's jdphuff.c) build per-block zigzag
+// coefficients across scans, dequantized + IDCT'd once at EOI.
+// Arithmetic coding (SOF9+), 12-bit precision, and hierarchical modes
+// are rejected with distinct error codes -- they do not appear in the
+// scientific-TIFF corpus this layer targets.
 //
 // Error codes (negative returns):
 //   -1 malformed stream / unexpected marker structure
-//   -2 unsupported SOF (progressive/arithmetic/lossless)
+//   -2 unsupported SOF (arithmetic/lossless/hierarchical)
 //   -3 unsupported precision (only 8-bit)
 //   -4 unsupported component count or sampling factors
 //   -5 missing quantization/Huffman table referenced by a scan
@@ -205,6 +209,10 @@ struct Component {
   int dc_pred = 0;
   int plane_w = 0, plane_h = 0;  // padded to whole blocks
   std::vector<uint8_t> plane;
+  // Progressive mode: per-block coefficients in ZIGZAG order (scans
+  // address spectral bands Ss..Se), raw (pre-quant) values accumulated
+  // across scans; block (by, bx) lives at ((by * plane_w/8) + bx) * 64.
+  std::vector<int32_t> coefs;
 };
 
 struct Decoder {
@@ -216,6 +224,8 @@ struct Decoder {
   int hmax = 1, vmax = 1;
   Component comps[4];
   bool have_frame = false;
+  bool progressive = false;
+  uint32_t eobrun = 0;  // progressive AC end-of-band run (T.81 G.1.2.2)
   Idct idct;
 
   // Parse marker segments. scan_mode: false = tables-only prelude
@@ -278,9 +288,11 @@ struct Decoder {
           restart_interval = (seg[0] << 8) | seg[1];
           break;
         case 0xC0:
-        case 0xC1: {  // SOF0 baseline / SOF1 extended sequential
+        case 0xC1:
+        case 0xC2: {  // SOF0 baseline / SOF1 ext. sequential / SOF2 prog.
           if (have_frame) return -1;
           if (body < 6) return -1;
+          progressive = marker == 0xC2;
           if (seg[0] != 8) return -3;
           height = (seg[1] << 8) | seg[2];
           width = (seg[3] << 8) | seg[4];
@@ -315,10 +327,12 @@ struct Decoder {
             comp.plane_h = static_cast<int>(bh * 8);
             comp.plane.assign(
                 static_cast<size_t>(comp.plane_w) * comp.plane_h, 0);
+            if (progressive) {
+              comp.coefs.assign(static_cast<size_t>(bw) * bh * 64, 0);
+            }
           }
           break;
         }
-        case 0xC2:
         case 0xC3:
         case 0xC5:
         case 0xC6:
@@ -346,7 +360,17 @@ struct Decoder {
             comps[idx].td = seg[2 + 2 * s] >> 4;
             comps[idx].ta = seg[2 + 2 * s] & 0x0F;
           }
-          const int64_t rc = decode_scan(p, end, scan_comps, ns, &p);
+          int64_t rc;
+          if (progressive) {
+            const int ss = seg[1 + 2 * ns];
+            const int se = seg[2 + 2 * ns];
+            const int ah = seg[3 + 2 * ns] >> 4;
+            const int al = seg[3 + 2 * ns] & 0x0F;
+            rc = decode_scan_prog(p, end, scan_comps, ns, ss, se, ah, al,
+                                  &p);
+          } else {
+            rc = decode_scan(p, end, scan_comps, ns, &p);
+          }
           if (rc < 0) return rc;
           break;
         }
@@ -441,6 +465,184 @@ struct Decoder {
       ++q;
     }
     *out_p = q;
+    return 0;
+  }
+
+  // One progressive scan (T.81 G.2; algorithm and corner cases mirror
+  // libjpeg jdphuff.c): DC scans (Ss == 0, interleaved or not) decode
+  // the DC first pass (Ah == 0, successive-approximation shift Al) or
+  // one refinement bit per block; AC scans (single-component by spec)
+  // fill the spectral band [Ss, Se] with EOB-run skipping, or refine
+  // already-nonzero coefficients with correction bits.
+  int64_t decode_scan_prog(const uint8_t* p, const uint8_t* end,
+                           const int* scan_comps, int ns, int ss, int se,
+                           int ah, int al, const uint8_t** out_p) {
+    if (ss > 63 || se > 63 || ss > se || al > 13 ||
+        (ss == 0 && se != 0) || (ss > 0 && ns != 1)) {
+      return -1;
+    }
+    BitReader br(p, end);
+    int64_t n_units, units_x;
+    if (ns == 1) {
+      const Component& c0 = comps[scan_comps[0]];
+      const int64_t cw = (int64_t(width) * c0.h + hmax - 1) / hmax;
+      const int64_t ch = (int64_t(height) * c0.v + vmax - 1) / vmax;
+      units_x = (cw + 7) / 8;
+      n_units = units_x * ((ch + 7) / 8);
+    } else {
+      units_x = (width + 8 * hmax - 1) / (8 * hmax);
+      n_units = units_x * ((height + 8 * vmax - 1) / (8 * vmax));
+    }
+    for (int s = 0; s < ns; ++s) comps[scan_comps[s]].dc_pred = 0;
+    eobrun = 0;
+    int next_rst = 0;
+    for (int64_t m = 0; m < n_units; ++m) {
+      if (restart_interval && m && m % restart_interval == 0) {
+        const int got = br.resync();
+        if (got < 0) return -6;
+        if (got != next_rst) return -7;
+        next_rst = (next_rst + 1) & 7;
+        for (int s = 0; s < ns; ++s) comps[scan_comps[s]].dc_pred = 0;
+        eobrun = 0;
+      }
+      const int64_t uy = m / units_x, ux = m % units_x;
+      if (ss == 0) {  // DC scan (the only interleavable kind)
+        for (int s = 0; s < ns; ++s) {
+          Component& c = comps[scan_comps[s]];
+          const int bh_n = ns == 1 ? 1 : c.v;
+          const int bw_n = ns == 1 ? 1 : c.h;
+          for (int by = 0; by < bh_n; ++by) {
+            for (int bx = 0; bx < bw_n; ++bx) {
+              const int64_t bys = ns == 1 ? uy : uy * c.v + by;
+              const int64_t bxs = ns == 1 ? ux : ux * c.h + bx;
+              int32_t* coef =
+                  c.coefs.data() + (bys * (c.plane_w / 8) + bxs) * 64;
+              if (ah == 0) {
+                const HuffTable& hd = huff_dc[c.td];
+                if (!hd.present) return -5;
+                const int t = huff_decode(br, hd);
+                if (t < 0 || t > 15) return -6;
+                c.dc_pred += extend(br.get_bits(t), t);
+                coef[0] = c.dc_pred * (1 << al);
+              } else if (br.get_bits(1)) {
+                coef[0] |= 1 << al;  // refinement bit
+              }
+            }
+          }
+        }
+        continue;
+      }
+      // AC scan: one block of the single component per unit.
+      Component& c = comps[scan_comps[0]];
+      int32_t* coef = c.coefs.data() + (uy * (c.plane_w / 8) + ux) * 64;
+      const HuffTable& ha = huff_ac[c.ta];
+      if (!ha.present) return -5;
+      if (ah == 0) {  // first pass over this band
+        if (eobrun > 0) {
+          --eobrun;
+          continue;
+        }
+        for (int k = ss; k <= se;) {
+          const int rs = huff_decode(br, ha);
+          if (rs < 0) return -6;
+          const int r = rs >> 4, sbits = rs & 0x0F;
+          if (sbits == 0) {
+            if (r != 15) {  // EOBn: run of blocks ending here
+              eobrun = (1u << r) - 1;
+              if (r) eobrun += static_cast<uint32_t>(br.get_bits(r));
+              break;
+            }
+            k += 16;  // ZRL
+          } else {
+            k += r;
+            if (k > se) return -6;
+            coef[k] = extend(br.get_bits(sbits), sbits) * (1 << al);
+            ++k;
+          }
+        }
+        continue;
+      }
+      // Refinement pass: correction bits for already-nonzero
+      // coefficients; newly-significant coefficients carry +-(1<<Al).
+      const int32_t p1 = 1 << al;
+      const int32_t m1 = -(1 << al);
+      int k = ss;
+      if (eobrun == 0) {
+        while (k <= se) {
+          const int rs = huff_decode(br, ha);
+          if (rs < 0) return -6;
+          int r = rs >> 4;
+          const int sbits = rs & 0x0F;
+          int32_t newval = 0;
+          if (sbits == 0) {
+            if (r != 15) {
+              eobrun = 1u << r;
+              if (r) eobrun += static_cast<uint32_t>(br.get_bits(r));
+              break;
+            }
+          } else {
+            if (sbits != 1) return -6;  // refinement emits 1-bit cats
+            newval = br.get_bits(1) ? p1 : m1;
+          }
+          while (k <= se) {
+            int32_t& cc = coef[k];
+            if (cc != 0) {
+              if (br.get_bits(1) && (cc & p1) == 0) {
+                cc += cc >= 0 ? p1 : m1;
+              }
+            } else {
+              if (r == 0) break;
+              --r;
+            }
+            ++k;
+          }
+          if (newval != 0 && k <= se) coef[k] = newval;
+          ++k;
+        }
+      }
+      if (eobrun > 0) {  // tail of an EOB run still refines nonzeros
+        while (k <= se) {
+          int32_t& cc = coef[k];
+          if (cc != 0 && br.get_bits(1) && (cc & p1) == 0) {
+            cc += cc >= 0 ? p1 : m1;
+          }
+          ++k;
+        }
+        --eobrun;
+      }
+    }
+    const uint8_t* q = br.p;
+    while (q + 1 < end && !(q[0] == 0xFF && q[1] != 0x00 &&
+                            !(q[1] >= 0xD0 && q[1] <= 0xD7))) {
+      ++q;
+    }
+    *out_p = q;
+    return 0;
+  }
+
+  // Progressive finish: dequantize the accumulated zigzag coefficients
+  // and IDCT every block into the component planes (the step baseline
+  // scans perform inline).
+  int64_t finish_progressive() {
+    for (int ci = 0; ci < ncomp; ++ci) {
+      Component& c = comps[ci];
+      if (!qt_present[c.tq]) return -5;
+      const uint16_t* q = qt[c.tq];
+      const int bw = c.plane_w / 8, bh = c.plane_h / 8;
+      for (int by = 0; by < bh; ++by) {
+        for (int bx = 0; bx < bw; ++bx) {
+          const int32_t* zz =
+              c.coefs.data() + (static_cast<int64_t>(by) * bw + bx) * 64;
+          int32_t nat[64];
+          for (int k = 0; k < 64; ++k) {
+            nat[kZigzag[k]] =
+                zz[k] * static_cast<int32_t>(q[kZigzag[k]]);
+          }
+          idct.run(nat, c.plane.data() + (by * 8) * c.plane_w + bx * 8,
+                   c.plane_w);
+        }
+      }
+    }
     return 0;
   }
 
@@ -582,7 +784,7 @@ EXA_API int64_t exa_jpeg_info(const uint8_t* data, int64_t n,
     if (marker == 0x01 || (marker >= 0xD0 && marker <= 0xD7)) continue;
     const int seg_len = (p[0] << 8) | p[1];
     if (seg_len < 2 || p + seg_len > end) return -1;
-    if (marker == 0xC0 || marker == 0xC1) {
+    if (marker == 0xC0 || marker == 0xC1 || marker == 0xC2) {
       const uint8_t* seg = p + 2;
       if (seg[0] != 8) return -3;
       info[0] = (seg[1] << 8) | seg[2];
@@ -590,7 +792,7 @@ EXA_API int64_t exa_jpeg_info(const uint8_t* data, int64_t n,
       info[2] = seg[5];
       return 0;
     }
-    if (marker >= 0xC2 && marker <= 0xCF && marker != 0xC4 &&
+    if (marker >= 0xC3 && marker <= 0xCF && marker != 0xC4 &&
         marker != 0xC8 && marker != 0xCC) {
       return -2;
     }
@@ -610,6 +812,10 @@ EXA_API int64_t exa_jpeg_decode(const uint8_t* data, int64_t n,
   Decoder dec;
   const int64_t rc = run(data, n, tables, nt, dec);
   if (rc < 0) return rc;
+  if (dec.progressive) {
+    const int64_t rc2 = dec.finish_progressive();
+    if (rc2 < 0) return rc2;
+  }
   const int eff_color = color == -1 ? (dec.ncomp == 3 ? 1 : 0) : color;
   dec.emit(eff_color, out);
   return 0;

@@ -115,12 +115,41 @@ class TestJpegCodec:
         split = native.jpeg_decode(abbreviated, tables=tables)
         np.testing.assert_array_equal(full, split)
 
-    def test_progressive_rejected(self):
+    @pytest.mark.parametrize("subsampling", [0, 2])
+    def test_progressive_matches_pillow(self, subsampling):
+        """SOF2 spectral-selection + successive-approximation decode
+        against Pillow's libjpeg within the sequential envelope."""
         rng = np.random.default_rng(4)
-        img = _smooth_rgb(rng, 32, 32)
+        img = _smooth_rgb(rng, 49, 57)  # non-multiple-of-8 edges
+        data = _encode(img, quality=85, progressive=True,
+                       subsampling=subsampling)
+        assert b"\xff\xc2" in data  # really progressive
+        ours = native.jpeg_decode(data)
+        ref = _pil_decode(data)
+        diff = np.abs(ours.astype(int) - ref.astype(int))
+        assert diff.max() <= 3
+        assert diff.mean() < 0.2
+
+    def test_progressive_grayscale_and_restarts(self):
+        rng = np.random.default_rng(14)
+        img = _smooth_rgb(rng, 40, 44)[:, :, 0]
+        data = _encode(img, quality=90, progressive=True,
+                       restart_marker_rows=1)
+        ours = native.jpeg_decode(data)
+        ref = _pil_decode(data)
+        assert np.abs(ours.astype(int) - ref.astype(int)).max() <= 3
+
+    def test_progressive_info(self):
+        rng = np.random.default_rng(15)
+        img = _smooth_rgb(rng, 33, 41)
         data = _encode(img, quality=85, progressive=True)
-        with pytest.raises(ValueError, match="progressive"):
-            native.jpeg_decode(data)
+        from aind_exaspim_neuron_segmentation_tpu.native import _lib
+        import ctypes
+
+        info = (ctypes.c_int64 * 3)()
+        src = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
+        assert _lib().exa_jpeg_info(src, len(data), None, 0, info) == 0
+        assert tuple(info) == (33, 41, 3)
 
     def test_color_transform_flag(self):
         rng = np.random.default_rng(5)
