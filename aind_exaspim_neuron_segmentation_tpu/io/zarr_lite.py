@@ -791,15 +791,32 @@ class ZarrPlaneWriter:
         }
         self.store.put(".zarray", json.dumps(meta).encode())
 
-    def write_planes(self, z0, block):
-        """Write ``block`` ((dz, H, W) or (C, dz, H, W)) at plane z0."""
+    def write_planes(self, z0, block, y0=0):
+        """Write ``block`` ((dz, H, W) or (C, dz, H, W)) at plane z0.
+
+        ``y0``: global Y offset of the block (default 0 = full-height
+        planes). Must sit on the chunk grid (``y0 % cy == 0``) and the
+        block must end on the grid or at the array's Y extent, so that
+        writers with disjoint chunk-aligned Y ranges touch disjoint
+        chunk keys -- this is what lets a 2-D multi-process mesh whose
+        Z rows split Y across processes stream one shared store
+        (``parallel.predict_sharded`` picks ``cy`` = gcd of the Y
+        shard boundaries).
+        """
         block = np.asarray(block, self.dtype)
         z_axis = 0 if self.channels is None else 1
         dz = block.shape[z_axis]
+        hb = block.shape[z_axis + 1]
         _, cy, cx = self.chunks
         d, h, w = self.shape[z_axis:]
+        if y0 % cy or ((y0 + hb) % cy and y0 + hb != h):
+            raise ValueError(
+                f"Y range [{y0}, {y0 + hb}) is not aligned to the "
+                f"chunk grid (cy={cy}, H={h}): concurrent writers "
+                "would share chunk keys"
+            )
         for dzi in range(dz):
-            for yi in range(math.ceil(h / cy)):
+            for yi in range(y0 // cy, math.ceil((y0 + hb) / cy)):
                 for xi in range(math.ceil(w / cx)):
                     cshape = (
                         ((self.channels,) if self.channels else ())
@@ -810,7 +827,7 @@ class ZarrPlaneWriter:
                     xs = slice(xi * cx, min((xi + 1) * cx, w))
                     src = [slice(None)] * block.ndim
                     src[z_axis] = slice(dzi, dzi + 1)
-                    src[z_axis + 1] = ys
+                    src[z_axis + 1] = slice(ys.start - y0, ys.stop - y0)
                     src[z_axis + 2] = xs
                     dst = [slice(None)] * chunk.ndim
                     dst[z_axis + 1] = slice(0, ys.stop - ys.start)

@@ -166,7 +166,9 @@ def predict_sharded(
     refused unless ``allow_partial=True`` makes the contract explicit.
     With it, 2-D meshes may also split a Z row's Y shards across
     processes (each fills its own Y ranges). ``out_path`` streaming
-    still requires whole Z rows per process -- checked up front.
+    supports Y-split rows too: the store's Y chunk grid is aligned to
+    the shard boundaries (``cy = gcd(trim, own)``) so processes write
+    disjoint chunk keys with no coordination.
 
     ``timer``: optional :class:`..utils.profiling.StageTimer` recording
     wall time per stage (``normalize`` / ``forward`` / ``fetch_assemble``).
@@ -615,23 +617,26 @@ def predict_sharded(
             "store assembled across processes, or allow_partial=True "
             "to accept the process-local fill."
         )
+    ysplit_chunks = None  # (cy, cx) when Z rows split Y across processes
     if multiproc and out_path is not None and y_axis is not None:
-        # Fail fast: process-local streaming output writes whole Z rows
-        # (one-plane-deep chunks), so a row's Y shards must all be on
-        # one process. Checked here against the device-to-process
-        # layout instead of erroring mid-assembly.
+        # Process-local streaming output: a Z row whose Y shards live on
+        # more than one process means two processes write the SAME z
+        # planes. That is safe iff the store's Y chunk grid is aligned
+        # to every Y shard boundary (trim + j*own), so the processes
+        # touch disjoint chunk keys. gcd(trim, own) divides all of
+        # them (and the leading trim offset); use it as the chunk
+        # height unless it is degenerate.
         local_ids = {d.id for d in jax.local_devices()}
         dev_grid = mesh.devices.reshape(nz, ny)
-        for i_row in range(nz):
-            loc = [dev_grid[i_row, j].id in local_ids for j in range(ny)]
-            if any(loc) and not all(loc):
-                raise ValueError(
-                    "multi-process predict_sharded with out_path needs "
-                    "whole Z rows per process (Z-major process-to-mesh "
-                    f"layout); row {i_row} is split across processes. "
-                    "Use a Z-only mesh across processes, or dense "
-                    "output with allow_partial=True."
-                )
+        split = any(
+            0 < sum(dev_grid[i, j].id in local_ids for j in range(ny)) < ny
+            for i in range(nz)
+        )
+        if split:
+            g = math.gcd(trim, yp.own) if trim else yp.own
+            while g > 256 and g % 2 == 0:
+                g //= 2
+            ysplit_chunks = (g, min(256, dim[2]))
     writer = None
     plane_writer = None
     digest_writers = None
@@ -648,15 +653,21 @@ def predict_sharded(
         )
 
         cls = ZarrPlaneWriter if multiproc else ZarrAppendWriter
+        dw_kw = {"chunks_yx": ysplit_chunks} if ysplit_chunks else {}
         digest_writers = (
-            cls(out_path[0], tuple(dim), np.uint8),
-            cls(out_path[1], (3,) + tuple(dim), np.uint8),
+            cls(out_path[0], tuple(dim), np.uint8, **dw_kw),
+            cls(out_path[1], (3,) + tuple(dim), np.uint8, **dw_kw),
         )
 
-        def emit(z_lo, z_hi, block):
+        def emit(z_lo, z_hi, block, y_ranges=None):
             if multiproc:
-                digest_writers[0].write_planes(z_lo, block[0])
-                digest_writers[1].write_planes(z_lo, block[1:])
+                for ya, yb in y_ranges or [(0, dim[1])]:
+                    digest_writers[0].write_planes(
+                        z_lo, block[0][:, ya:yb], y0=ya
+                    )
+                    digest_writers[1].write_planes(
+                        z_lo, block[1:][:, :, ya:yb], y0=ya
+                    )
             else:
                 digest_writers[0].append(block[0])
                 digest_writers[1].append(block[1:])
@@ -664,17 +675,24 @@ def predict_sharded(
         # Each process writes ONLY its own Z rows: one-plane-deep output
         # chunks make disjoint z-ranges touch disjoint chunk keys, so no
         # cross-process coordination is needed; unwritten chunks read as
-        # the zarr fill value (the never-covered trim planes).
+        # the zarr fill value (the never-covered trim planes). When a Z
+        # row's Y shards span processes, the Y-shard-aligned chunk grid
+        # (``ysplit_chunks``) keeps the per-process writes on disjoint
+        # keys too; each process then emits only its own Y ranges.
         from aind_exaspim_neuron_segmentation_tpu.io.zarr_lite import (
             ZarrPlaneWriter,
         )
 
-        plane_writer = ZarrPlaneWriter(out_path, out_shape, np.float32)
+        plane_writer = ZarrPlaneWriter(
+            out_path, out_shape, np.float32,
+            **({"chunks_yx": ysplit_chunks} if ysplit_chunks else {}),
+        )
 
-        def emit(z_lo, z_hi, block):
-            plane_writer.write_planes(
-                z_lo, block if affinity_mode else block[0]
-            )
+        def emit(z_lo, z_hi, block, y_ranges=None):
+            data = block if affinity_mode else block[0]
+            for ya, yb in y_ranges or [(0, dim[1])]:
+                plane_writer.write_planes(z_lo, data[..., ya:yb, :],
+                                          y0=ya)
     elif out_path is not None:
         from aind_exaspim_neuron_segmentation_tpu.io.zarr_lite import (
             ZarrAppendWriter,
@@ -682,7 +700,7 @@ def predict_sharded(
 
         writer = ZarrAppendWriter(out_path, out_shape, np.float32)
 
-        def emit(z_lo, z_hi, block):
+        def emit(z_lo, z_hi, block, y_ranges=None):
             writer.append(block if affinity_mode else block[0])
     else:
         # Dense assembly. On multi-process meshes each process fills only
@@ -691,7 +709,7 @@ def predict_sharded(
         # zero margins ARE the correct digest of the zero trim planes.
         out = np.zeros((asm_channels,) + tuple(dim), asm_dtype)
 
-        def emit(z_lo, z_hi, block):
+        def emit(z_lo, z_hi, block, y_ranges=None):
             out[:, z_lo:z_hi] = block
 
     # --- Band loop ------------------------------------------------------
@@ -787,9 +805,42 @@ def predict_sharded(
                     if last_y:
                         break
                 if multiproc and out_path is not None:
+                    y_ranges = None
+                    if ysplit_chunks is not None:
+                        # write ONLY this process's Y shard extents
+                        # (chunk-aligned by construction); merge
+                        # adjacent shards into one range
+                        y_ranges = []
+                        for j in local_js:
+                            y_base = j * yp.own + trim
+                            if y_base >= dim[1]:
+                                continue
+                            last_y = (
+                                j == ny - 1
+                                or (j + 1) * yp.own + trim >= dim[1]
+                            )
+                            y_hi = min(
+                                y_base + yp.own
+                                + (yp.spill if last_y else 0),
+                                dim[1],
+                            )
+                            if last_y:
+                                # the region above the last shard is
+                                # globally unowned (reads as fill=0);
+                                # round up to the chunk grid -- the
+                                # row buffer is zero there
+                                cy_out = ysplit_chunks[0]
+                                y_hi = min(
+                                    -(-y_hi // cy_out) * cy_out, dim[1]
+                                )
+                            if y_ranges and y_ranges[-1][1] == y_base:
+                                y_ranges[-1] = (y_ranges[-1][0], y_hi)
+                            else:
+                                y_ranges.append((y_base, y_hi))
                     # skip leading gaps: those planes belong to the zarr
                     # fill value or to rows another process owns
-                    emit(next_z + row_off, z_hi_dev, row[:, row_off:])
+                    emit(next_z + row_off, z_hi_dev, row[:, row_off:],
+                         y_ranges=y_ranges)
                 else:
                     emit(next_z, z_hi_dev, row)
                 next_z = z_hi_dev

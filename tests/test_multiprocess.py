@@ -207,14 +207,18 @@ try:
     raise SystemExit("expected ValueError for dense multi-process call")
 except ValueError:
     pass
-# out_path with a Y-split row must fail fast with the layout error
-try:
-    parallel.predict_sharded(
-        lazy, runner, mesh=mesh, out_path=out_prefix + ".zarr", **kw
-    )
-    raise SystemExit("expected ValueError for Y-split out_path call")
-except ValueError as e:
-    assert "whole Z rows" in str(e), e
+# out_path with Y-split rows streams one shared store: the Y chunk
+# grid aligns to the shard boundaries so the processes write disjoint
+# chunk keys with no coordination
+parallel.predict_sharded(
+    lazy, runner, mesh=mesh, out_path=out_prefix + ".aff.zarr", **kw
+)
+# digest stores under the same Y-split layout
+parallel.predict_sharded(
+    lazy, runner, mesh=mesh, predigest=True,
+    out_path=(out_prefix + ".plan.zarr", out_prefix + ".qaff.zarr"),
+    **kw
+)
 # allow_partial: each process fills only its own Y shards
 aff = parallel.predict_sharded(
     lazy, runner, mesh=mesh, allow_partial=True, **kw
@@ -225,9 +229,11 @@ print(f"[p{pid}] done", flush=True)
 
 
 def test_two_process_ysplit_partial(tmp_path):
-    """A 2-D mesh whose Y axis spans processes: out_path fails fast,
-    dense requires allow_partial, and the two partial fills are
-    disjoint and jointly equal the single-device result."""
+    """A 2-D mesh whose Y axis spans processes: out_path streams one
+    shared float store (and one shared digest-store pair) on a
+    Y-shard-aligned chunk grid, dense requires allow_partial, and the
+    two partial fills are disjoint and jointly equal the single-device
+    result."""
     rng = np.random.default_rng(11)
     vol = rng.integers(0, 1500, (20, 96, 24)).astype(np.uint16)
     in_path = str(tmp_path / "in.zarr")
@@ -267,6 +273,26 @@ def test_two_process_ysplit_partial(tmp_path):
         trim=2, batch_size=4, verbose=False,
     )
     np.testing.assert_allclose(part0 + part1, want, atol=1e-6)
+
+    # the jointly-written float store equals the single-device result
+    got = np.asarray(zarr_lite.open_zarr(f"{out_prefix}.aff.zarr")[:])
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+    # the jointly-written digest stores match a single-process sharded
+    # digest on the same (1, 8) mesh bit-for-bit
+    from aind_exaspim_neuron_segmentation_tpu import parallel
+
+    want_plan, want_q = parallel.predict_sharded(
+        vol, runner, mesh=parallel.make_mesh_2d((1, 8)), predigest=True,
+        patch_shape=(16, 16, 16), overlap=(8, 8, 4), trim=2,
+        batch_size=4,
+    )
+    got_plan = np.asarray(
+        zarr_lite.open_zarr(f"{out_prefix}.plan.zarr")[:]
+    )
+    got_q = np.asarray(zarr_lite.open_zarr(f"{out_prefix}.qaff.zarr")[:])
+    np.testing.assert_array_equal(np.asarray(want_plan), got_plan)
+    np.testing.assert_array_equal(np.asarray(want_q), got_q)
 
 
 _SEGMENT_WORKER = """
