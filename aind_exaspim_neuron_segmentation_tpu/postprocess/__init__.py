@@ -79,3 +79,14 @@ def segment_streaming_sharded(affinities, **kwargs):
     )
 
     return _sharded(affinities, **kwargs)
+
+
+def skeletonize_sharded(labels, **kwargs):
+    """Multi-process TEASAR skeletonization over ``jax.distributed``
+    (bit-identical to :func:`skeletonize` on a lazy label store) --
+    postprocess.distributed."""
+    from aind_exaspim_neuron_segmentation_tpu.postprocess.distributed import (
+        skeletonize_sharded as _sharded,
+    )
+
+    return _sharded(labels, **kwargs)

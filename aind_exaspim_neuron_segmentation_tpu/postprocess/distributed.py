@@ -569,3 +569,167 @@ def segment_streaming_sharded(
 
         return open_zarr(out_path)
     return result
+
+
+def _merge_bbox_partials(partials):
+    """Merge per-rank (bbox, counts, gmin, gmax) partials from disjoint
+    Z ranges: pad to the widest label table, elementwise min/max the
+    bbox columns, sum the counts."""
+    n = max(len(c) for _, c, _, _ in partials)
+    bbox = np.empty((n, 6), np.int64)
+    bbox[:, 0::2] = np.iinfo(np.int64).max
+    bbox[:, 1::2] = -1
+    counts = np.zeros(n, np.int64)
+    gmin = min(g for _, _, g, _ in partials)
+    gmax = max(g for _, _, _, g in partials)
+    for b, c, _, _ in partials:
+        k = len(c)
+        np.minimum(bbox[:k, 0::2], b[:, 0::2], out=bbox[:k, 0::2])
+        np.maximum(bbox[:k, 1::2], b[:, 1::2], out=bbox[:k, 1::2])
+        counts[:k] += c
+    return bbox, counts, gmin, gmax
+
+
+def _partition_labels(counts, n_ranks):
+    """Deterministic label -> rank assignment balancing voxel load:
+    labels in descending count order (ties by id) greedily go to the
+    least-loaded rank. Returns a list of per-rank label lists (each
+    sorted ascending, so piece iteration order is scan-stable)."""
+    labs = sorted(
+        (lab for lab in range(1, len(counts)) if counts[lab]),
+        key=lambda lab: (-int(counts[lab]), lab),
+    )
+    load = [0] * n_ranks
+    out = [[] for _ in range(n_ranks)]
+    for lab in labs:
+        r = min(range(n_ranks), key=lambda i: (load[i], i))
+        load[r] += int(counts[lab])
+        out[r].append(lab)
+    for part in out:
+        part.sort()
+    return out
+
+
+def _skeleton_plan(partials, n_ranks, kw):
+    """Shared rank-0 planning for the sharded/virtual skeletonizers:
+    merge bbox partials, build params, partition labels."""
+    from aind_exaspim_neuron_segmentation_tpu.postprocess.skeleton import (
+        _params_array,
+    )
+
+    bbox, counts, gmin, gmax = _merge_bbox_partials(partials)
+    params = _params_array(
+        kw["scale"], kw["const"], kw["pdrf_exponent"], kw["pdrf_scale"],
+        kw["soma_detection_threshold"], kw["soma_acceptance_threshold"],
+        kw["soma_invalidation_scale"], kw["soma_invalidation_const"],
+        kw["anisotropy"], kw["parallel"], black_border=(gmin == gmax),
+    )
+    return [
+        (part, bbox, params) for part in _partition_labels(counts, n_ranks)
+    ]
+
+
+_SKEL_DEFAULTS = dict(
+    scale=1.25, const=450, pdrf_exponent=4, pdrf_scale=100000,
+    soma_detection_threshold=1000, soma_acceptance_threshold=3500,
+    soma_invalidation_scale=1.0, soma_invalidation_const=300,
+    anisotropy=(1.0, 1.0, 1.0), parallel=1,
+)
+
+
+def skeletonize_virtual(labels, n_ranks, fix_borders=True,
+                        fill_holes=True, slab_planes=64, **teasar_kw):
+    """:func:`skeletonize_sharded` with ``n_ranks`` VIRTUAL ranks in one
+    process -- the rank algorithm without the transport, used by the
+    bit-parity tests and ``__graft_entry__.dryrun_multichip``."""
+    from aind_exaspim_neuron_segmentation_tpu.postprocess.skeleton import (
+        _merge_pieces, bbox_scan, crop_pass,
+    )
+
+    kw = {**_SKEL_DEFAULTS, **teasar_kw}
+    d = labels.shape[0]
+    partials = [
+        bbox_scan(labels, lo, hi, slab_planes)
+        for lo, hi in partition_z(d, n_ranks)
+    ]
+    pieces = {}
+    for labs, bbox, params in _skeleton_plan(partials, n_ranks, kw):
+        pieces.update(
+            crop_pass(labels, labs, bbox, params, fix_borders, fill_holes)
+        )
+    return _merge_pieces(pieces)
+
+
+def skeletonize_sharded(labels, fix_borders=True, fill_holes=True,
+                        slab_planes=64, address=None, verbose=False,
+                        **teasar_kw):
+    """Multi-process TEASAR skeletonization over ``jax.distributed``.
+
+    Call from EVERY process of an initialized ``jax.distributed`` job
+    with the same arguments (the ``segment_streaming_sharded``
+    contract; same TEASAR parameter surface as
+    :func:`..skeleton.skeletonize_lazy`, reference inference.py:272-291
+    for the kimimaro defaults). Two distributed passes over the (lazy)
+    label store:
+
+    1. every rank slab-scans its own contiguous Z range for per-label
+       bboxes (:func:`..skeleton.bbox_scan`); rank 0 merges the
+       partials (elementwise min/max + count sums);
+    2. labels are partitioned across ranks by descending voxel load
+       (deterministic) and each rank skeletonizes its labels from
+       their 1-voxel-padded bbox crops -- per-label work is isolated,
+       so the partition cannot change any skeleton.
+
+    Rank 0 merges the piece tables and broadcasts the finished
+    ``{segment_id: Skeleton}`` dict, so every process returns the full
+    result (bit-identical to single-process ``skeletonize_lazy``,
+    pinned by tests). This closes the last single-host stage of the
+    zarr -> SWC pipeline: predict, segmentation, and skeletonization
+    all scale across ``jax.distributed`` processes.
+    """
+    import sys
+    import time
+
+    import jax
+
+    from aind_exaspim_neuron_segmentation_tpu.postprocess.skeleton import (
+        _merge_pieces, bbox_scan, crop_pass,
+    )
+
+    kw = {**_SKEL_DEFAULTS, **teasar_kw}
+    n, rank = jax.process_count(), jax.process_index()
+    if n == 1:
+        return skeletonize_virtual(
+            labels, 1, fix_borders=fix_borders, fill_holes=fill_holes,
+            slab_planes=slab_planes, **teasar_kw
+        )
+    t0 = time.time()
+
+    def stamp(msg):
+        if verbose:
+            print(
+                f"[skeletonize_sharded p{rank} {time.time() - t0:7.0f}s]"
+                f" {msg}", file=sys.stderr, flush=True,
+            )
+
+    z_lo, z_hi = partition_z(labels.shape[0], n)[rank]
+    comm = _TcpComm(rank, n, address or _rendezvous_address())
+    try:
+        partials = comm.gather(bbox_scan(labels, z_lo, z_hi, slab_planes))
+        plan = _skeleton_plan(partials, n, kw) if rank == 0 else None
+        labs, bbox, params = comm.scatter(plan)
+        stamp(f"bbox scan + plan done ({len(labs)} labels local)")
+        pieces = comm.gather(
+            crop_pass(labels, labs, bbox, params, fix_borders, fill_holes)
+        )
+        stamp("crop pass done")
+        if rank == 0:
+            merged = {}
+            for p in pieces:
+                merged.update(p)
+            skeletons = _merge_pieces(merged)
+        else:
+            skeletons = None
+        return comm.broadcast(skeletons)
+    finally:
+        comm.close()

@@ -288,17 +288,43 @@ def skeletonize_lazy(
     """
     if labels.ndim != 3:
         raise ValueError(f"expected 3D label handle, got {labels.shape}")
+    bbox, counts, gmin, gmax = bbox_scan(
+        labels, 0, labels.shape[0], slab_planes
+    )
+    params = _params_array(
+        scale, const, pdrf_exponent, pdrf_scale,
+        soma_detection_threshold, soma_acceptance_threshold,
+        soma_invalidation_scale, soma_invalidation_const, anisotropy,
+        parallel, black_border=(gmin == gmax),
+    )
+    labs = [lab for lab in range(1, len(counts)) if counts[lab]]
+    return _merge_pieces(
+        crop_pass(labels, labs, bbox, params, fix_borders, fill_holes)
+    )
+
+
+def bbox_scan(labels, z_lo, z_hi, slab_planes=64):
+    """Slab-streamed per-label bbox discovery over planes [z_lo, z_hi).
+
+    Returns ``(bbox, counts, gmin, gmax)``: ``bbox`` is
+    ``(n_labels + 1, 6)`` int64 with mins in columns 0/2/4
+    (INT64_MAX when unseen) and maxs in columns 1/3/5 (-1 unseen),
+    ``counts`` the per-label voxel counts -- the partial-scan building
+    block of :func:`skeletonize_lazy` and the multi-process
+    :func:`..distributed.skeletonize_sharded` (partials from disjoint
+    Z ranges merge by elementwise min/max + count sum).
+    """
     d, h, w = labels.shape
     lib = _bind(build.load())
     i64p = ctypes.POINTER(ctypes.c_int64)
-
-    # Discovery pass: per-label bboxes + global min/max (black_border).
     n_labels = 0
     bbox = np.empty((1, 6), np.int64)
+    bbox[:, 0::2] = np.iinfo(np.int64).max
+    bbox[:, 1::2] = -1
     counts = np.zeros(1, np.int64)
     gmin, gmax = None, None
-    for lo in range(0, d, slab_planes):
-        hi = min(lo + slab_planes, d)
+    for lo in range(z_lo, z_hi, slab_planes):
+        hi = min(lo + slab_planes, z_hi)
         slab = np.ascontiguousarray(labels[lo:hi], dtype=np.uint32)
         smax = int(slab.max())
         gmin = int(slab.min()) if gmin is None else min(gmin, int(slab.min()))
@@ -319,19 +345,23 @@ def skeletonize_lazy(
         )
         if rc < 0:
             raise RuntimeError("label bbox scan failed")
+    return bbox, counts, gmin, gmax
 
-    params = _params_array(
-        scale, const, pdrf_exponent, pdrf_scale,
-        soma_detection_threshold, soma_acceptance_threshold,
-        soma_invalidation_scale, soma_invalidation_const, anisotropy,
-        parallel, black_border=(gmin == gmax),
-    )
 
-    # Per-label crop pass.
+def crop_pass(labels, labs, bbox, params, fix_borders, fill_holes):
+    """Skeletonize each label in ``labs`` from its 1-voxel-padded bbox
+    crop of the (lazy) label store; returns the raw pieces dict (label
+    -> [(verts, radii, edges), ...]) for :func:`_merge_pieces`.
+
+    The pad guarantees a label only touches crop faces where it touches
+    true volume faces, so the output is bit-identical to the dense
+    engine -- and independent of which process runs which label, which
+    is what lets ``skeletonize_sharded`` partition ``labs``.
+    """
+    d, h, w = labels.shape
+    lib = _bind(build.load())
     pieces = {}
-    for lab in range(1, n_labels + 1):
-        if counts[lab] == 0:
-            continue
+    for lab in labs:
         z0, z1, y0, y1, x0, x1 = bbox[lab]
         z0, y0, x0 = max(z0 - 1, 0), max(y0 - 1, 0), max(x0 - 1, 0)
         z1, y1, x1 = min(z1 + 2, d), min(y1 + 2, h), min(x1 + 2, w)
@@ -347,4 +377,4 @@ def skeletonize_lazy(
             1 if fill_holes else 0,
         )
         _collect_pieces(lib, handle, pieces)
-    return _merge_pieces(pieces)
+    return pieces

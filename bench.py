@@ -394,26 +394,39 @@ jax.distributed.initialize(
     coordinator_address=f"localhost:{port}", num_processes=2,
     process_id=pid, local_device_ids=[0],
 )
-from aind_exaspim_neuron_segmentation_tpu import postprocess
+import json, time
+from aind_exaspim_neuron_segmentation_tpu import inference, postprocess
 from aind_exaspim_neuron_segmentation_tpu.io import zarr_lite
 
-postprocess.segment_streaming_sharded(
+t0 = time.time()
+labels = postprocess.segment_streaming_sharded(
     (zarr_lite.open_zarr(plan_p), zarr_lite.open_zarr(qaff_p)),
     out_path=out_p,
 )
+t1 = time.time()
+skels = postprocess.skeletonize_sharded(labels)
+t2 = time.time()
+if pid == 0:
+    inference.skeletons_to_zipped_swcs(skels, out_p + ".swcs.zip")
+    with open(out_p + ".stages.json", "w") as f:
+        json.dump({"segment": t1 - t0, "skeletonize": t2 - t1,
+                   "n_skeletons": len(skels)}, f)
 """
 
 
 def main_e2e_sharded():
-    """--e2e --sharded: volume -> TPU digest stores -> the segmentation
-    stage DISTRIBUTED over two real jax.distributed processes -> SWC.
+    """--e2e --sharded: volume -> TPU digest stores -> segmentation AND
+    skeletonization DISTRIBUTED over two real jax.distributed
+    processes -> SWC zip.
 
     The segment stage is the e2e-dominating single-host stage
     (BASELINE.md round-3 accounting); this line exercises its
-    multi-process path (postprocess.segment_streaming_sharded) on the
-    same blobby volume as --e2e. On this 1-core host both ranks share
-    one CPU, so the number validates the path rather than the speedup;
-    a real pod gives each rank its own host.
+    multi-process path (postprocess.segment_streaming_sharded)
+    followed by the distributed TEASAR pass
+    (postprocess.skeletonize_sharded) on the same blobby volume as
+    --e2e. On this 1-core host both ranks share one CPU, so the number
+    validates the path rather than the speedup; a real pod gives each
+    rank its own host.
     """
     import os
     import socket
@@ -471,13 +484,10 @@ def main_e2e_sharded():
     for p in procs:
         p.wait(timeout=3600)
         assert p.returncode == 0, f"rank failed rc={p.returncode}"
-    t2 = time.time()
-    print(f"# distributed segment done in {t2 - t1:.0f}s",
-          file=sys.stderr, flush=True)
-    seg = np.asarray(zarr_lite.open_zarr(seg_p)[:])
-    zip_path = os.path.join(work, "swcs.zip")
-    inference.segmentation_to_zipped_swcs(seg, zip_path)
     t3 = time.time()
+    stages = json.load(open(seg_p + ".stages.json"))
+    print(f"# distributed segment+skeletonize done in {t3 - t1:.0f}s",
+          file=sys.stderr, flush=True)
 
     vol_gb = vol.nbytes / 1e9
     print(json.dumps({
@@ -488,14 +498,14 @@ def main_e2e_sharded():
         "n_processes": 2,
         "stages_s": {
             "predict": round(t1 - t0, 1),
-            "segment_sharded_2proc": round(t2 - t1, 1),
-            "skeletonize_swc": round(t3 - t2, 1),
+            "segment_sharded_2proc": round(stages["segment"], 1),
+            "skeletonize_sharded_2proc": round(stages["skeletonize"], 1),
         },
-        "n_segments": int(seg.max()),
-        "caveats": "both segmentation ranks share this host's single "
-                   "CPU core; the line validates the multi-process "
-                   "path (bit-identical labels), not multi-host "
-                   "speedup",
+        "n_skeletons": stages["n_skeletons"],
+        "caveats": "both segmentation/skeletonization ranks share this "
+                   "host's single CPU core; the line validates the "
+                   "multi-process path (bit-identical labels/SWCs), "
+                   "not multi-host speedup",
     }))
 
 

@@ -312,9 +312,15 @@ from aind_exaspim_neuron_segmentation_tpu import postprocess
 from aind_exaspim_neuron_segmentation_tpu.io import zarr_lite
 
 lazy = zarr_lite.open_zarr(aff_path)
-postprocess.segment_streaming_sharded(
+labels = postprocess.segment_streaming_sharded(
     lazy, out_path=out_path, slab_planes=6,
 )
+# distributed skeletonization of the shared label store: every rank
+# gets the full broadcast dict back
+skels = postprocess.skeletonize_sharded(labels, slab_planes=6)
+import json
+with open(f"{out_path}.swc{pid}.json", "w") as f:
+    json.dump({str(k): v.to_swc() for k, v in skels.items()}, f)
 print(f"[p{pid}] done", flush=True)
 """
 
@@ -360,6 +366,25 @@ def test_two_process_streaming_segmentation(tmp_path):
     got = np.asarray(zarr_lite.open_zarr(out_path)[:])
     assert got.max() > 1  # several kept segments cross the rank cut
     np.testing.assert_array_equal(want, got)
+
+    # the distributed skeletonization must match single-process TEASAR
+    # of the same store, and both ranks must hold the full dict
+    import json
+
+    from aind_exaspim_neuron_segmentation_tpu.postprocess.skeleton import (
+        skeletonize_lazy,
+    )
+
+    want_swc = {
+        str(k): v.to_swc()
+        for k, v in skeletonize_lazy(
+            zarr_lite.open_zarr(out_path), slab_planes=6
+        ).items()
+    }
+    assert want_swc  # the fixture produces real skeletons
+    for pid in (0, 1):
+        got_swc = json.load(open(f"{out_path}.swc{pid}.json"))
+        assert got_swc == want_swc
 
 
 _TRAIN_WORKER = """

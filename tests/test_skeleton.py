@@ -195,3 +195,52 @@ class TestSkeletonizeLazy:
         assert sorted(zd.namelist()) == sorted(zl.namelist())
         for name in zd.namelist():
             assert zd.read(name) == zl.read(name)
+
+
+class TestSkeletonizeVirtual:
+    """Distributed skeletonization (rank algorithm, no transport):
+    Z-partitioned bbox discovery + load-balanced label partition must
+    be invisible in the output."""
+
+    def test_rank_count_invariance(self, tmp_path):
+        from aind_exaspim_neuron_segmentation_tpu.postprocess.distributed import (
+            skeletonize_virtual,
+        )
+
+        seg = np.zeros((24, 18, 16), np.uint32)
+        seg[2:22, 4, 4] = 1            # tube crossing every rank cut
+        seg[5:9, 8:16, 10] = 2         # bar inside rank 0's range
+        seg[12:20, 10:14, 2:14] = 3    # block inside a later range
+        seg[1, 1, 1] = 4               # single corner voxel
+        seg[14:19, 2:5, 2:5] = 7
+        store = TestSkeletonizeLazy._store(tmp_path, seg)
+        dense = skeletonize(seg)
+        for n_ranks in (1, 2, 3, 5):
+            got = skeletonize_virtual(store, n_ranks, slab_planes=5)
+            TestSkeletonizeLazy._assert_same(dense, got)
+
+    def test_single_label_black_border(self, tmp_path):
+        """gmin/gmax must merge across rank partials: a constant store
+        flips kimimaro's black_border switch globally."""
+        from aind_exaspim_neuron_segmentation_tpu.postprocess.distributed import (
+            skeletonize_virtual,
+        )
+
+        seg = np.ones((12, 8, 8), np.uint32)
+        store = TestSkeletonizeLazy._store(tmp_path, seg)
+        dense = skeletonize(seg)
+        got = skeletonize_virtual(store, 3, slab_planes=4)
+        TestSkeletonizeLazy._assert_same(dense, got)
+
+    def test_label_partition_balances_and_covers(self):
+        from aind_exaspim_neuron_segmentation_tpu.postprocess.distributed import (
+            _partition_labels,
+        )
+
+        counts = np.array([0, 100, 1, 1, 1, 0, 50], np.int64)
+        parts = _partition_labels(counts, 2)
+        assert sorted(sum(parts, [])) == [1, 2, 3, 4, 6]
+        # the heavy label sits alone against the light ones
+        assert [1] in parts
+        for part in parts:
+            assert part == sorted(part)
