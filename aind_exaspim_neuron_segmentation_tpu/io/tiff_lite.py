@@ -159,6 +159,11 @@ class _Page:
         bits = int(bits[0])
         fmt = int(tags.get(_T_SAMPLE_FORMAT, [1])[0])
         kind = {1: "u", 2: "i", 3: "f"}.get(fmt)
+        if bits == 12 and self.compression == 7 and kind == "u":
+            # 12-bit JPEG pages: the codec emits u16 samples (the same
+            # mapping tifffile/imagecodecs apply), so the page dtype is
+            # u16 even though BitsPerSample says 12.
+            bits = 16
         if kind is None or bits % 8:
             raise ValueError(f"unsupported sample format {fmt}/{bits}bit")
         self.dtype = np.dtype(f"{order}{kind}{bits // 8}")
@@ -184,18 +189,22 @@ class _Page:
 
     def _decode_jpeg(self, data, nrows, ncols):
         """Decode one compression-7 segment to ``(nrows, ncols*samples)``
-        uint8. Each strip/tile is an independent baseline JPEG stream
-        (optionally abbreviated, with shared DQT/DHT in the JPEGTables
-        tag); photometric 6 streams are stored YCbCr and convert to RGB,
-        matching the reference's tifffile/libjpeg behavior."""
+        samples (uint8, or uint16 for 12-bit streams). Each strip/tile
+        is an independent JPEG stream (optionally abbreviated, with
+        shared DQT/DHT in the JPEGTables tag); photometric 6 streams
+        are stored YCbCr and convert to RGB, matching the reference's
+        tifffile/libjpeg behavior."""
         from aind_exaspim_neuron_segmentation_tpu import native
 
-        if self.dtype.itemsize != 1:
-            raise ValueError("JPEG TIFF pages must be 8-bit")
         color = 1 if self.photometric == 6 and self.samples >= 3 else 0
         arr = native.jpeg_decode(
             bytes(data), tables=self.jpeg_tables, color_transform=color
         )
+        if arr.dtype.itemsize != self.dtype.itemsize:
+            raise ValueError(
+                f"JPEG stream precision ({arr.dtype}) disagrees with "
+                f"the page's declared sample width ({self.dtype})"
+            )
         if arr.ndim == 2:
             arr = arr[:, :, None]
         if arr.shape[2] != self.samples:

@@ -231,8 +231,9 @@ _JPEG_ERRORS = {
 
 
 def jpeg_decode(data, tables=None, color_transform=-1):
-    """Decode a baseline or progressive JPEG stream to a ``(H, W)`` or
-    ``(H, W, C)`` uint8 array.
+    """Decode a sequential or progressive JPEG stream to a ``(H, W)``
+    or ``(H, W, C)`` array: uint8 for 8-bit streams, uint16 for 12-bit
+    (T.81 extended sequential, e.g. 12-bit microscopy TIFF pages).
 
     Native equivalent of the imagecodecs JPEG decoder the reference's
     tifffile stack uses for compression-7 TIFF pages (reference
@@ -253,12 +254,13 @@ def jpeg_decode(data, tables=None, color_transform=-1):
     else:
         tab = None
         ntab = 0
-    info = (ctypes.c_int64 * 3)()
+    info = (ctypes.c_int64 * 4)()
     rc = lib.exa_jpeg_info(src, len(data), tab, ntab, info)
     if rc < 0:
         raise ValueError(_JPEG_ERRORS.get(rc, f"JPEG error {rc}"))
     h, w, ncomp = int(info[0]), int(info[1]), int(info[2])
-    out = np.empty(h * w * ncomp, np.uint8)
+    dtype = np.uint16 if int(info[3]) > 8 else np.uint8
+    out = np.empty(h * w * ncomp, dtype)
     rc = lib.exa_jpeg_decode(
         src, len(data), tab, ntab, color_transform,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),

@@ -1,4 +1,4 @@
-// Baseline JPEG (ITU T.81 sequential DCT, 8-bit) decoder.
+// JPEG (ITU T.81 sequential/progressive DCT, 8- and 12-bit) decoder.
 //
 // The reference ingests TIFF through tifffile (reference
 // img_util.py:100-121), whose compressed-strip decoding delegates to
@@ -13,14 +13,16 @@
 // successive-approximation refinement (EOB runs, correction bits --
 // the same algorithm as libjpeg's jdphuff.c) build per-block zigzag
 // coefficients across scans, dequantized + IDCT'd once at EOI.
-// Arithmetic coding (SOF9+), 12-bit precision, and hierarchical modes
-// are rejected with distinct error codes -- they do not appear in the
-// scientific-TIFF corpus this layer targets.
+// Sample precision 8 (u8 output) and 12 (u16 output, T.81 extended
+// sequential / progressive) are both decoded; arithmetic coding
+// (SOF9+) and hierarchical modes are rejected with distinct error
+// codes -- they do not appear in the scientific-TIFF corpus this
+// layer targets.
 //
 // Error codes (negative returns):
 //   -1 malformed stream / unexpected marker structure
 //   -2 unsupported SOF (arithmetic/lossless/hierarchical)
-//   -3 unsupported precision (only 8-bit)
+//   -3 unsupported precision (only 8- and 12-bit)
 //   -4 unsupported component count or sampling factors
 //   -5 missing quantization/Huffman table referenced by a scan
 //   -6 truncated entropy-coded data
@@ -164,9 +166,10 @@ const uint8_t kZigzag[64] = {
     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63};
 
 // Separable float IDCT with precomputed cosine basis; output is
-// level-shifted (+128) and clamped to u8. Float accuracy sits within
-// +-1 of the T.81 reference ideal (tests tolerance-match Pillow's
-// libjpeg integer IDCT on the same streams).
+// level-shifted (+2^(P-1)) and clamped to the P-bit sample range
+// (P = 8 or 12). Float accuracy sits within +-1 of the T.81 reference
+// ideal (tests tolerance-match Pillow's libjpeg integer IDCT on the
+// same 8-bit streams and a scipy float-IDCT oracle for 12-bit).
 struct Idct {
   float basis[8][8];  // basis[x][u] = C(u)/2 * cos((2x+1)u pi/16)
 
@@ -180,7 +183,8 @@ struct Idct {
     }
   }
 
-  void run(const int32_t coef[64], uint8_t* out, int stride) const {
+  void run(const int32_t coef[64], uint16_t* out, int stride, int center,
+           int maxv) const {
     float tmp[64];
     for (int y = 0; y < 8; ++y) {  // rows: sum over u
       for (int x = 0; x < 8; ++x) {
@@ -193,9 +197,9 @@ struct Idct {
       for (int y = 0; y < 8; ++y) {
         float s = 0.0f;
         for (int v = 0; v < 8; ++v) s += basis[y][v] * tmp[v * 8 + x];
-        const int q = static_cast<int>(std::lround(s)) + 128;
+        const int q = static_cast<int>(std::lround(s)) + center;
         out[y * stride + x] =
-            static_cast<uint8_t>(q < 0 ? 0 : (q > 255 ? 255 : q));
+            static_cast<uint16_t>(q < 0 ? 0 : (q > maxv ? maxv : q));
       }
     }
   }
@@ -208,7 +212,7 @@ struct Component {
   int td = 0, ta = 0;  // huff table ids (set per scan)
   int dc_pred = 0;
   int plane_w = 0, plane_h = 0;  // padded to whole blocks
-  std::vector<uint8_t> plane;
+  std::vector<uint16_t> plane;  // P-bit samples (u8 range when P == 8)
   // Progressive mode: per-block coefficients in ZIGZAG order (scans
   // address spectral bands Ss..Se), raw (pre-quant) values accumulated
   // across scans; block (by, bx) lives at ((by * plane_w/8) + bx) * 64.
@@ -221,6 +225,7 @@ struct Decoder {
   HuffTable huff_dc[4], huff_ac[4];
   int restart_interval = 0;
   int height = 0, width = 0, ncomp = 0;
+  int precision = 8;  // sample precision P (8 or 12)
   int hmax = 1, vmax = 1;
   Component comps[4];
   bool have_frame = false;
@@ -293,7 +298,8 @@ struct Decoder {
           if (have_frame) return -1;
           if (body < 6) return -1;
           progressive = marker == 0xC2;
-          if (seg[0] != 8) return -3;
+          if (seg[0] != 8 && seg[0] != 12) return -3;
+          precision = seg[0];
           height = (seg[1] << 8) | seg[2];
           width = (seg[3] << 8) | seg[4];
           ncomp = seg[5];
@@ -384,7 +390,8 @@ struct Decoder {
     return scan_mode && !have_frame ? -1 : 0;
   }
 
-  int decode_block(BitReader& br, Component& c, uint8_t* dst, int stride) {
+  int decode_block(BitReader& br, Component& c, uint16_t* dst,
+                   int stride) {
     const HuffTable& hd = huff_dc[c.td];
     const HuffTable& ha = huff_ac[c.ta];
     if (!hd.present || !ha.present || !qt_present[c.tq]) return -5;
@@ -413,7 +420,8 @@ struct Decoder {
       coef[nat] = extend(br.get_bits(s), s) * static_cast<int32_t>(q[nat]);
       ++k;
     }
-    idct.run(coef, dst, stride);
+    idct.run(coef, dst, stride, 1 << (precision - 1),
+             (1 << precision) - 1);
     return 0;
   }
 
@@ -451,7 +459,7 @@ struct Decoder {
           for (int bx = 0; bx < bw; ++bx) {
             const int64_t y0 = ns == 1 ? my * 8 : (my * c.v + by) * 8;
             const int64_t x0 = ns == 1 ? mx * 8 : (mx * c.h + bx) * 8;
-            uint8_t* dst = c.plane.data() + y0 * c.plane_w + x0;
+            uint16_t* dst = c.plane.data() + y0 * c.plane_w + x0;
             const int rc = decode_block(br, c, dst, c.plane_w);
             if (rc < 0) return rc;
           }
@@ -639,7 +647,8 @@ struct Decoder {
                 zz[k] * static_cast<int32_t>(q[kZigzag[k]]);
           }
           idct.run(nat, c.plane.data() + (by * 8) * c.plane_w + bx * 8,
-                   c.plane_w);
+                   c.plane_w, 1 << (precision - 1),
+                   (1 << precision) - 1);
         }
       }
     }
@@ -653,10 +662,10 @@ struct Decoder {
   // same selection jinit_upsampler makes). Matching libjpeg here keeps
   // the decoder within +-2 of the reference tifffile/imagecodecs
   // stack on subsampled streams, not just 4:4:4.
-  std::vector<uint8_t> upsample(const Component& c) const {
+  std::vector<uint16_t> upsample(const Component& c) const {
     const int cw = (width * c.h + hmax - 1) / hmax;
     const int ch = (height * c.v + vmax - 1) / vmax;
-    std::vector<uint8_t> up(static_cast<size_t>(width) * height);
+    std::vector<uint16_t> up(static_cast<size_t>(width) * height);
     auto S = [&](int y, int x) -> int {
       x = x < 0 ? 0 : (x >= cw ? cw - 1 : x);
       y = y < 0 ? 0 : (y >= ch ? ch - 1 : y);
@@ -669,7 +678,7 @@ struct Decoder {
       for (int y = 0; y < height; ++y) {
         for (int x = 0; x < width; ++x) {
           up[static_cast<size_t>(y) * width + x] =
-              static_cast<uint8_t>(S(y, x));
+              static_cast<uint16_t>(S(y, x));
         }
       }
     } else if (h2 && v1) {  // h2v1 fancy: 3/4 nearer + 1/4 further
@@ -677,7 +686,7 @@ struct Decoder {
         for (int x = 0; x < width; ++x) {
           const int i = x >> 1;
           const int v3 = 3 * S(y, i);
-          up[static_cast<size_t>(y) * width + x] = static_cast<uint8_t>(
+          up[static_cast<size_t>(y) * width + x] = static_cast<uint16_t>(
               (x & 1) ? (v3 + S(y, i + 1) + 2) >> 2
                       : (v3 + S(y, i - 1) + 1) >> 2);
         }
@@ -695,7 +704,7 @@ struct Decoder {
         };
         for (int x = 0; x < width; ++x) {
           const int i = x >> 1;
-          up[static_cast<size_t>(y) * width + x] = static_cast<uint8_t>(
+          up[static_cast<size_t>(y) * width + x] = static_cast<uint16_t>(
               (x & 1) ? (3 * colsum[i] + C(i + 1) + 7) >> 4
                       : (3 * colsum[i] + C(i - 1) + 8) >> 4);
         }
@@ -705,44 +714,59 @@ struct Decoder {
         const int sy = y * c.v / vmax;
         for (int x = 0; x < width; ++x) {
           up[static_cast<size_t>(y) * width + x] =
-              static_cast<uint8_t>(S(sy, x * c.h / hmax));
+              static_cast<uint16_t>(S(sy, x * c.h / hmax));
         }
       }
     }
     return up;
   }
 
-  // Emit interleaved u8 output (height x width x ncomp) from the
+  // Emit interleaved output (height x width x ncomp) from the
   // upsampled planes; color==1 converts YCbCr->RGB (BT.601 full
-  // range, the JFIF convention libjpeg applies).
-  void emit(int color, uint8_t* out) const {
-    std::vector<std::vector<uint8_t>> planes;
+  // range, the JFIF convention libjpeg applies; chroma centered at
+  // 2^(P-1) for P-bit samples). T = uint8_t for 8-bit streams,
+  // uint16_t (native-endian) for 12-bit.
+  template <typename T>
+  void emit_t(int color, T* out) const {
+    const int center = 1 << (precision - 1);
+    const int maxv = (1 << precision) - 1;
+    std::vector<std::vector<uint16_t>> planes;
     planes.reserve(ncomp);
     for (int c = 0; c < ncomp; ++c) planes.push_back(upsample(comps[c]));
     for (int y = 0; y < height; ++y) {
       for (int x = 0; x < width; ++x) {
-        uint8_t px[4];
+        uint16_t px[4];
         for (int c = 0; c < ncomp; ++c) {
           px[c] = planes[c][static_cast<size_t>(y) * width + x];
         }
-        uint8_t* dst = out + (static_cast<int64_t>(y) * width + x) * ncomp;
+        T* dst = out + (static_cast<int64_t>(y) * width + x) * ncomp;
         if (color == 1 && ncomp >= 3) {
-          const float Y = px[0], cb = px[1] - 128.0f, cr = px[2] - 128.0f;
+          const float Y = px[0];
+          const float cb = static_cast<float>(px[1] - center);
+          const float cr = static_cast<float>(px[2] - center);
           const float r = Y + 1.402f * cr;
           const float g = Y - 0.344136f * cb - 0.714136f * cr;
           const float b = Y + 1.772f * cb;
-          const auto clamp = [](float v) {
+          const auto clamp = [maxv](float v) {
             const int i = static_cast<int>(std::lround(v));
-            return static_cast<uint8_t>(i < 0 ? 0 : (i > 255 ? 255 : i));
+            return static_cast<T>(i < 0 ? 0 : (i > maxv ? maxv : i));
           };
           dst[0] = clamp(r);
           dst[1] = clamp(g);
           dst[2] = clamp(b);
-          for (int c = 3; c < ncomp; ++c) dst[c] = px[c];
+          for (int c = 3; c < ncomp; ++c) dst[c] = static_cast<T>(px[c]);
         } else {
-          for (int c = 0; c < ncomp; ++c) dst[c] = px[c];
+          for (int c = 0; c < ncomp; ++c) dst[c] = static_cast<T>(px[c]);
         }
       }
+    }
+  }
+
+  void emit(int color, uint8_t* out) const {
+    if (precision > 8) {
+      emit_t(color, reinterpret_cast<uint16_t*>(out));
+    } else {
+      emit_t(color, out);
     }
   }
 };
@@ -758,9 +782,10 @@ int64_t run(const uint8_t* data, int64_t n, const uint8_t* tables,
 
 }  // namespace
 
-// Dimensions of a JPEG stream: info = {height, width, ncomp}. `tables`
-// (nullable) is a TIFF JPEGTables abbreviated stream. Returns 0 or a
-// negative error code (header only -- entropy data is not decoded).
+// Dimensions of a JPEG stream: info = {height, width, ncomp,
+// precision}. `tables` (nullable) is a TIFF JPEGTables abbreviated
+// stream. Returns 0 or a negative error code (header only -- entropy
+// data is not decoded).
 EXA_API int64_t exa_jpeg_info(const uint8_t* data, int64_t n,
                               const uint8_t* tables, int64_t nt,
                               int64_t* info) {
@@ -786,10 +811,11 @@ EXA_API int64_t exa_jpeg_info(const uint8_t* data, int64_t n,
     if (seg_len < 2 || p + seg_len > end) return -1;
     if (marker == 0xC0 || marker == 0xC1 || marker == 0xC2) {
       const uint8_t* seg = p + 2;
-      if (seg[0] != 8) return -3;
+      if (seg[0] != 8 && seg[0] != 12) return -3;
       info[0] = (seg[1] << 8) | seg[2];
       info[1] = (seg[3] << 8) | seg[4];
       info[2] = seg[5];
+      info[3] = seg[0];
       return 0;
     }
     if (marker >= 0xC3 && marker <= 0xCF && marker != 0xC4 &&
@@ -802,7 +828,9 @@ EXA_API int64_t exa_jpeg_info(const uint8_t* data, int64_t n,
 }
 
 // Decode a complete (or TIFF-abbreviated) baseline JPEG stream into
-// caller-allocated `out` (height*width*ncomp u8, interleaved).
+// caller-allocated `out` (height*width*ncomp elements, interleaved:
+// u8 for 8-bit streams, native-endian u16 for 12-bit -- size by
+// exa_jpeg_info's precision).
 // color: 0 = emit stored component values, 1 = YCbCr->RGB, -1 = auto
 // (3-component streams convert, others pass through -- libjpeg's
 // default). Returns 0 or a negative error code.

@@ -146,10 +146,10 @@ class TestJpegCodec:
         from aind_exaspim_neuron_segmentation_tpu.native import _lib
         import ctypes
 
-        info = (ctypes.c_int64 * 3)()
+        info = (ctypes.c_int64 * 4)()
         src = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
         assert _lib().exa_jpeg_info(src, len(data), None, 0, info) == 0
-        assert tuple(info) == (33, 41, 3)
+        assert tuple(info) == (33, 41, 3, 8)
 
     def test_color_transform_flag(self):
         rng = np.random.default_rng(5)
@@ -171,7 +171,8 @@ def _entry(tag, typ, count, value, ext_offset=None):
 
 
 def _jpeg_tiff(segments, width, length, samples, photometric,
-               rows_per_strip=None, tile=None, jpeg_tables=None):
+               rows_per_strip=None, tile=None, jpeg_tables=None,
+               bits=8):
     """Hand-build a classic little-endian TIFF whose strips/tiles are
     independent baseline JPEG streams (compression 7)."""
     buf = bytearray(b"II" + struct.pack("<HI", 42, 0))
@@ -185,7 +186,7 @@ def _jpeg_tiff(segments, width, length, samples, photometric,
     tags = [
         _entry(256, 4, 1, width),
         _entry(257, 4, 1, length),
-        _entry(258, 3, 1, 8),
+        _entry(258, 3, 1, bits),
         _entry(259, 3, 1, 7),  # new-style JPEG
         _entry(262, 3, 1, photometric),
         _entry(277, 3, 1, samples),
@@ -325,3 +326,213 @@ class TestJpegTiff:
         got = tiff_lite.read_tiff(buf)
         raw = native.jpeg_decode(data, color_transform=0)
         np.testing.assert_array_equal(got, raw)
+
+
+# ---- 12-bit extended sequential streams (T.81 Annex B precision 12) ----
+#
+# Pillow/libjpeg builds rarely enable 12-bit, so the oracle here is
+# analytic: the test hand-assembles streams from CHOSEN quantized
+# coefficients and compares the decode against scipy's float IDCT
+# (idctn type-2 ortho == the T.81 reference IDCT) -- independent of the
+# C++ decoder's own math.
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value, nbits):
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self):
+        while self.n:
+            self.put(1, 1)  # pad with 1s (T.81 F.1.2.3)
+        return bytes(self.out)
+
+
+def _category(v):
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _mag_bits(v, t):
+    return v if v >= 0 else v + (1 << t) - 1
+
+
+def _flat_huff(symbols):
+    """Canonical table: all codes one length L with 2**L > len(symbols)
+    (so no all-ones code). Returns (counts16, values, {sym: (code, L)})."""
+    n = len(symbols)
+    length = max(n.bit_length() + 1, 2)
+    counts = [0] * 16
+    counts[length - 1] = n
+    return (bytes(counts), bytes(symbols),
+            {s: (i, length) for i, s in enumerate(symbols)})
+
+
+def _encode_12bit(blocks_zz, quant, width, height):
+    """Assemble a single-component 12-bit extended-sequential stream.
+
+    ``blocks_zz``: list of 64-long quantized-coefficient arrays in
+    ZIGZAG order, raster block order. ``quant``: 64 natural-order
+    values (16-bit allowed -> Pq=1 DQT).
+    """
+    zigzag = np.array([
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63])
+    # collect the DC categories / AC (run, size) symbols actually used
+    dc_syms, ac_syms = set(), {0x00}
+    pred = 0
+    for zz in blocks_zz:
+        dc_syms.add(_category(zz[0] - pred))
+        pred = zz[0]
+        run = 0
+        for k in range(1, 64):
+            if zz[k] == 0:
+                run += 1
+                continue
+            while run > 15:
+                ac_syms.add(0xF0)
+                run -= 16
+            ac_syms.add((run << 4) | _category(zz[k]))
+            run = 0
+    dc_counts, dc_vals, dc_map = _flat_huff(sorted(dc_syms))
+    ac_counts, ac_vals, ac_map = _flat_huff(sorted(ac_syms))
+
+    bw = _BitWriter()
+    pred = 0
+    for zz in blocks_zz:
+        diff = int(zz[0]) - pred
+        pred = int(zz[0])
+        t = _category(diff)
+        code, ln = dc_map[t]
+        bw.put(code, ln)
+        bw.put(_mag_bits(diff, t), t)
+        run = 0
+        last_nz = max([k for k in range(1, 64) if zz[k]] or [0])
+        for k in range(1, last_nz + 1):
+            if zz[k] == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_map[0xF0]
+                bw.put(code, ln)
+                run -= 16
+            t = _category(zz[k])
+            code, ln = ac_map[(run << 4) | t]
+            bw.put(code, ln)
+            bw.put(_mag_bits(int(zz[k]), t), t)
+            run = 0
+        if last_nz < 63:
+            code, ln = ac_map[0x00]
+            bw.put(code, ln)
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = bytes([0x10]) + b"".join(
+        struct.pack(">H", int(quant[zigzag[k]])) for k in range(64)
+    )
+    sof = (bytes([12]) + struct.pack(">HH", height, width)
+           + bytes([1, 1, 0x11, 0]))
+    dht = (bytes([0x00]) + dc_counts + dc_vals
+           + bytes([0x10]) + ac_counts + ac_vals)
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    return (b"\xff\xd8" + seg(0xDB, dqt) + seg(0xC1, sof)
+            + seg(0xC4, dht) + seg(0xDA, sos) + bw.flush() + b"\xff\xd9")
+
+
+def _expected_12bit(blocks_zz, quant, width, height):
+    from scipy.fft import idctn
+
+    zigzag = np.array([
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63])
+    across = (width + 7) // 8
+    out = np.zeros(((height + 7) // 8 * 8, across * 8))
+    for bi, zz in enumerate(blocks_zz):
+        nat = np.zeros(64)
+        nat[zigzag] = np.asarray(zz, float) * np.asarray(quant, float)[zigzag]
+        pix = idctn(nat.reshape(8, 8), norm="ortho") + 2048.0
+        by, bx = divmod(bi, across)
+        out[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = pix
+    return np.clip(np.round(out), 0, 4095).astype(np.uint16)[:height, :width]
+
+
+class TestJpeg12Bit:
+    def _blocks(self, rng, n):
+        blocks = []
+        pred = 0
+        for i in range(n):
+            zz = np.zeros(64, np.int64)
+            # DC walks across large magnitudes (categories up to ~12)
+            zz[0] = int(rng.integers(-3000, 3000))
+            n_ac = int(rng.integers(0, 6))
+            pos = rng.choice(np.arange(1, 64), size=n_ac, replace=False)
+            for k in pos:
+                zz[k] = int(rng.integers(-40, 40)) or 1
+            blocks.append(zz)
+            pred = zz[0]
+        del pred
+        return blocks
+
+    def test_decode_matches_scipy_idct(self):
+        rng = np.random.default_rng(5)
+        quant = np.ones(64, np.int64)
+        quant[0] = 4
+        quant[1:8] = 17
+        quant[63] = 300  # 16-bit DQT entry (Pq=1)
+        blocks = self._blocks(rng, 6)  # 16 high x 24 wide
+        data = _encode_12bit(blocks, quant, width=24, height=16)
+        got = native.jpeg_decode(data)
+        assert got.dtype == np.uint16
+        want = _expected_12bit(blocks, quant, width=24, height=16)
+        assert got.shape == want.shape
+        assert np.max(np.abs(got.astype(int) - want.astype(int))) <= 1
+
+    def test_dc_only_exact(self):
+        """Uniform blocks decode to the exact level-shifted DC value."""
+        quant = np.ones(64, np.int64)
+        blocks = [np.zeros(64, np.int64) for _ in range(2)]
+        blocks[0][0] = 8 * 1000   # pixel = 1000 + 2048
+        blocks[1][0] = -8 * 2100  # clamps at 0
+        data = _encode_12bit(blocks, quant, width=16, height=8)
+        got = native.jpeg_decode(data)
+        assert got.dtype == np.uint16
+        assert np.all(got[:, :8] == 3048)
+        assert np.all(got[:, 8:] == 0)
+
+    def test_12bit_jpeg_tiff_page(self):
+        """A striped TIFF whose 12-bit JPEG strips map to a u16 page."""
+        rng = np.random.default_rng(9)
+        quant = np.ones(64, np.int64)
+        strips, wants = [], []
+        for s in range(2):
+            blocks = self._blocks(rng, 2)  # one 8-row strip, 16 wide
+            strips.append(_encode_12bit(blocks, quant, width=16, height=8))
+            wants.append(_expected_12bit(blocks, quant, width=16, height=8))
+        tif = _jpeg_tiff(strips, width=16, length=16, samples=1,
+                         photometric=1, rows_per_strip=8, bits=12)
+        page = tiff_lite.read_tiff(tif)
+        assert page.dtype == np.uint16
+        want = np.concatenate(wants)
+        assert np.max(np.abs(page.astype(int) - want.astype(int))) <= 1
+
+    def test_info_reports_precision(self):
+        quant = np.ones(64, np.int64)
+        data = _encode_12bit([np.zeros(64, np.int64)], quant, 8, 8)
+        arr = native.jpeg_decode(data)
+        assert arr.dtype == np.uint16 and arr.shape == (8, 8)
