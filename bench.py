@@ -42,11 +42,12 @@ C++ watershed + agglomeration, TEASAR skeletonization, SWC zip.
 affinities), so this line feeds multi-component blobby affinities
 (digested on device) to segment + skeletonize instead.
 
-``--e2e --sharded``: the same pipeline with the segmentation stage
-distributed over two REAL ``jax.distributed`` processes
-(``postprocess.segment_streaming_sharded``) -- per-process Z-range
-watershed + local RAG, rank-0 stitch/merge, per-process relabel into
-one shared store.
+``--e2e --sharded``: the same pipeline with the segmentation AND
+skeletonization stages distributed over two REAL ``jax.distributed``
+processes (``postprocess.segment_streaming_sharded`` -- per-process
+Z-range watershed + local RAG, rank-0 stitch/merge, per-process
+relabel into one shared store -- then
+``postprocess.skeletonize_sharded``).
 
 ``--sharded [--dryrun N]``: multi-chip ``parallel.predict_sharded``
 throughput over whatever mesh exists (all visible devices), with a
@@ -61,7 +62,9 @@ input-wait fraction (host time blocked on the prefetched batch
 pipeline), making the prefetch claim a number. The label wire
 (compact uint16 labels + on-device affinity targets, bit-identical)
 is on by default; ``--no-wire`` restores the f32-channel upload for
-A/B.
+A/B; ``--device-augment`` moves the scipy augmentation into the
+jitted step (``ops/augment_device.py``) so the 1-core host only
+samples patches.
 """
 
 import json
@@ -619,14 +622,20 @@ def main_train():
     lab = np.zeros((160, 160, 160), np.uint32)
     for k, (cz, cy, cx) in enumerate(rng.integers(20, 140, (30, 3))):
         lab[cz - 8: cz + 8, cy - 8: cy + 8, cx - 8: cx + 8] = k + 1
+    # --device-augment: the 1-core host's scipy augmentation dominates
+    # input wait after the wire diet; this leg moves the augmentation
+    # into the jitted step (ops/augment_device.py) so the host only
+    # samples patches.
+    dev_aug = "--device-augment" in sys.argv
     # 8 handles to the same volume: len(ds) = 32 samples -> 4 steps/epoch
     ds = data_handling.TrainDataset(
-        [img] * 8, [lab] * 8, patch_shape=patch, seed=0, transform=True,
+        [img] * 8, [lab] * 8, patch_shape=patch, seed=0,
+        transform=not dev_aug, return_label_patches=dev_aug,
     )
     out = tempfile.mkdtemp()
     wire = "--no-wire" not in sys.argv
     trainer = Trainer(out, batch_size=batch, max_epochs=1,
-                      wire_labels=wire)
+                      wire_labels=wire, device_augment=dev_aug)
     trainer.train_step(ds, 0)  # warm: compile + caches
     # Wire accounting: bytes shipped host->device per step (images +
     # targets + mask). Label-wire mode ships compact uint16 labels and
@@ -667,6 +676,7 @@ def main_train():
         "input_wait_frac": round(waits / elapsed, 3),
         "upload_mb_per_step": round(upload_mb, 1),
         "wire_labels": wire,
+        "device_augment": dev_aug,
         "train_mfu": round(
             mvox_s * 1e6 * flop_train / PEAK_BF16_FLOPS, 4
         ),
