@@ -98,14 +98,29 @@ def cmd_segment(args):
         affs = (_read(args.plan), _read(args.qaff))
     else:
         affs = _read(args.affinities)
-    seg = inference.affinities_to_segmentation(
-        affs,
-        agglomeration_thresholds=tuple(args.thresholds),
-        min_segment_size=args.min_size,
-        out_path=args.output,
-        verbose=not args.quiet,
-    )
-    del seg
+    if args.distributed:
+        # Same command on every process of a jax.distributed job
+        # (coordinator via JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+        # JAX_PROCESS_ID env vars); single-process runs take the n==1
+        # path of the same engine.
+        from aind_exaspim_neuron_segmentation_tpu import parallel, postprocess
+
+        parallel.initialize_distributed()
+        postprocess.segment_streaming_sharded(
+            affs,
+            agglomeration_thresholds=tuple(args.thresholds),
+            min_segment_size=args.min_size,
+            out_path=args.output,
+            verbose=not args.quiet,
+        )
+    else:
+        inference.affinities_to_segmentation(
+            affs,
+            agglomeration_thresholds=tuple(args.thresholds),
+            min_segment_size=args.min_size,
+            out_path=args.output,
+            verbose=not args.quiet,
+        )
     print(json.dumps({"segment": args.output}))
 
 
@@ -114,9 +129,21 @@ def cmd_swc(args):
     from aind_exaspim_neuron_segmentation_tpu import inference
 
     seg = _read(args.segmentation)
-    skeletons = inference.segmentation_to_zipped_swcs(
-        seg, args.output, anisotropy=tuple(args.anisotropy)
-    )
+    if args.distributed:
+        import jax
+
+        from aind_exaspim_neuron_segmentation_tpu import parallel, postprocess
+
+        parallel.initialize_distributed()
+        skeletons = postprocess.skeletonize_sharded(
+            seg, anisotropy=tuple(args.anisotropy)
+        )
+        if jax.process_index() == 0:
+            inference.skeletons_to_zipped_swcs(skeletons, args.output)
+    else:
+        skeletons = inference.segmentation_to_zipped_swcs(
+            seg, args.output, anisotropy=tuple(args.anisotropy)
+        )
     print(json.dumps({"swc": args.output, "n": len(skeletons)}))
 
 
@@ -244,12 +271,21 @@ def build_parser():
                    default=(0.6, 0.8, 0.9))
     p.add_argument("--min-size", type=int, default=100)
     p.add_argument("--quiet", action="store_true")
+    p.add_argument("--distributed", action="store_true",
+                   help="run the streaming engine across the processes "
+                        "of a jax.distributed job (same command on "
+                        "every process; coordinator via "
+                        "JAX_COORDINATOR_ADDRESS etc.)")
     p.set_defaults(fn=cmd_segment)
 
     p = sub.add_parser("swc", help="segmentation -> zipped SWC skeletons")
     p.add_argument("--segmentation", required=True)
     p.add_argument("--output", required=True, help="output .zip path")
     p.add_argument("--anisotropy", type=float, nargs=3, default=(1, 1, 1))
+    p.add_argument("--distributed", action="store_true",
+                   help="Z-partitioned bbox scan + label-partitioned "
+                        "TEASAR across the processes of a "
+                        "jax.distributed job (rank 0 writes the zip)")
     p.set_defaults(fn=cmd_swc)
 
     p = sub.add_parser(

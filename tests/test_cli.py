@@ -183,3 +183,35 @@ def test_cli_arg_validation(capsys):
     assert exc.value.code == 0
     from aind_exaspim_neuron_segmentation_tpu import __version__
     assert __version__ in capsys.readouterr().out
+
+
+def test_cli_distributed_flags_single_process(volume_store, tmp_path,
+                                              capsys):
+    """--distributed on segment/swc takes the sharded engines' n==1
+    path in a single-process run and must match the plain commands'
+    outputs (the two-real-process transport is pinned by
+    tests/test_multiprocess.py)."""
+    affs = str(tmp_path / "affs.zarr")
+    main(["predict", "--input", volume_store, "--output", affs] + PATCH)
+    capsys.readouterr()
+
+    seg_p = str(tmp_path / "seg.zarr")
+    seg_d = str(tmp_path / "seg_dist.zarr")
+    main(["segment", "--affinities", affs, "--output", seg_p,
+          "--min-size", "10", "--quiet"])
+    main(["segment", "--affinities", affs, "--output", seg_d,
+          "--min-size", "10", "--quiet", "--distributed"])
+    assert _capture_json(capsys) == {"segment": seg_d}
+    np.testing.assert_array_equal(io.read(seg_p)[:], io.read(seg_d)[:])
+
+    zip_p = str(tmp_path / "sk.zip")
+    zip_d = str(tmp_path / "sk_dist.zip")
+    main(["swc", "--segmentation", seg_p, "--output", zip_p])
+    main(["swc", "--segmentation", seg_d, "--output", zip_d,
+          "--distributed"])
+    got = _capture_json(capsys)
+    assert got["swc"] == zip_d
+    za, zb = zipfile.ZipFile(zip_p), zipfile.ZipFile(zip_d)
+    assert sorted(za.namelist()) == sorted(zb.namelist())
+    for name in za.namelist():
+        assert za.read(name) == zb.read(name)
