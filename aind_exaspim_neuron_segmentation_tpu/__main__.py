@@ -153,6 +153,12 @@ def cmd_run(args):
     The whole pipeline is the beyond-RAM configuration: digests and the
     segmentation live in Zarr stores under --workdir, never dense in
     host RAM (BASELINE.md round-3 slab-streaming engine).
+
+    ``--distributed``: every stage runs across the processes of a
+    ``jax.distributed`` job (same command on every process; --workdir
+    must be a shared filesystem): mesh-sharded on-chip pre-digest
+    (``parallel.predict_sharded``), multi-process streaming
+    segmentation, and distributed TEASAR, with rank 0 writing the zip.
     """
     from aind_exaspim_neuron_segmentation_tpu import inference
 
@@ -167,27 +173,48 @@ def cmd_run(args):
     )
     img = _read(args.input)
     t0 = time.time()
-    plan, qaff = inference.predict(
-        img, runner,
+    predict_kw = dict(
         batch_size=args.batch_size,
         brightness_clip=args.brightness_clip,
         patch_shape=args.patch, overlap=args.overlap, trim=args.trim,
         blend_mode=args.blend,
         predigest=True, out_path=(plan_p, qaff_p),
-        verbose=not args.quiet,
     )
+    if args.distributed:
+        from aind_exaspim_neuron_segmentation_tpu import parallel, postprocess
+
+        parallel.initialize_distributed()
+        plan, qaff = parallel.predict_sharded(
+            img, runner, mesh=parallel.make_mesh(), **predict_kw
+        )
+    else:
+        plan, qaff = inference.predict(
+            img, runner, verbose=not args.quiet, **predict_kw
+        )
     t1 = time.time()
-    seg = inference.affinities_to_segmentation(
-        (plan, qaff),
+    seg_kw = dict(
         agglomeration_thresholds=tuple(args.thresholds),
         min_segment_size=args.min_size,
         out_path=seg_p,
         verbose=not args.quiet,
     )
+    if args.distributed:
+        seg = postprocess.segment_streaming_sharded((plan, qaff), **seg_kw)
+    else:
+        seg = inference.affinities_to_segmentation((plan, qaff), **seg_kw)
     t2 = time.time()
-    inference.segmentation_to_zipped_swcs(
-        seg, args.output, anisotropy=tuple(args.anisotropy)
-    )
+    if args.distributed:
+        import jax
+
+        skels = postprocess.skeletonize_sharded(
+            seg, anisotropy=tuple(args.anisotropy)
+        )
+        if jax.process_index() == 0:
+            inference.skeletons_to_zipped_swcs(skels, args.output)
+    else:
+        inference.segmentation_to_zipped_swcs(
+            seg, args.output, anisotropy=tuple(args.anisotropy)
+        )
     t3 = time.time()
     print(json.dumps({
         "run": args.output,
@@ -301,6 +328,11 @@ def build_parser():
     p.add_argument("--min-size", type=int, default=100)
     p.add_argument("--anisotropy", type=float, nargs=3, default=(1, 1, 1))
     p.add_argument("--quiet", action="store_true")
+    p.add_argument("--distributed", action="store_true",
+                   help="run every stage across the processes of a "
+                        "jax.distributed job (mesh-sharded predict, "
+                        "multi-process segment + TEASAR; --workdir on "
+                        "a shared filesystem; rank 0 writes the zip)")
     p.set_defaults(fn=cmd_run)
 
     p = sub.add_parser("train", help="train UNet3D on volume/label pairs")

@@ -215,3 +215,22 @@ def test_cli_distributed_flags_single_process(volume_store, tmp_path,
     assert sorted(za.namelist()) == sorted(zb.namelist())
     for name in za.namelist():
         assert za.read(name) == zb.read(name)
+
+
+def test_cli_run_distributed_single_process(volume_store, tmp_path,
+                                            capsys):
+    """run --distributed in a single-process job: mesh-sharded
+    pre-digest predict over the virtual device mesh, the sharded
+    engines' n==1 segment/TEASAR paths, and the zip written by rank 0."""
+    work = str(tmp_path / "work")
+    zip_p = str(tmp_path / "out.zip")
+    main(["run", "--input", volume_store, "--workdir", work,
+          "--output", zip_p, "--min-size", "10", "--distributed"]
+         + PATCH)
+    got = _capture_json(capsys)
+    assert got["run"] == zip_p
+    seg = io.read(os.path.join(work, "segmentation.zarr"))
+    assert seg.shape == (48, 48, 48)
+    names = set(zipfile.ZipFile(zip_p).namelist())
+    labels = np.unique(seg[:])
+    assert names == {f"{lab}.swc" for lab in labels if lab}
