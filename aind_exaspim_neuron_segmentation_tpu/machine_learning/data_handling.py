@@ -71,6 +71,24 @@ def compact_labels(label_patch):
     return out.astype(np.uint16) if n < 2**16 else out
 
 
+def reconstruct_normalized(patch, mn, inv):
+    """f32 normalize from raw-wire components: clip((x - mn) * inv, 0, 1).
+
+    The device-augment train path's normalization contract: the host
+    fallback (wire off) and the jitted step (wire on) both compute this
+    exact f32 formula -- u16->f32 convert, subtract, multiply, clip are
+    each correctly rounded on host numpy and XLA alike, so wire on/off
+    batches are BIT-IDENTICAL (pinned by
+    tests/test_training.py::TestRawImageWire). It differs from
+    :func:`core.normalize.normalize` (f64 arithmetic + division, the
+    reference data_handling.py:114-132 semantics kept by the host-augment
+    path) by ~1 ulp -- immaterial beneath the augmentation's intensity
+    jitter; a deliberate deviation documented here.
+    """
+    x = patch.astype(np.float32)
+    return np.clip((x - np.float32(mn)) * np.float32(inv), 0.0, 1.0)
+
+
 class BaseDataset:
     """Shared volume loading + patch extraction (reference :22-153)."""
 
@@ -103,6 +121,23 @@ class BaseDataset:
         return normalize(
             patch, percentiles=self.normalization_percentiles
         ).astype(np.float32)
+
+    def get_raw_input_patch(self, i, center):
+        """Clipped patch + f32 normalization scalars for the raw wire.
+
+        Returns ``(patch, mn, inv)`` where ``patch`` is the
+        brightness-clipped patch in its source dtype and
+        ``reconstruct_normalized(patch, mn, inv)`` recovers the f32
+        normalized input. The percentile bounds are computed exactly as
+        :meth:`get_input_patch` computes them; the scale is folded into
+        a single f32 multiplier so host and device reconstructions use
+        only correctly-rounded f32 subtract/multiply/clip (TPU f32
+        division is not IEEE-exact; multiplication is).
+        """
+        patch = self.get_patch(self.input_imgs[i], center)
+        patch = np.minimum(patch, self.brightness_clip)
+        mn, mx = np.percentile(patch, self.normalization_percentiles)
+        return patch, np.float32(mn), np.float32(1.0 / (mx - mn + 1e-8))
 
     def get_label_patch(self, i, center):
         """Label patch; binarized when not in affinity mode (ref :134-153)."""
@@ -176,6 +211,12 @@ class TrainDataset(BaseDataset):
         # targets on device (flipping precomputed affinities would not
         # preserve edge directions).
         self.return_label_patches = return_label_patches
+        # Raw-image wire (set by the Trainer alongside wire_labels when
+        # every input volume is u8/u16): device-augment batches ship the
+        # brightness-clipped integer patch + two f32 scalars per example
+        # (4x fewer image bytes); the jitted step reconstructs the
+        # IDENTICAL f32 input (reconstruct_normalized).
+        self.wire_raw_images = False
 
     def compute_wgts(self):
         """Per-volume sampling weights ~ foreground voxel count (ref :206)."""
@@ -191,12 +232,28 @@ class TrainDataset(BaseDataset):
         return 4 * len(self.label_masks)
 
     def __getitem__(self, _ignored):
-        _, input_patch, label_patch = self.sample_patch()
         if self.return_label_patches:
-            return (
-                input_patch.astype(np.float32),
-                label_patch.astype(np.int32),
+            # Device-augment mode: raw labels (+ compact-label wire when
+            # enabled) and the f32-formula normalized image, either
+            # reconstructed here or shipped as raw u16 + scalars for the
+            # jitted step to reconstruct -- bit-identical either way.
+            i, center, label_patch = self._sample_location()
+            label = (
+                compact_labels(label_patch)
+                if self.wire_labels
+                else label_patch.astype(np.int32)
             )
+            raw, mn, inv = self.get_raw_input_patch(i, center)
+            if self.wire_raw_images:
+                return (
+                    (
+                        np.ascontiguousarray(raw, dtype=np.uint16),
+                        np.array([mn, inv], np.float32),
+                    ),
+                    label,
+                )
+            return reconstruct_normalized(raw, mn, inv), label
+        _, input_patch, label_patch = self.sample_patch()
         if self.transform:
             input_patch, label_patch = self.transform(
                 input_patch, label_patch
@@ -207,6 +264,13 @@ class TrainDataset(BaseDataset):
 
     def sample_patch(self):
         """85% foreground-biased rejection sampling (reference :259-292)."""
+        i, center, label_patch = self._sample_location()
+        return i, self.get_input_patch(i, center), label_patch
+
+    def _sample_location(self):
+        """The rejection-sampling loop of :meth:`sample_patch`, without
+        materializing the normalized input patch (the raw-wire path
+        normalizes on device instead)."""
         is_foreground = self.np_rng.random() > 0.15
         i = int(
             self.np_rng.choice(np.arange(len(self.input_imgs)), p=self.wgts)
@@ -223,7 +287,7 @@ class TrainDataset(BaseDataset):
                 break
             if fg < FOREGROUND_MIN_VOXELS and not is_foreground:
                 break
-        return i, self.get_input_patch(i, center), label_patch
+        return i, center, label_patch
 
     def sample_center(self, shape):
         """Uniform center in the patch-fitting interior (reference :294)."""
@@ -321,7 +385,15 @@ def iterate_batches(dataset, batch_size, stacked=True):
         if not stacked:
             yield items
             continue
-        xs = np.stack([it[0] for it in items])
+        if isinstance(items[0][0], tuple):
+            # raw-wire examples: x is (u16 patch, f32 [mn, inv]) --
+            # stack each component into its own batch array
+            xs = tuple(
+                np.stack([it[0][k] for it in items])
+                for k in range(len(items[0][0]))
+            )
+        else:
+            xs = np.stack([it[0] for it in items])
         ys = np.stack([it[1] for it in items])
         yield xs, ys
 

@@ -232,6 +232,19 @@ class Trainer:
                     augment_batch,
                 )
 
+                if isinstance(x, tuple):
+                    # Raw-image wire: u16 patches + per-example f32
+                    # (mn, inv) scalars; reconstruct the normalized f32
+                    # input with the exact host formula
+                    # (data_handling.reconstruct_normalized) -- convert,
+                    # subtract, multiply, clip, all correctly rounded,
+                    # so the wire changes no value.
+                    x, xscale = x
+                    mn = xscale[:, 0].reshape((-1,) + (1,) * (x.ndim - 1))
+                    inv = xscale[:, 1].reshape((-1,) + (1,) * (x.ndim - 1))
+                    x = jnp.clip(
+                        (x.astype(jnp.float32) - mn) * inv, 0.0, 1.0
+                    )
                 x, label = augment_batch(key, x, y)
                 y = targets_from_labels(label, affinity)
             elif jnp.issubdtype(y.dtype, jnp.integer):
@@ -325,10 +338,18 @@ class Trainer:
     def _to_device_batch(self, xs, ys):
         """Returns (x, y, example-mask); integer label targets stay
         integral (float32 would corrupt segment ids >= 2^24 before the
-        on-device affinity computation)."""
-        xs = np.moveaxis(xs, 1, -1).astype(np.float32)
+        on-device affinity computation). Raw-wire batches arrive with x
+        as a (u16 patches, f32 scalars) tuple and ship as a pytree the
+        jitted step reconstructs from."""
+        raw_wire = isinstance(xs, tuple)
+        if raw_wire:
+            xs, xscale = xs
+            xs = np.moveaxis(xs, 1, -1)  # NDHWC, uint16
+        else:
+            xs = np.moveaxis(xs, 1, -1).astype(np.float32)
         if (
-            self.wire_labels
+            not raw_wire
+            and self.wire_labels
             and not self.device_augment
             and self.module.dtype == jnp.bfloat16
         ):
@@ -349,13 +370,20 @@ class Trainer:
         n_real = xs.shape[0]
         if self.mesh is None:
             mask = jnp.ones(n_real, jnp.float32)
-            return jnp.asarray(xs), jnp.asarray(ys), mask
+            x = jnp.asarray(xs)
+            if raw_wire:
+                x = (x, jnp.asarray(xscale))
+            return x, jnp.asarray(ys), mask
         n_dev = self.mesh.devices.size
         pad = (-n_real) % n_dev
         if pad:  # ragged final batch: repeat the tail to fill shards,
             # masked out of loss/gradients/metrics by the example mask
             xs = np.concatenate([xs, np.repeat(xs[-1:], pad, 0)])
             ys = np.concatenate([ys, np.repeat(ys[-1:], pad, 0)])
+            if raw_wire:
+                xscale = np.concatenate(
+                    [xscale, np.repeat(xscale[-1:], pad, 0)]
+                )
         mask = np.concatenate(
             [np.ones(n_real, np.float32), np.zeros(pad, np.float32)]
         )
@@ -372,22 +400,35 @@ class Trainer:
                 arr.shape, sharding, lambda idx: arr[idx]
             )
 
+        x = put(xs, self._batch_sharding)
+        if raw_wire:  # (B, 2) scalars shard on the batch axis too
+            x = (x, put(xscale, mask_sharding))
         return (
-            put(xs, self._batch_sharding),
+            x,
             put(ys, self._batch_sharding),
             put(mask, mask_sharding),
         )
 
     def _apply_wire_mode(self, dataset):
-        """Switch a BaseDataset to the compact-label wire when enabled
-        (no-op for plain indexables or device-augment datasets, whose
-        batches already carry raw label patches)."""
-        if (
-            self.wire_labels
-            and hasattr(dataset, "wire_labels")
-            and not getattr(dataset, "return_label_patches", False)
-        ):
-            dataset.wire_labels = True
+        """Switch a BaseDataset to the compact-label wire when enabled.
+
+        Device-augment datasets (return_label_patches) additionally get
+        the raw-image wire when every input volume is u8/u16 with an
+        integral brightness clip: batches then ship compact u16 labels
+        plus clipped u16 patches + per-patch f32 (mn, inv) scalars --
+        3.5 B/voxel instead of 8 -- and the jitted step reconstructs the
+        bit-identical f32 input (data_handling.reconstruct_normalized).
+        """
+        if not (self.wire_labels and hasattr(dataset, "wire_labels")):
+            return
+        dataset.wire_labels = True
+        if getattr(dataset, "return_label_patches", False):
+            clip = dataset.brightness_clip
+            dataset.wire_raw_images = float(clip) == int(clip) and all(
+                np.dtype(getattr(img, "dtype", np.float32)).kind == "u"
+                and np.dtype(img.dtype).itemsize <= 2
+                for img in dataset.input_imgs
+            )
 
     def _fetch_metric(self, arr):
         """Per-example metric vector as numpy; on multi-process meshes
@@ -424,7 +465,7 @@ class Trainer:
         t_wait = _time.perf_counter()
         for step_idx, (xs, ys) in enumerate(batches):
             self.input_wait_s += _time.perf_counter() - t_wait
-            n_real = xs.shape[0]
+            n_real = (xs[0] if isinstance(xs, tuple) else xs).shape[0]
             x, y, w = self._to_device_batch(xs, ys)
             key = jax.random.fold_in(
                 self._augment_key, epoch * 100003 + step_idx

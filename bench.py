@@ -647,7 +647,9 @@ def main_train():
 
     xb, yb = next(iterate_batches(ds, batch))
     shipped = trainer._to_device_batch(xb, yb)
-    upload_mb = sum(a.nbytes for a in shipped) / 1e6
+    import jax
+
+    upload_mb = sum(a.nbytes for a in jax.tree.leaves(shipped)) / 1e6
     steps_per_epoch = -(-len(ds) // batch)
     t0 = time.time()
     epochs = 2

@@ -452,6 +452,102 @@ class TestDeviceAugment:
         want = gaussian_filter(img[..., 0], sigma=0.7, radius=3)
         np.testing.assert_allclose(got[..., 0], want, atol=1e-5)
 
+    def test_raw_wire_reconstruction_matches_device(self):
+        """Host reconstruct_normalized == the jitted step's f32
+        reconstruction, BITWISE (convert/sub/mul/clip are all correctly
+        rounded on both sides)."""
+        import jax
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(5)
+        ds = data_handling.TrainDataset(
+            [rng.integers(0, 1500, (40, 40, 40)).astype(np.uint16)],
+            [(rng.integers(0, 3, (40, 40, 40)) * 7).astype(np.uint32)],
+            patch_shape=(16, 16, 16), seed=0, return_label_patches=True,
+        )
+        raw, mn, inv = ds.get_raw_input_patch(0, (20, 20, 20))
+        want = data_handling.reconstruct_normalized(raw, mn, inv)
+        assert want.dtype == np.float32
+
+        @jax.jit
+        def device_reconstruct(x, mn, inv):
+            return jnp.clip((x.astype(jnp.float32) - mn) * inv, 0.0, 1.0)
+
+        got = np.asarray(device_reconstruct(
+            jnp.asarray(raw.astype(np.uint16)), jnp.float32(mn),
+            jnp.float32(inv),
+        ))
+        assert got.tobytes() == want.tobytes()
+        # ... and ~1 ulp from the f64 get_input_patch path it stands for
+        np.testing.assert_allclose(
+            want, ds.get_input_patch(0, (20, 20, 20)), atol=3e-7
+        )
+
+    def test_raw_wire_param_digest_bit_identical(self, tmp_path):
+        """One seeded device-augment epoch with and without the raw
+        image + compact label wire ends in EXACTLY the same parameters."""
+        import jax
+
+        rng = np.random.default_rng(9)
+        imgs = [
+            np.clip(rng.integers(0, 80, (48, 48, 48)) + 400 * (k + 1),
+                    0, 65535).astype(np.uint16)
+            for k in range(2)
+        ]
+        labs = []
+        for k in range(2):
+            lab = np.zeros((48, 48, 48), np.uint32)
+            lab[8:40, 8 + 4 * k: 24 + 4 * k, 8:40] = k + 1
+            labs.append(lab)
+        digests = []
+        for wire in (False, True):
+            tr = data_handling.TrainDataset(
+                imgs, labs, patch_shape=PATCH, seed=3,
+                return_label_patches=True,
+            )
+            val = data_handling.ValidateDataset(
+                imgs, labs, patch_shape=PATCH, containment_buffer=0
+            )
+            trainer = Trainer(
+                str(tmp_path / f"raw{wire}"), batch_size=4, max_epochs=1,
+                width_multiplier=0.25, use_amp=False, device_augment=True,
+                wire_labels=wire, seed=0,
+            )
+            trainer.run(tr, val)
+            if wire:
+                assert tr.wire_labels and tr.wire_raw_images
+                x, y = tr[0]
+                assert isinstance(x, tuple) and x[0].dtype == np.uint16
+                assert y.dtype == np.uint16
+            else:
+                assert not tr.wire_raw_images
+            digests.append((
+                trainer.best_f1,
+                [np.asarray(p).tobytes()
+                 for p in jax.tree_util.tree_leaves(trainer.params)],
+            ))
+        assert digests[0][0] == digests[1][0]
+        for a, b in zip(digests[0][1], digests[1][1]):
+            assert a == b
+
+    def test_raw_wire_ineligible_float_volumes(self, tmp_path):
+        """f32 source volumes keep the f32 image wire (no u16 cast) but
+        still train under device_augment + wire_labels."""
+        imgs, labs = make_volumes()
+        tr = data_handling.TrainDataset(
+            imgs, labs, patch_shape=PATCH, seed=0,
+            return_label_patches=True,
+        )
+        trainer = Trainer(
+            str(tmp_path), batch_size=4, max_epochs=1,
+            width_multiplier=0.25, use_amp=False, device_augment=True,
+            wire_labels=True,
+        )
+        trainer.train_step(tr, 0)
+        assert tr.wire_labels and not tr.wire_raw_images
+        x, y = tr[0]
+        assert x.dtype == np.float32 and y.dtype == np.uint16
+
     def test_trainer_device_augment_runs(self, tmp_path):
         from aind_exaspim_neuron_segmentation_tpu.machine_learning import (
             TrainDataset, ValidateDataset,
