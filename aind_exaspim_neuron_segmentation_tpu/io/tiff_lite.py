@@ -8,7 +8,8 @@ implements the format directly:
 
 * classic TIFF (magic 42) and BigTIFF (magic 43), both byte orders;
 * striped and tiled layouts; grayscale, contiguous multi-sample, and
-  striped planar-separate (PlanarConfiguration=2) pages;
+  planar-separate (PlanarConfiguration=2) pages — striped or tiled,
+  any compression including per-plane JPEG streams;
 * compressions: none, LZW (TIFF variant: MSB-first codes, early
   change), Deflate/AdobeDeflate, PackBits, ZSTD (tag 50000), new-style
   JPEG (compression 7, baseline 8-bit, shared tables via the
@@ -26,6 +27,7 @@ Pillow serves as a third-party conformance oracle for the classic
 formats in tests/test_io.py; BigTIFF round-trips through this module.
 """
 
+import copy
 import struct
 import zlib
 
@@ -217,46 +219,41 @@ class _Page:
         return arr[:nrows, :ncols].reshape(nrows, ncols * self.samples)
 
     def _read_planar(self, buf):
-        """Planar-separate (PlanarConfiguration=2) striped pages: the
-        strip list holds all of sample 0's strips, then sample 1's, ...
-        (TIFF 6.0 section 13); each plane is single-sample, so
-        predictor 2 cumsums plainly over width."""
-        if self.tiled:
+        """Planar-separate (PlanarConfiguration=2) pages: the
+        strip/tile list holds all of sample 0's segments, then sample
+        1's, ... (TIFF 6.0 section 13). Each plane decodes as an
+        independent single-sample page through the normal :meth:`read`
+        path — striped or tiled, every compression (including
+        per-plane JPEG streams, which are plain grayscale JPEGs),
+        predictor 2 cumsumming plainly over width — and the planes
+        stack on the trailing sample axis."""
+        if self.compression == 7 and self.photometric == 6:
             raise ValueError(
-                "tiled planar-separate TIFF not supported"
+                "planar-separate YCbCr JPEG TIFF not supported (the "
+                "per-plane streams would need post-stack color "
+                "conversion; store RGB or chunky YCbCr instead)"
             )
-        if self.compression == 7:
-            raise ValueError("planar-separate JPEG TIFF not supported")
-        item = self.dtype.itemsize
-        per_plane = -(-self.length // self.rows_per_strip)
+        if self.tiled:
+            across = -(-self.width // self.tile_w)
+            down = -(-self.length // self.tile_l)
+            per_plane = across * down
+        else:
+            per_plane = -(-self.length // self.rows_per_strip)
         if len(self.offsets) != per_plane * self.samples:
             raise ValueError(
-                "planar strip count does not factor into samples"
+                "planar segment count does not factor into samples"
             )
         planes = []
         for s in range(self.samples):
-            rows = []
-            for si in range(per_plane):
-                off = self.offsets[s * per_plane + si]
-                cnt = self.counts[s * per_plane + si]
-                nrows = min(self.rows_per_strip,
-                            self.length - si * self.rows_per_strip)
-                expected = nrows * self.width * item
-                raw = _decompress(
-                    bytes(buf[off: off + cnt]), self.compression,
-                    expected,
-                )
-                arr = np.frombuffer(raw[:expected], self.dtype)
-                arr = arr.reshape(nrows, self.width).copy()
-                if self.predictor == 2:
-                    np.cumsum(arr, axis=1, dtype=arr.dtype, out=arr)
-                elif self.predictor != 1:
-                    raise ValueError(
-                        f"unsupported predictor {self.predictor}"
-                    )
-                rows.append(arr)
+            plane = copy.copy(self)
+            plane.samples = 1
+            plane.planar = 1
+            # each plane is a single component; never color-transform
+            plane.photometric = min(self.photometric, 1)
+            plane.offsets = self.offsets[s * per_plane:(s + 1) * per_plane]
+            plane.counts = self.counts[s * per_plane:(s + 1) * per_plane]
             planes.append(
-                np.concatenate(rows) if len(rows) > 1 else rows[0]
+                plane.read(buf).reshape(self.length, self.width)
             )
         return np.stack(planes, axis=-1)
 

@@ -630,6 +630,66 @@ class TestTiffLite:
         got = tiff_lite.read_tiff(buf)
         np.testing.assert_array_equal(got, vol)
 
+    def test_planar_separate_tiled(self, tmp_path):
+        """Tiled planar-separate (PlanarConfiguration=2 + tile grid):
+        the tile list holds plane 0's full tile grid, then plane 1's,
+        ... (plane-major, TIFF 6.0 section 15)."""
+        import struct
+
+        from aind_exaspim_neuron_segmentation_tpu.io import tiff_lite
+
+        rng = np.random.default_rng(21)
+        vol = rng.integers(0, 255, (20, 25, 3)).astype(np.uint8)
+        tw = tl = 16
+        tiles = []
+        for s in range(3):
+            for ty in range(2):
+                for tx in range(2):
+                    tile = np.zeros((tl, tw), np.uint8)
+                    ys = slice(ty * tl, min((ty + 1) * tl, 20))
+                    xs = slice(tx * tw, min((tx + 1) * tw, 25))
+                    tile[: ys.stop - ys.start, : xs.stop - xs.start] = (
+                        vol[ys, xs, s]
+                    )
+                    tiles.append(tile.tobytes())
+
+        def entry(tag, typ, count, value, extra_off=None):
+            fmt = {3: "H", 4: "I"}[typ]
+            raw = struct.pack("<HHI", tag, typ, count)
+            if count == 1:
+                return raw + struct.pack("<" + fmt, value).ljust(4, b"\0")
+            return raw + struct.pack("<I", extra_off)
+
+        offs, pos = [], 8
+        for t in tiles:
+            offs.append(pos)
+            pos += len(t)
+        arrays_off = pos
+        n = len(tiles)
+        ifd_off = arrays_off + 2 * 4 * n
+        tags = [
+            entry(256, 4, 1, 25),
+            entry(257, 4, 1, 20),
+            entry(258, 3, 1, 8),
+            entry(259, 3, 1, 1),        # uncompressed
+            entry(262, 3, 1, 2),
+            entry(277, 3, 1, 3),
+            entry(284, 3, 1, 2),        # planar separate
+            entry(322, 4, 1, tw),
+            entry(323, 4, 1, tl),
+            entry(324, 4, n, None, arrays_off),
+            entry(325, 4, n, None, arrays_off + 4 * n),
+            entry(339, 3, 1, 1),
+        ]
+        buf = b"II" + struct.pack("<HI", 42, ifd_off)
+        buf += b"".join(tiles)
+        buf += struct.pack("<%dI" % n, *offs)
+        buf += struct.pack("<%dI" % n, *[len(t) for t in tiles])
+        buf += struct.pack("<H", len(tags)) + b"".join(tags)
+        buf += struct.pack("<I", 0)
+        got = tiff_lite.read_tiff(buf)
+        np.testing.assert_array_equal(got, vol)
+
     def test_tiled_layout(self, tmp_path):
         """Hand-built tiled TIFF (libtiff tile layout, 16x16 tiles)."""
         import struct

@@ -172,7 +172,7 @@ def _entry(tag, typ, count, value, ext_offset=None):
 
 def _jpeg_tiff(segments, width, length, samples, photometric,
                rows_per_strip=None, tile=None, jpeg_tables=None,
-               bits=8):
+               bits=8, planar=1):
     """Hand-build a classic little-endian TIFF whose strips/tiles are
     independent baseline JPEG streams (compression 7)."""
     buf = bytearray(b"II" + struct.pack("<HI", 42, 0))
@@ -190,6 +190,7 @@ def _jpeg_tiff(segments, width, length, samples, photometric,
         _entry(259, 3, 1, 7),  # new-style JPEG
         _entry(262, 3, 1, photometric),
         _entry(277, 3, 1, samples),
+        _entry(284, 3, 1, planar),
         _entry(339, 3, 1, 1),
     ]
     n = len(segments)
@@ -326,6 +327,68 @@ class TestJpegTiff:
         got = tiff_lite.read_tiff(buf)
         raw = native.jpeg_decode(data, color_transform=0)
         np.testing.assert_array_equal(got, raw)
+
+    def test_planar_jpeg_strips(self):
+        """Planar-separate JPEG (PlanarConfiguration=2): the strip
+        list holds plane 0's strips then plane 1's, ..., each strip an
+        independent grayscale stream; planes stack on the sample
+        axis."""
+        rng = np.random.default_rng(15)
+        img = _smooth_rgb(rng, 40, 48)
+        rps = 16
+        strips, oracle_planes = [], []
+        for s in range(3):
+            rows = []
+            for y0 in range(0, 40, rps):
+                data = _encode(img[y0: y0 + rps, :, s], quality=92)
+                strips.append(data)
+                rows.append(_pil_decode(data))
+            oracle_planes.append(np.concatenate(rows))
+        buf = _jpeg_tiff(strips, 48, 40, 3, photometric=2,
+                         rows_per_strip=rps, planar=2)
+        got = tiff_lite.read_tiff(buf)
+        want = np.stack(oracle_planes, axis=-1)
+        assert got.shape == (40, 48, 3)
+        assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+    def test_planar_jpeg_tiled(self):
+        """Tiled planar-separate JPEG: per-plane tile grids (plane-
+        major tile order), edge tiles encoded full-size and cropped."""
+        rng = np.random.default_rng(16)
+        img = _smooth_rgb(rng, 40, 56)
+        th, tw = 32, 32
+        tiles = []
+        want = np.zeros((40, 56, 2), int)
+        for s in range(2):
+            for y0 in range(0, 40, th):
+                for x0 in range(0, 56, tw):
+                    part = img[y0: y0 + th, x0: x0 + tw, s]
+                    part = np.pad(
+                        part, ((0, th - part.shape[0]),
+                               (0, tw - part.shape[1])), mode="edge",
+                    )
+                    data = _encode(part, quality=92)
+                    tiles.append(data)
+                    dec = _pil_decode(data)
+                    ny = min(th, 40 - y0)
+                    nx = min(tw, 56 - x0)
+                    want[y0: y0 + ny, x0: x0 + nx, s] = dec[:ny, :nx]
+        buf = _jpeg_tiff(tiles, 56, 40, 2, photometric=1,
+                         tile=(th, tw), planar=2)
+        got = tiff_lite.read_tiff(buf)
+        assert got.shape == (40, 56, 2)
+        assert np.abs(got.astype(int) - want).max() <= 1
+
+    def test_planar_ycbcr_jpeg_rejected(self):
+        """Planar YCbCr JPEG would need post-stack color conversion;
+        reject with a clear error."""
+        rng = np.random.default_rng(17)
+        img = _smooth_rgb(rng, 16, 16)
+        strips = [_encode(img[:, :, s], quality=90) for s in range(3)]
+        buf = _jpeg_tiff(strips, 16, 16, 3, photometric=6,
+                         rows_per_strip=16, planar=2)
+        with pytest.raises(ValueError, match="planar-separate YCbCr"):
+            tiff_lite.read_tiff(buf)
 
 
 # ---- 12-bit extended sequential streams (T.81 Annex B precision 12) ----
