@@ -222,7 +222,7 @@ def zstd_compress(data, level=5):
 _JPEG_ERRORS = {
     -1: "malformed JPEG stream",
     -2: "unsupported JPEG mode (arithmetic/lossless/hierarchical)",
-    -3: "unsupported JPEG precision (only 8-bit)",
+    -3: "unsupported JPEG precision (only 8- and 12-bit)",
     -4: "unsupported JPEG component count or sampling factors",
     -5: "JPEG scan references a missing quantization/Huffman table",
     -6: "truncated or corrupt JPEG entropy data",
