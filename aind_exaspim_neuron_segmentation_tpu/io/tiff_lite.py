@@ -51,6 +51,7 @@ _T_TILE_OFFSETS = 324
 _T_TILE_COUNTS = 325
 _T_SAMPLE_FORMAT = 339
 _T_JPEG_TABLES = 347
+_T_YCBCR_SUBSAMPLING = 530
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
                10: 8, 11: 4, 12: 8, 16: 8, 17: 8, 18: 8}
@@ -142,6 +143,63 @@ def _decompress(data, compression, expected):
     )
 
 
+def _upsample_chroma(a, h, v, out_l, out_w):
+    """Upsample one chroma plane to luma resolution with libjpeg's
+    default resamplers (jdsample.c): the triangle ("fancy") filters
+    for the 2x1-horizontal and 2x2 cases -- including their edge
+    special cases and rounding constants -- and nearest replication
+    for every other ratio. This is the same selection the in-tree
+    chunky JPEG decoder makes (native/src/jpeg_lite.cpp upsample()),
+    so planar-separate and chunky YCbCr pages decode through one
+    contract."""
+    a = a.astype(np.int32)
+    ch, cw = a.shape
+    if h == 1 and v == 1:
+        return a[:out_l, :out_w]
+    if h == 2 and v == 1:
+        left = a[:, np.r_[0, 0: cw - 1]]
+        right = a[:, np.r_[1:cw, cw - 1]]
+        up = np.empty((ch, cw * 2), np.int32)
+        up[:, 0::2] = (3 * a + left + 1) >> 2
+        up[:, 1::2] = (3 * a + right + 2) >> 2
+        return up[:out_l, :out_w]
+    if h == 2 and v == 2:
+        ys = np.arange(out_l)
+        near = np.minimum(ys >> 1, ch - 1)
+        far = np.clip(np.where(ys & 1, near + 1, near - 1), 0, ch - 1)
+        colsum = 3 * a[near] + a[far]  # (out_l, cw)
+        left = colsum[:, np.r_[0, 0: cw - 1]]
+        right = colsum[:, np.r_[1:cw, cw - 1]]
+        up = np.empty((out_l, cw * 2), np.int32)
+        up[:, 0::2] = (3 * colsum + left + 8) >> 4
+        up[:, 1::2] = (3 * colsum + right + 7) >> 4
+        return up[:, :out_w]
+    # replication (libjpeg int_upsample) for 1x2, 4x1, ...
+    up = np.repeat(np.repeat(a, v, axis=0), h, axis=1)
+    return up[:out_l, :out_w]
+
+
+def _ycbcr_to_rgb(planes, maxv):
+    """BT.601 full-range YCbCr->RGB (the JFIF convention libjpeg
+    applies), float32 with lround-style rounding -- numerically the
+    same conversion native/src/jpeg_lite.cpp emit_t() performs for
+    chunky streams. ``planes`` is (..., 3) int; chroma is centered at
+    (maxv+1)/2 (128 for 8-bit, 2048 for 12-bit samples)."""
+    y = planes[..., 0].astype(np.float32)
+    center = np.float32((maxv + 1) // 2)
+    cb = planes[..., 1].astype(np.float32) - center
+    cr = planes[..., 2].astype(np.float32) - center
+    rgb = np.stack(
+        [
+            y + np.float32(1.402) * cr,
+            y - np.float32(0.344136) * cb - np.float32(0.714136) * cr,
+            y + np.float32(1.772) * cb,
+        ],
+        axis=-1,
+    )
+    return np.clip(np.floor(rgb + np.float32(0.5)), 0, maxv)
+
+
 class _Page:
     """One decoded IFD: geometry, dtype, and segment locations."""
 
@@ -155,6 +213,11 @@ class _Page:
         self.jpeg_tables = tags.get(_T_JPEG_TABLES)
         self.predictor = int(tags.get(_T_PREDICTOR, [1])[0])
         self.planar = int(tags.get(_T_PLANAR, [1])[0])
+        # YCbCrSubSampling (530): TIFF 6.0 defaults to 4:2:0 when the
+        # tag is absent on a photometric-6 page.
+        sub = tags.get(_T_YCBCR_SUBSAMPLING, [2, 2])
+        self.subsampling = (int(sub[0]), int(sub[1] if len(sub) > 1
+                                             else sub[0]))
         if self.planar not in (1, 2):
             raise ValueError(f"unknown planar configuration {self.planar}")
         bits = tags.get(_T_BITS, [8])
@@ -226,13 +289,39 @@ class _Page:
         path — striped or tiled, every compression (including
         per-plane JPEG streams, which are plain grayscale JPEGs),
         predictor 2 cumsumming plainly over width — and the planes
-        stack on the trailing sample axis."""
-        if self.compression == 7 and self.photometric == 6:
-            raise ValueError(
-                "planar-separate YCbCr JPEG TIFF not supported (the "
-                "per-plane streams would need post-stack color "
-                "conversion; store RGB or chunky YCbCr instead)"
-            )
+        stack on the trailing sample axis.
+
+        Planar YCbCr JPEG pages (photometric 6) additionally honor
+        YCbCrSubSampling (TIFF 6.0 section 21): the chroma planes are
+        stored at reduced resolution with correspondingly scaled
+        strip/tile geometry, then upsampled with libjpeg's default
+        resamplers and converted BT.601 full-range to RGB — the same
+        upsample+convert contract the chunky JPEG path applies inside
+        ``jpeg_lite.cpp``, matching the reference's tifffile/libjpeg
+        output for both layouts."""
+        ycc_jpeg = self.compression == 7 and self.photometric == 6
+        if ycc_jpeg:
+            sub_h, sub_v = self.subsampling
+            if self.samples != 3:
+                raise ValueError(
+                    "planar YCbCr page must have exactly 3 samples"
+                )
+            if sub_h not in (1, 2, 4) or sub_v not in (1, 2, 4):
+                raise ValueError(
+                    f"bad YCbCrSubSampling ({sub_h}, {sub_v})"
+                )
+            if self.tiled:
+                if self.tile_w % sub_h or self.tile_l % sub_v:
+                    raise ValueError(
+                        "planar YCbCr tile size must be a multiple of "
+                        "the subsampling factors (TIFF 6.0 section 21)"
+                    )
+            elif self.rows_per_strip % sub_v and \
+                    self.rows_per_strip < self.length:
+                raise ValueError(
+                    "planar YCbCr RowsPerStrip must be a multiple of "
+                    "the vertical subsampling (TIFF 6.0 section 21)"
+                )
         if self.tiled:
             across = -(-self.width // self.tile_w)
             down = -(-self.length // self.tile_l)
@@ -252,10 +341,32 @@ class _Page:
             plane.photometric = min(self.photometric, 1)
             plane.offsets = self.offsets[s * per_plane:(s + 1) * per_plane]
             plane.counts = self.counts[s * per_plane:(s + 1) * per_plane]
-            planes.append(
-                plane.read(buf).reshape(self.length, self.width)
-            )
-        return np.stack(planes, axis=-1)
+            if ycc_jpeg and s > 0 and (sub_h, sub_v) != (1, 1):
+                # chroma plane: stored at reduced resolution with
+                # proportionally scaled segment geometry; the segment
+                # count per plane is unchanged (the factorization
+                # check above still holds).
+                plane.width = -(-self.width // sub_h)
+                plane.length = -(-self.length // sub_v)
+                if self.tiled:
+                    plane.tile_w = self.tile_w // sub_h
+                    plane.tile_l = self.tile_l // sub_v
+                else:
+                    plane.rows_per_strip = max(
+                        1, -(-self.rows_per_strip // sub_v)
+                    )
+                arr = plane.read(buf).reshape(plane.length, plane.width)
+                arr = _upsample_chroma(
+                    arr, sub_h, sub_v, self.length, self.width
+                )
+            else:
+                arr = plane.read(buf).reshape(self.length, self.width)
+            planes.append(arr)
+        out = np.stack(planes, axis=-1)
+        if ycc_jpeg:
+            maxv = 255 if self.dtype.itemsize == 1 else 4095
+            out = _ycbcr_to_rgb(out, maxv).astype(self.dtype)
+        return out
 
     def _undo_predictor(self, arr):
         # TIFF 6.0 predictor 2 differences per sample: with contiguous

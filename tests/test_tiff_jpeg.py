@@ -172,7 +172,7 @@ def _entry(tag, typ, count, value, ext_offset=None):
 
 def _jpeg_tiff(segments, width, length, samples, photometric,
                rows_per_strip=None, tile=None, jpeg_tables=None,
-               bits=8, planar=1):
+               bits=8, planar=1, subsampling=None):
     """Hand-build a classic little-endian TIFF whose strips/tiles are
     independent baseline JPEG streams (compression 7)."""
     buf = bytearray(b"II" + struct.pack("<HI", 42, 0))
@@ -215,6 +215,9 @@ def _jpeg_tiff(segments, width, length, samples, photometric,
         tags.append(_entry(347, 7, len(jpeg_tables),
                            None, ext_offset=len(ext)))
         ext.extend(jpeg_tables)
+    if subsampling is not None:  # YCbCrSubSampling: two inline SHORTs
+        tags.append(struct.pack("<HHI", 530, 3, 2)
+                    + struct.pack("<HH", *subsampling))
     tags.sort(key=lambda t: struct.unpack("<H", t[:2])[0])
 
     ext_base = len(buf)
@@ -378,17 +381,6 @@ class TestJpegTiff:
         got = tiff_lite.read_tiff(buf)
         assert got.shape == (40, 56, 2)
         assert np.abs(got.astype(int) - want).max() <= 1
-
-    def test_planar_ycbcr_jpeg_rejected(self):
-        """Planar YCbCr JPEG would need post-stack color conversion;
-        reject with a clear error."""
-        rng = np.random.default_rng(17)
-        img = _smooth_rgb(rng, 16, 16)
-        strips = [_encode(img[:, :, s], quality=90) for s in range(3)]
-        buf = _jpeg_tiff(strips, 16, 16, 3, photometric=6,
-                         rows_per_strip=16, planar=2)
-        with pytest.raises(ValueError, match="planar-separate YCbCr"):
-            tiff_lite.read_tiff(buf)
 
 
 # ---- 12-bit extended sequential streams (T.81 Annex B precision 12) ----
@@ -599,3 +591,180 @@ class TestJpeg12Bit:
         data = _encode_12bit([np.zeros(64, np.int64)], quant, 8, 8)
         arr = native.jpeg_decode(data)
         assert arr.dtype == np.uint16 and arr.shape == (8, 8)
+
+
+def _oracle_upsample(a, h, v, out_l, out_w):
+    """Independent scalar re-statement of libjpeg's default chroma
+    resamplers (jdsample.c): fancy triangle filters for h2v1/h2v2
+    (near sample weighted 3:1 horizontally, 3:1 vertically, rounding
+    +8/+7 resp. +1/+2), replication otherwise. Deliberately written
+    pixel-at-a-time so it cannot share bugs with the vectorized
+    tiff_lite._upsample_chroma it checks."""
+    a = a.astype(np.int64)
+    ch, cw = a.shape
+
+    def at(y, x):
+        return a[min(max(y, 0), ch - 1), min(max(x, 0), cw - 1)]
+
+    out = np.zeros((out_l, out_w), np.int64)
+    for y in range(out_l):
+        for x in range(out_w):
+            if h == 2 and v == 2:
+                r0, c0 = y >> 1, x >> 1
+                r1 = r0 + (1 if y & 1 else -1)
+                c1 = c0 + (1 if x & 1 else -1)
+                out[y, x] = (9 * at(r0, c0) + 3 * at(r0, c1)
+                             + 3 * at(r1, c0) + at(r1, c1)
+                             + 8 - (x & 1)) >> 4
+            elif h == 2 and v == 1:
+                c0 = x >> 1
+                c1 = c0 + (1 if x & 1 else -1)
+                out[y, x] = (3 * at(y, c0) + at(y, c1)
+                             + 1 + (x & 1)) >> 2
+            else:
+                out[y, x] = at(y * v // max(v, 1) if v == 1 else y // v,
+                               x // h)
+    return out
+
+
+def _oracle_convert(planes):
+    """Float BT.601 full-range YCbCr->RGB, 8-bit."""
+    y = planes[..., 0].astype(np.float64)
+    cb = planes[..., 1].astype(np.float64) - 128.0
+    cr = planes[..., 2].astype(np.float64) - 128.0
+    rgb = np.stack([y + 1.402 * cr,
+                    y - 0.344136 * cb - 0.714136 * cr,
+                    y + 1.772 * cb], axis=-1)
+    return np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+
+
+def _plane_strips(plane, rps, quality=95):
+    """Encode one grayscale plane as independent per-strip JPEGs and
+    return (streams, PIL-decoded strips re-assembled)."""
+    strips, decoded = [], []
+    for y0 in range(0, plane.shape[0], rps):
+        part = plane[y0: y0 + rps]
+        data = _encode(part, quality=quality)
+        strips.append(data)
+        decoded.append(_pil_decode(data))
+    return strips, np.concatenate(decoded)
+
+
+class TestPlanarYcbcrJpeg:
+    """Planar-separate (PlanarConfiguration=2) YCbCr JPEG pages:
+    per-plane grayscale streams at YCbCrSubSampling resolution,
+    upsampled and converted post-stack (reference img_util.py:100-121
+    reads these through tifffile/libjpeg)."""
+
+    def test_conversion_matches_pillow(self):
+        """The post-stack BT.601 conversion itself, on exact planes,
+        against Pillow's YCbCr->RGB (independent fixed-point
+        implementation of the same JFIF math)."""
+        rng = np.random.default_rng(20)
+        ycc = rng.integers(0, 256, (31, 29, 3), dtype=np.uint8)
+        ours = tiff_lite._ycbcr_to_rgb(ycc.astype(np.int32), 255)
+        pil = np.asarray(
+            Image.fromarray(ycc, mode="YCbCr").convert("RGB")
+        )
+        assert np.abs(ours - pil.astype(np.int64)).max() <= 2
+
+    def test_upsample_matches_scalar_oracle(self):
+        rng = np.random.default_rng(21)
+        for (h, v), (ol, ow) in [((2, 2), (39, 55)), ((2, 1), (40, 55)),
+                                 ((1, 2), (39, 56)), ((4, 2), (38, 54)),
+                                 ((1, 1), (16, 16))]:
+            a = rng.integers(0, 256, (-(-ol // v), -(-ow // h)),
+                             dtype=np.uint8)
+            got = tiff_lite._upsample_chroma(a, h, v, ol, ow)
+            want = _oracle_upsample(a, h, v, ol, ow)
+            np.testing.assert_array_equal(got, want, err_msg=f"{h}x{v}")
+
+    def test_striped_444(self):
+        """Subsampling (1,1): three full-resolution grayscale planes;
+        output = BT.601(planes). Oracle decodes the same streams with
+        Pillow and converts identically, so the envelope is the codec
+        difference (+-3/plane) through the conversion gains (<=2.8x)."""
+        rng = np.random.default_rng(22)
+        img = _smooth_rgb(rng, 40, 56)
+        ycc = np.asarray(Image.fromarray(img).convert("YCbCr"))
+        rps = 16
+        segments, decoded = [], []
+        for s in range(3):
+            strips, dec = _plane_strips(ycc[..., s], rps)
+            segments.extend(strips)
+            decoded.append(dec)
+        tif = _jpeg_tiff(segments, 56, 40, 3, photometric=6,
+                         rows_per_strip=rps, planar=2, subsampling=(1, 1))
+        got = tiff_lite.read_tiff(tif)
+        want = _oracle_convert(np.stack(decoded, axis=-1))
+        assert got.shape == (40, 56, 3) and got.dtype == np.uint8
+        assert np.abs(got.astype(int) - want.astype(int)).max() <= 9
+
+    def test_striped_420_default_tag(self):
+        """Subsampling (2,2) via the TIFF DEFAULT (tag 530 absent):
+        chroma planes at quarter resolution with rows_per_strip/2,
+        fancy-upsampled. Oracle: PIL-decoded planes through the
+        independent scalar upsampler + float conversion."""
+        rng = np.random.default_rng(23)
+        luma = _smooth_rgb(rng, 40, 56)[..., 0]
+        cb = _smooth_rgb(rng, 20, 28)[..., 1]
+        cr = _smooth_rgb(rng, 20, 28)[..., 2]
+        rps = 16
+        segments, decoded = [], []
+        for plane, prps in ((luma, rps), (cb, rps // 2), (cr, rps // 2)):
+            strips, dec = _plane_strips(plane, prps)
+            segments.extend(strips)
+            decoded.append(dec)
+        tif = _jpeg_tiff(segments, 56, 40, 3, photometric=6,
+                         rows_per_strip=rps, planar=2)
+        got = tiff_lite.read_tiff(tif)
+        planes = [decoded[0].astype(np.int64)]
+        for c in (1, 2):
+            planes.append(_oracle_upsample(decoded[c], 2, 2, 40, 56))
+        want = _oracle_convert(np.stack(planes, axis=-1))
+        assert got.shape == (40, 56, 3)
+        assert np.abs(got.astype(int) - want.astype(int)).max() <= 9
+
+    def test_tiled_422(self):
+        """Tiled planar (2,1): 32x32 luma tiles, 32x16 chroma tiles,
+        edge tiles cropped; h2v1 fancy upsampling."""
+        rng = np.random.default_rng(24)
+        luma = _smooth_rgb(rng, 40, 56)[..., 0]
+        cb = _smooth_rgb(rng, 40, 28)[..., 1]
+        cr = _smooth_rgb(rng, 40, 28)[..., 2]
+        th, tw = 32, 32
+        segments, decoded = [], []
+        for plane, ptw in ((luma, tw), (cb, tw // 2), (cr, tw // 2)):
+            ph, pw = plane.shape
+            dec = np.zeros((ph, pw), np.uint8)
+            for y0 in range(0, ph, th):
+                for x0 in range(0, pw, ptw):
+                    tile = np.zeros((th, ptw), np.uint8)
+                    part = plane[y0: y0 + th, x0: x0 + ptw]
+                    tile[: part.shape[0], : part.shape[1]] = part
+                    data = _encode(tile, quality=95)
+                    segments.append(data)
+                    dec[y0: y0 + th, x0: x0 + ptw] = _pil_decode(
+                        data
+                    )[: part.shape[0], : part.shape[1]]
+            decoded.append(dec)
+        tif = _jpeg_tiff(segments, 56, 40, 3, photometric=6,
+                         tile=(th, tw), planar=2, subsampling=(2, 1))
+        got = tiff_lite.read_tiff(tif)
+        planes = [decoded[0].astype(np.int64),
+                  _oracle_upsample(decoded[1], 2, 1, 40, 56),
+                  _oracle_upsample(decoded[2], 2, 1, 40, 56)]
+        want = _oracle_convert(np.stack(planes, axis=-1))
+        assert got.shape == (40, 56, 3)
+        assert np.abs(got.astype(int) - want.astype(int)).max() <= 9
+
+    def test_nonconforming_geometry_rejected(self):
+        """RowsPerStrip not a multiple of the vertical subsampling is
+        a spec violation (TIFF 6.0 section 21) -> clear error."""
+        rng = np.random.default_rng(25)
+        luma = _smooth_rgb(rng, 40, 56)[..., 0]
+        strips, _ = _plane_strips(luma, 5)
+        tif = _jpeg_tiff(strips * 3, 56, 40, 3, photometric=6,
+                         rows_per_strip=5, planar=2, subsampling=(2, 2))
+        with pytest.raises(ValueError, match="multiple of"):
+            tiff_lite.read_tiff(tif)
