@@ -54,7 +54,7 @@ def _load(volume_or_path):
     return volume_or_path
 
 
-def compact_labels(label_patch):
+def compact_labels(label_patch, min_dtype=np.uint16):
     """First-appearance relabel to the narrowest integer wire dtype.
 
     Label-EQUALITY is all the on-device affinity-target computation
@@ -62,13 +62,44 @@ def compact_labels(label_patch):
     the contiguous first-appearance renumber (native fastremap-parity
     engine) is exact; uint16 covers any patch with < 2^16 distinct
     segments (a 96^3 patch virtually always), uint32 otherwise.
+    ``min_dtype=np.uint32`` skips the uint16 narrowing (datasets pin
+    the wire dtype once promoted so the jitted step signature stays
+    stable -- see :meth:`BaseDataset._compact_wire`).
+
+    Ids wider than the native engine's uint32 (u64/i64 volumes --
+    sparse global ids are common in external segmentations) are
+    pre-compacted EXACTLY via ``np.unique`` before the renumber; a
+    plain dtype cast would alias ids congruent mod 2^32 and fabricate
+    affinities across segment boundaries. Negative ids are rejected
+    (the foreground contract is ``label > 0``).
     """
     from aind_exaspim_neuron_segmentation_tpu import native
 
-    out, n = native.renumber(
-        np.ascontiguousarray(label_patch, dtype=np.uint32)
-    )
-    return out.astype(np.uint16) if n < 2**16 else out
+    arr = np.asarray(label_patch)
+    kind, size = arr.dtype.kind, arr.dtype.itemsize
+    if kind not in "bui":
+        raise ValueError(f"integer label patch expected, got {arr.dtype}")
+    if kind == "i" and int(arr.min(initial=0)) < 0:
+        raise ValueError(
+            "negative label ids are not supported (foreground is "
+            "label > 0)"
+        )
+    if kind == "b" or size <= 4:
+        wire = np.ascontiguousarray(arr, dtype=np.uint32)
+    else:
+        # Exact first-appearance-preserving embed of wide ids into
+        # uint32: unique ids (sorted) -> their rank, keeping 0 at 0.
+        # The renumber below then assigns first-appearance order, which
+        # is identical for any equality-preserving pre-map.
+        uniq, inv = np.unique(arr.ravel(), return_inverse=True)
+        inv = inv.astype(np.uint32)
+        if uniq.size == 0 or uniq[0] != 0:
+            inv += 1  # keep 0 meaning background only
+        wire = inv.reshape(arr.shape)
+    out, n = native.renumber(wire)
+    if n < 2**16 and np.dtype(min_dtype) == np.uint16:
+        return out.astype(np.uint16)
+    return out
 
 
 def reconstruct_normalized(patch, mn, inv):
@@ -165,10 +196,23 @@ class BaseDataset:
     # (BASELINE.md round-3 train-step accounting). Bit-identical train
     # digests are pinned by tests/test_training.py.
     wire_labels = False
+    # Sticky wire dtype: compact_labels narrows to uint16 when a patch
+    # has < 2^16 segments, but a lone dense patch must not flip the
+    # batch dtype back and forth (np.stack promotes, and every new
+    # step signature is a 20-70 s retrace on this TPU service). Once a
+    # patch needs uint32 the dataset ships uint32 for good -- at most
+    # ONE retrace per run.
+    _label_wire_dtype = np.uint16
+
+    def _compact_wire(self, label_patch):
+        out = compact_labels(label_patch, min_dtype=self._label_wire_dtype)
+        if out.dtype.itemsize > np.dtype(self._label_wire_dtype).itemsize:
+            self._label_wire_dtype = out.dtype
+        return out
 
     def _target(self, label_patch):
         if self.wire_labels:
-            return compact_labels(label_patch)
+            return self._compact_wire(label_patch)
         if self.affinity_mode:
             return get_affinity_channels(label_patch[0]).astype(np.float32)
         return label_patch.astype(np.float32)
@@ -238,11 +282,27 @@ class TrainDataset(BaseDataset):
             # reconstructed here or shipped as raw u16 + scalars for the
             # jitted step to reconstruct -- bit-identical either way.
             i, center, label_patch = self._sample_location()
-            label = (
-                compact_labels(label_patch)
-                if self.wire_labels
-                else label_patch.astype(np.int32)
-            )
+            if self.wire_labels:
+                label = self._compact_wire(label_patch)
+            else:
+                # The jitted step consumes int32 and tests foreground
+                # as label > 0: ids that don't embed exactly AND
+                # non-negatively in int32 (u64/i64, or u32 >= 2^31)
+                # must be compacted first -- a bare astype would alias
+                # ids mod 2^32 / wrap foreground negative.
+                dt = label_patch.dtype
+                exact = dt.kind == "b" or (
+                    dt.kind in "ui" and dt.itemsize <= 2
+                ) or dt == np.int32
+                if not exact and dt == np.uint32:
+                    exact = label_patch.max(initial=0) < 2**31
+                label = (
+                    label_patch.astype(np.int32)
+                    if exact
+                    else compact_labels(
+                        label_patch, min_dtype=np.uint32
+                    ).astype(np.int32)
+                )
             raw, mn, inv = self.get_raw_input_patch(i, center)
             if self.wire_raw_images:
                 return (

@@ -362,14 +362,21 @@ class _TcpComm:
     per peer; ``gather`` / ``scatter`` / ``broadcast`` move pickled
     payloads (trusted peers -- the ranks of one job)."""
 
-    def __init__(self, rank, n_ranks, address):
+    def __init__(self, rank, n_ranks, address, server=None):
         self.rank, self.n = rank, n_ranks
         self._socks = {}
         if rank == 0:
-            host, port = address.rsplit(":", 1)
-            srv = socket.socket()
-            srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
-            srv.bind((host or "0.0.0.0", int(port)))
+            if server is not None:
+                # Rendezvous handed over its live listening socket:
+                # the port stays bound from reservation through accept
+                # (no close-then-rebind race with other processes on
+                # the host).
+                srv = server
+            else:
+                host, port = address.rsplit(":", 1)
+                srv = socket.socket()
+                srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+                srv.bind((host or "0.0.0.0", int(port)))
             srv.listen(n_ranks)
             for _ in range(n_ranks - 1):
                 conn, _addr = srv.accept()
@@ -447,15 +454,23 @@ class _TcpComm:
 
 def _rendezvous_address(port=0):
     """Agree on rank 0's host:port through the jax.distributed runtime
-    (one tiny broadcast of a fixed-size byte array over the mesh)."""
+    (one tiny broadcast of a fixed-size byte array over the mesh).
+
+    Returns ``(addr, server)``: on rank 0 ``server`` is the LIVE
+    listening socket bound to that port -- handing it straight to
+    :class:`_TcpComm` keeps the port held from reservation through
+    accept (a close-then-rebind would race other processes on a busy
+    host); peers get ``server=None``.
+    """
     import jax
     from jax.experimental import multihost_utils
 
+    srv = None
     if jax.process_index() == 0:
         srv = socket.socket()
+        srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         srv.bind(("0.0.0.0", port))
         port = srv.getsockname()[1]
-        srv.close()
         host = os.environ.get("EXA_DIST_HOST") or socket.gethostbyname(
             socket.gethostname()
         )
@@ -466,7 +481,29 @@ def _rendezvous_address(port=0):
     enc = addr.encode()
     raw[: len(enc)] = np.frombuffer(enc, np.uint8)
     raw = multihost_utils.broadcast_one_to_all(raw)
-    return bytes(np.asarray(raw)).rstrip(b"\0").decode()
+    return bytes(np.asarray(raw)).rstrip(b"\0").decode(), srv
+
+
+def _connect_hub(rank, n, address=None):
+    """Hub transport for one job's ranks, with the wire preconditions.
+
+    The pass-1 plan bytes and serialized RAG parts cross ranks in raw
+    host layout (streamseg.cpp documents the contract as little-endian,
+    driver-asserted) -- refuse anything else up front rather than
+    deserializing garbage on rank 0.
+    """
+    import sys
+
+    if sys.byteorder != "little":
+        raise RuntimeError(
+            "distributed postprocess requires little-endian hosts: the "
+            "native RAG/plan wire format is raw little-endian host "
+            "layout (see native/src/streamseg.cpp)"
+        )
+    if address:
+        return _TcpComm(rank, n, address)
+    addr, srv = _rendezvous_address()
+    return _TcpComm(rank, n, addr, server=srv)
 
 
 def segment_streaming_sharded(
@@ -529,7 +566,7 @@ def segment_streaming_sharded(
         )
         result = worker.pass3(lut_ws, n_segments, out_path)
     else:
-        comm = _TcpComm(rank, n, address or _rendezvous_address())
+        comm = _connect_hub(rank, n, address)
         try:
             exports = comm.gather(worker.pass1())
             stamp("pass 1 done")
@@ -713,7 +750,7 @@ def skeletonize_sharded(labels, fix_borders=True, fill_holes=True,
             )
 
     z_lo, z_hi = partition_z(labels.shape[0], n)[rank]
-    comm = _TcpComm(rank, n, address or _rendezvous_address())
+    comm = _connect_hub(rank, n, address)
     try:
         partials = comm.gather(bbox_scan(labels, z_lo, z_hi, slab_planes))
         plan = _skeleton_plan(partials, n, kw) if rank == 0 else None

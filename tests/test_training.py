@@ -278,6 +278,53 @@ class TestLabelWire:
             eq_new = compact[0, a] == compact[0, b]
             np.testing.assert_array_equal(eq_old, eq_new)
 
+    def test_compact_labels_u64_exact(self):
+        """Ids congruent mod 2^32 must stay DISTINCT (no cast alias)."""
+        lab = np.zeros((1, 4, 4, 4), np.uint64)
+        lab[0, 0] = 5
+        lab[0, 1] = np.uint64(2**32 + 5)  # aliases 5 under a u32 cast
+        lab[0, 2] = np.uint64(2**32)      # aliases 0 under a u32 cast
+        compact = data_handling.compact_labels(lab)
+        assert compact[0, 0, 0, 0] != compact[0, 1, 0, 0]
+        assert compact[0, 2, 0, 0] != 0
+        np.testing.assert_array_equal(compact == 0, lab == 0)
+
+    def test_compact_labels_rejects_negative(self):
+        lab = np.full((2, 2, 2), -3, np.int64)
+        with pytest.raises(ValueError, match="negative"):
+            data_handling.compact_labels(lab)
+
+    def test_wire_dtype_promotion_is_sticky(self):
+        """One dense patch promotes the wire to uint32 FOR GOOD (batch
+        dtype oscillation would retrace the jitted step every flip)."""
+        imgs, labs = make_volumes()
+        ds = data_handling.TrainDataset(imgs, labs, patch_shape=PATCH)
+        sparse = np.ones((1, 8, 8, 8), np.uint32)
+        dense = np.resize(
+            np.arange(2**16 + 512, dtype=np.uint32), (1, 41, 41, 41)
+        )
+        assert ds._compact_wire(sparse).dtype == np.uint16
+        assert ds._compact_wire(dense).dtype == np.uint32
+        # sticky: the sparse patch now ships uint32 too
+        assert ds._compact_wire(sparse).dtype == np.uint32
+
+    def test_device_int32_path_exact_for_wide_ids(self):
+        """wire_labels=False device-augment labels must also survive
+        u64 ids (bare astype(int32) would alias mod 2^32)."""
+        lab_vol = np.zeros((16, 16, 16), np.uint64)
+        lab_vol[:8] = 7
+        lab_vol[8:] = np.uint64(2**32 + 7)
+        img_vol = np.full((16, 16, 16), 100, np.uint16)
+        ds = data_handling.TrainDataset(
+            [img_vol], [lab_vol], patch_shape=(16, 16, 16), seed=0,
+            return_label_patches=True,
+        )
+        ds.wire_labels = False
+        _x, label = ds[0]
+        assert label.dtype == np.int32
+        assert label[0, 0, 0, 0] != label[0, -1, 0, 0]
+        assert (label > 0).all()
+
     def test_device_targets_match_host(self):
         """affinity channels from compact labels == host f32 channels."""
         import jax.numpy as jnp
