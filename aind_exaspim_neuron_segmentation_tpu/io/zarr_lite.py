@@ -496,13 +496,69 @@ def open_zarr(path, mode="r"):
     raise FileNotFoundError(f"no .zarray or zarr.json at {path}")
 
 
-def write_zarr3(path, array, chunks=None, codecs=None):
+def _encode_v3(data, codecs, itemsize):
+    """bytes -> bytes through a v3 codec chain in ENCODE order.
+
+    Mirrors :func:`_decode_v3` (which runs the chain reversed); the
+    ``bytes`` codec is a no-op here because callers serialize blocks in
+    the declared endianness before calling.
+    """
+    for c in codecs:
+        name = c.get("name")
+        conf = c.get("configuration", {}) or {}
+        if name == "bytes":
+            continue
+        if name == "gzip":
+            data = _gzip.compress(data, conf.get("level", 5))
+        elif name == "zstd":
+            from aind_exaspim_neuron_segmentation_tpu import native
+
+            data = native.zstd_compress(data, conf.get("level", 5))
+        elif name == "blosc":
+            from aind_exaspim_neuron_segmentation_tpu import native
+
+            shuf_name = conf.get("shuffle", "shuffle")
+            shuf = {"noshuffle": 0, "shuffle": 1, "bitshuffle": 2}.get(
+                shuf_name
+            )
+            if shuf is None:
+                raise ValueError(
+                    f"unsupported blosc shuffle {shuf_name!r}"
+                )
+            data = native.blosc_compress(
+                data, typesize=itemsize, shuffle=shuf,
+            )
+        elif name == "crc32c":
+            from aind_exaspim_neuron_segmentation_tpu import native
+
+            data = data + native.crc32c(data).to_bytes(4, "little")
+        else:
+            raise ValueError(f"unsupported writer codec {name!r}")
+    return data
+
+
+_V3_INDEX_CODECS = [
+    {"name": "bytes", "configuration": {"endian": "little"}},
+    {"name": "crc32c"},
+]
+
+
+def write_zarr3(path, array, chunks=None, codecs=None, shards=None):
     """Write a numpy array as a Zarr v3 store (zarr.json metadata).
 
     Default codec pipeline: little-endian ``bytes`` + ``zstd`` level 5
     (the zarr-python 3 ecosystem default); pass ``codecs=[...]`` with
     names from bytes/gzip/zstd/blosc to override. Round-trips through
     :class:`Zarr3Array` and is readable by zarr-python 3.
+
+    ``shards`` enables the ``sharding_indexed`` layout (one store
+    object per shard holding ``shards/chunks`` independently-encoded
+    inner chunks plus a crc32c-protected offset/length index at the
+    shard end -- zarr-python 3's defaults): ``chunks`` stays the inner
+    (read-granular) chunk shape and ``shards`` is the outer per-object
+    shape, exactly the ``chunks=``/``shards=`` split zarr-python 3
+    exposes. Inner chunks that fall entirely outside the array bounds
+    get the missing-chunk sentinel rather than padded payload.
     """
     array = np.asarray(array)
     chunks = tuple(chunks or (min(64, s) for s in array.shape))
@@ -512,18 +568,40 @@ def write_zarr3(path, array, chunks=None, codecs=None):
             {"name": "zstd", "configuration": {"level": 5,
                                                "checksum": False}},
         ]
+    if shards is not None:
+        shards = tuple(shards)
+        if len(shards) != array.ndim or any(
+            s % c for s, c in zip(shards, chunks)
+        ):
+            raise ValueError(
+                f"shard shape {shards} must be divisible by the inner "
+                f"chunk shape {chunks}"
+            )
+        meta_codecs = [{
+            "name": "sharding_indexed",
+            "configuration": {
+                "chunk_shape": list(chunks),
+                "codecs": codecs,
+                "index_codecs": _V3_INDEX_CODECS,
+                "index_location": "end",
+            },
+        }]
+    else:
+        meta_codecs = codecs
     native_dt = array.dtype.newbyteorder("=")
     meta = {
         "zarr_format": 3,
         "node_type": "array",
         "shape": list(array.shape),
         "data_type": str(native_dt.name),
-        "chunk_grid": {"name": "regular",
-                       "configuration": {"chunk_shape": list(chunks)}},
+        "chunk_grid": {
+            "name": "regular",
+            "configuration": {"chunk_shape": list(shards or chunks)},
+        },
         "chunk_key_encoding": {"name": "default",
                                "configuration": {"separator": "/"}},
         "fill_value": 0,
-        "codecs": codecs,
+        "codecs": meta_codecs,
     }
     store = open_store(path)
     store.put("zarr.json", json.dumps(meta).encode())
@@ -534,47 +612,50 @@ def write_zarr3(path, array, chunks=None, codecs=None):
     order = {"little": "<", "big": ">"}[endian]
     out_dt = (native_dt if native_dt.itemsize == 1
               else native_dt.newbyteorder(order))
-    grid = [math.ceil(s / c) for s, c in zip(array.shape, chunks)]
-    for idx in np.ndindex(*grid):
+
+    def encode_chunk(idx):
+        """Inner chunk ``idx`` (global grid coords) -> encoded bytes,
+        zero-padding partial edge chunks (fill_value is 0)."""
         block = np.zeros(chunks, array.dtype)
         sl = tuple(
             slice(i * c, min((i + 1) * c, s))
             for i, c, s in zip(idx, chunks, array.shape)
         )
         block[tuple(slice(0, a.stop - a.start) for a in sl)] = array[sl]
-        data = block.astype(out_dt, copy=False).tobytes()
-        for c in codecs:
-            name = c.get("name")
-            conf = c.get("configuration", {}) or {}
-            if name == "bytes":
-                continue
-            if name == "gzip":
-                data = _gzip.compress(data, conf.get("level", 5))
-            elif name == "zstd":
-                from aind_exaspim_neuron_segmentation_tpu import native
+        return _encode_v3(
+            block.astype(out_dt, copy=False).tobytes(), codecs,
+            array.dtype.itemsize,
+        )
 
-                data = native.zstd_compress(data, conf.get("level", 5))
-            elif name == "blosc":
-                from aind_exaspim_neuron_segmentation_tpu import native
+    if shards is None:
+        grid = [math.ceil(s / c) for s, c in zip(array.shape, chunks)]
+        for idx in np.ndindex(*grid):
+            store.put("c/" + "/".join(str(i) for i in idx),
+                      encode_chunk(idx))
+        return path
 
-                shuf_name = conf.get("shuffle", "shuffle")
-                shuf = {"noshuffle": 0, "shuffle": 1, "bitshuffle": 2}.get(
-                    shuf_name
-                )
-                if shuf is None:
-                    raise ValueError(
-                        f"unsupported blosc shuffle {shuf_name!r}"
-                    )
-                data = native.blosc_compress(
-                    data, typesize=array.dtype.itemsize, shuffle=shuf,
-                )
-            elif name == "crc32c":
-                from aind_exaspim_neuron_segmentation_tpu import native
-
-                data = data + native.crc32c(data).to_bytes(4, "little")
-            else:
-                raise ValueError(f"unsupported writer codec {name!r}")
-        store.put("c/" + "/".join(str(i) for i in idx), data)
+    ratio = tuple(s // c for s, c in zip(shards, chunks))
+    grid = [math.ceil(s / c) for s, c in zip(array.shape, shards)]
+    for sidx in np.ndindex(*grid):
+        parts = []
+        index = np.full(ratio + (2,), 2**64 - 1, "<u8")
+        offset = 0
+        for widx in np.ndindex(*ratio):
+            gidx = tuple(
+                s * r + w for s, r, w in zip(sidx, ratio, widx)
+            )
+            if any(g * c >= d for g, c, d in
+                   zip(gidx, chunks, array.shape)):
+                continue  # fully outside the array: missing sentinel
+            data = encode_chunk(gidx)
+            index[widx] = (offset, len(data))
+            parts.append(data)
+            offset += len(data)
+        raw_index = _encode_v3(
+            index.tobytes(), _V3_INDEX_CODECS, 8
+        )
+        store.put("c/" + "/".join(str(i) for i in sidx),
+                  b"".join(parts) + raw_index)
     return path
 
 

@@ -968,6 +968,84 @@ class TestZarr3:
         expect[8:16, 8:16] = 0  # missing inner chunk -> fill value
         np.testing.assert_array_equal(arr[:], expect)
 
+    @pytest.mark.parametrize("codecs", [
+        None,  # default bytes + zstd
+        [{"name": "bytes", "configuration": {"endian": "little"}},
+         {"name": "gzip", "configuration": {"level": 5}}],
+        [{"name": "bytes", "configuration": {"endian": "little"}},
+         {"name": "blosc", "configuration": {"shuffle": "shuffle"}},
+         {"name": "crc32c"}],
+    ])
+    def test_sharded_write_round_trip(self, tmp_path, codecs):
+        """write_zarr3(shards=...) -> sharding_indexed store our own
+        reader (and zarr-python 3's layout contract) round-trips,
+        including partial edge shards."""
+        from aind_exaspim_neuron_segmentation_tpu.io import zarr_lite
+
+        rng = np.random.default_rng(5)
+        vol = rng.integers(0, 60000, (24, 20, 12)).astype(np.uint16)
+        path = str(tmp_path / "wshard.zarr")
+        zarr_lite.write_zarr3(
+            path, vol, chunks=(8, 8, 4), shards=(16, 16, 8),
+            codecs=codecs,
+        )
+        arr = zarr_lite.open_zarr(path)
+        assert arr.chunks == (8, 8, 4)  # reads walk INNER chunks
+        np.testing.assert_array_equal(arr[:], vol)
+        np.testing.assert_array_equal(
+            arr[5:20, 3:18, 2:10], vol[5:20, 3:18, 2:10]
+        )
+        # one object per SHARD: ceil(24/16) * ceil(20/16) * ceil(12/8)
+        keys = list((tmp_path / "wshard.zarr" / "c").rglob("*"))
+        assert sum(1 for k in keys if k.is_file()) == 8
+
+    def test_sharded_write_edge_shard_uses_sentinel(self, tmp_path):
+        """Inner chunks fully outside the array carry the 2^64-1
+        missing sentinel (no padded payload bytes)."""
+        from aind_exaspim_neuron_segmentation_tpu import native
+        from aind_exaspim_neuron_segmentation_tpu.io import zarr_lite
+
+        vol = np.arange(9 * 5, dtype=np.uint8).reshape(9, 5)
+        path = str(tmp_path / "edge.zarr")
+        zarr_lite.write_zarr3(path, vol, chunks=(4, 4), shards=(8, 8))
+        # shard (1, 0) covers rows 8..16: only inner chunk (0, 0) and
+        # (0, 1) intersect rows 8..9; (1, *) are fully outside.
+        raw = (tmp_path / "edge.zarr" / "c" / "1" / "0").read_bytes()
+        index = np.frombuffer(raw[-68:-4], "<u8").reshape(2, 2, 2)
+        want_crc = native.crc32c(raw[-68:-4])
+        assert int.from_bytes(raw[-4:], "little") == want_crc
+        assert (index[1] == 2**64 - 1).all()
+        assert (index[0, :, 1] != 2**64 - 1).all()
+        np.testing.assert_array_equal(
+            zarr_lite.open_zarr(path)[:], vol
+        )
+
+    def test_sharded_write_rejects_indivisible(self, tmp_path):
+        from aind_exaspim_neuron_segmentation_tpu.io import zarr_lite
+
+        with pytest.raises(ValueError, match="divisible"):
+            zarr_lite.write_zarr3(
+                str(tmp_path / "bad.zarr"),
+                np.zeros((8, 8), np.uint8),
+                chunks=(3, 3), shards=(8, 8),
+            )
+
+    def test_sharded_write_index_corruption_detected(self, tmp_path):
+        """The written index is crc32c-protected end to end: flip one
+        index byte and the reader must refuse it."""
+        from aind_exaspim_neuron_segmentation_tpu.io import zarr_lite
+
+        vol = np.arange(64, dtype=np.uint8).reshape(8, 8)
+        path = str(tmp_path / "corrupt.zarr")
+        zarr_lite.write_zarr3(path, vol, chunks=(4, 4), shards=(8, 8))
+        key = tmp_path / "corrupt.zarr" / "c" / "0" / "0"
+        raw = bytearray(key.read_bytes())
+        raw[-10] ^= 0xFF  # inside the index body
+        key.write_bytes(bytes(raw))
+        arr = zarr_lite.open_zarr(path)
+        with pytest.raises(ValueError, match="crc32c"):
+            arr[:]
+
 
 class TestCrc32c:
     def test_known_answer(self):
