@@ -202,8 +202,10 @@ def predict(
     ``(3, D, H, W)`` in affinity mode else ``(D, H, W)``.
 
     ``max_slab_rows`` caps how many Z patch-rows are resident on device at
-    once (default: chosen from a ~4 GiB accumulator budget); slabs beyond
-    the first recompute one boundary row instead of blending on host.
+    once (default: chosen from a ~2 GiB per-slab accumulator budget --
+    two slabs may be resident in the fetch pipeline, so ~4 GiB total);
+    slabs beyond the first recompute one boundary row instead of
+    blending on host.
 
     ``blend_mode``: 'uniform' reproduces the reference's hit-count
     average; 'gaussian' fades overlapping patches into each other with a
@@ -288,12 +290,28 @@ def predict(
     ranges = patch_grid_ranges(dim, patch_shape, overlap)
     if any(len(r) == 0 for r in ranges):
         # An axis shorter than the overlap yields an empty grid: the
-        # reference's patch loop never runs and returns zeros.
+        # reference's patch loop never runs and returns zeros. The
+        # out_path contract (stores written, lazy handles returned)
+        # still holds on this corner.
+        from aind_exaspim_neuron_segmentation_tpu.io import read
+        from aind_exaspim_neuron_segmentation_tpu.io.zarr_lite import (
+            write_zarr,
+        )
+
         if predigest:
-            return (np.zeros(tuple(dim), np.uint8),
-                    np.zeros((3,) + tuple(dim), np.uint8))
+            plan = np.zeros(tuple(dim), np.uint8)
+            qaff = np.zeros((3,) + tuple(dim), np.uint8)
+            if out_path is not None:
+                write_zarr(out_path[0], plan)
+                write_zarr(out_path[1], qaff)
+                return read(out_path[0]), read(out_path[1])
+            return plan, qaff
         out = np.zeros((out_channels,) + tuple(dim), np.float32)
-        return out if affinity_mode else out[0]
+        out = out if affinity_mode else out[0]
+        if out_path is not None:
+            write_zarr(out_path, out)
+            return read(out_path)
+        return out
     z_starts = list(ranges[0])
     if blend_mode == "gaussian":
         sigmas = [

@@ -41,8 +41,13 @@ def initialize_distributed(coordinator_address=None, num_processes=None,
         h for h in env.get("TPU_WORKER_HOSTNAMES", "").split(",") if h
     ]
     auto_tpu = len(workers) > 1 or env.get("MEGASCALE_COORDINATOR_ADDRESS")
-    if jax.process_count() > 1:
-        return True  # already initialized
+    # ORDERING MATTERS: jax.distributed.initialize must run before
+    # anything that initializes the XLA backend, and jax.process_count()
+    # does exactly that -- probing it first would make every real
+    # multi-process init raise. is_initialized() only reads the
+    # distributed global state.
+    if jax.distributed.is_initialized():
+        return jax.process_count() > 1  # already initialized
     if coordinator_address is None and not auto_tpu:
         return False  # single-process run: nothing to do
     jax.distributed.initialize(

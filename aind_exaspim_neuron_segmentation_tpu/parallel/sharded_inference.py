@@ -217,6 +217,14 @@ def predict_sharded(
 
     runner = model if isinstance(model, ModelRunner) else ModelRunner(*model)
     out_channels = 3 if affinity_mode else 1
+    if runner.output_channels != out_channels:
+        # Same guard as single-device predict (inference.py): without
+        # it a 1-channel mask model under affinity_mode=True would
+        # silently broadcast into all 3 accumulator channels.
+        raise ValueError(
+            f"model has {runner.output_channels} output channels, "
+            f"affinity_mode={affinity_mode} needs {out_channels}"
+        )
     if predigest:
         if not affinity_mode:
             raise ValueError("predigest=True requires affinity_mode=True")
@@ -246,8 +254,17 @@ def predict_sharded(
         # An axis shorter than the overlap yields an empty grid: the
         # reference's patch loop never runs and returns zeros.
         if predigest:
-            return (np.zeros(tuple(dim), np.uint8),
-                    np.zeros((3,) + tuple(dim), np.uint8))
+            plan = np.zeros(tuple(dim), np.uint8)
+            qaff = np.zeros((3,) + tuple(dim), np.uint8)
+            if out_path is not None:
+                from aind_exaspim_neuron_segmentation_tpu.io import read
+                from aind_exaspim_neuron_segmentation_tpu.io.zarr_lite \
+                    import write_zarr
+
+                write_zarr(out_path[0], plan)
+                write_zarr(out_path[1], qaff)
+                return read(out_path[0]), read(out_path[1])
+            return plan, qaff
         out = np.zeros((out_channels,) + tuple(dim), np.float32)
         out = out if affinity_mode else out[0]
         if out_path is not None:
@@ -265,8 +282,14 @@ def predict_sharded(
     # trailing rows whose trimmed output reaches into its range.
     z_starts_all = list(ranges[0])
     n_rows_all = len(z_starts_all)
+    # Y partitioning is band-independent; build it first so the band
+    # budget can use the PER-DEVICE Y slab. Sizing from the full dim[1]
+    # on a 2-D mesh overestimated per-device memory ~ny-fold, splitting
+    # bands (and downgrading normalization to the host streaming pass,
+    # or refusing predigest) when a single band actually fit.
+    yp = _AxisPlan(ranges[1], patch_shape[1], overlap[1], trim, ny)
     if max_band_rows is None:
-        plane_bytes = 4 * (1 + out_channels) * dim[1] * max(
+        plane_bytes = 4 * (1 + out_channels) * yp.slab * max(
             dim[2], ranges[2][-1] + patch_shape[2]
         )
         max_band_rows = _auto_band_rows(
@@ -302,7 +325,6 @@ def predict_sharded(
     zp = _AxisPlan(
         range(max_band_nrows), patch_shape[0], overlap[0], trim, nz
     )
-    yp = _AxisPlan(ranges[1], patch_shape[1], overlap[1], trim, ny)
 
     # Per-axis pad index maps (grid reflection + deep edge extension on
     # the sharded axes), used to slice each shard's slab from the source
@@ -385,25 +407,7 @@ def predict_sharded(
             )
     else:
         n_total = int(np.prod(dim))
-        if (n_total > np.iinfo(np.int32).max
-                and not jax.config.jax_enable_x64):
-            raise ValueError(
-                f"{n_total} elements overflow int32 rank arithmetic; "
-                "enable jax_enable_x64"
-            )
-        q_plan = []
-        ks = []
-        for q in normalization_percentiles:
-            rank = (n_total - 1) * (float(q) / 100.0)
-            k_lo = int(np.floor(rank))
-            frac = rank - k_lo
-            idx_lo = len(ks)
-            ks.append(k_lo)
-            idx_hi = None
-            if frac > 0:
-                idx_hi = len(ks)
-                ks.append(k_lo + 1)
-            q_plan.append((idx_lo, idx_hi, frac))
+        ks, q_plan = stats.rank_plan(n_total, normalization_percentiles)
 
         def stats_body(slab):
             s = slab.reshape(slab.shape[-3:])
@@ -627,7 +631,6 @@ def predict_sharded(
         # them (and the leading trim offset); use it as the chunk
         # height unless it is degenerate.
         local_ids = {d.id for d in jax.local_devices()}
-        dev_grid = mesh.devices.reshape(nz, ny)
         split = any(
             0 < sum(dev_grid[i, j].id in local_ids for j in range(ny)) < ny
             for i in range(nz)
@@ -860,6 +863,15 @@ def predict_sharded(
                      asm_dtype),
         )
 
+    if multiproc and (digest_writers is not None or writer is not None
+                      or plane_writer is not None):
+        # Host-side writes are NOT synchronized by the device
+        # collectives: an early-finishing process returning its lazy
+        # handle could read z-rows a peer has not flushed yet (fill
+        # value instead of data). Barrier before anyone reads.
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("predict_sharded:flush")
     if digest_writers is not None:
         from aind_exaspim_neuron_segmentation_tpu.io import read
 

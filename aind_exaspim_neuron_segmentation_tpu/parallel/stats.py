@@ -41,8 +41,12 @@ def _bits(n):
 
 def _order_stat_key(keys, k, psum_fn):
     """uint32 key of the k-th (0-based) smallest element."""
+    # Counts ride int32 by default (fastest on TPU); with x64 enabled
+    # they widen to int64 so ranks/buckets beyond 2^31-1 are exact --
+    # the escape hatch rank_plan's overflow guard advertises.
+    count_dt = jnp.int64 if jax.config.jax_enable_x64 else jnp.int32
     prefix = jnp.uint32(0)
-    remaining = jnp.asarray(k, jnp.int32)
+    remaining = jnp.asarray(k, count_dt)
 
     for shift, bins in _PLAN:
         fixed_bits = 32 - (shift + _bits(bins))  # high bits already fixed
@@ -57,7 +61,7 @@ def _order_stat_key(keys, k, psum_fn):
             jnp.int32
         )
         contrib = jnp.where(in_prefix, idx, bins)  # out-of-range bucket
-        hist = jnp.zeros(bins + 1, jnp.int32).at[contrib.ravel()].add(1)
+        hist = jnp.zeros(bins + 1, count_dt).at[contrib.ravel()].add(1)
         hist = psum_fn(hist)[:bins]
         below = jnp.cumsum(hist) - hist
         in_bin = (below <= remaining) & (below + hist > remaining)
@@ -74,23 +78,51 @@ def order_stat(x, k, psum_fn=lambda v: v):
     return _keys_to_float(key)
 
 
-def _percentiles(x, qs, n_total, psum_fn):
-    # Ranks and histogram counts are device int32 unless x64 is enabled;
-    # beyond 2^31-1 elements the arithmetic would silently wrap.
+def rank_plan(n_total, qs):
+    """np.percentile's linear-interpolation rank plan + overflow guard.
+
+    The single source of truth for every radix-select percentile
+    caller (``_percentiles`` here, ``predict_sharded``'s on-device
+    normalization): returns ``(ks, plan)`` where ``ks`` are the
+    0-based order-stat ranks to fetch and ``plan`` holds one
+    ``(idx_lo, idx_hi, frac)`` triple per q indexing into ``ks``
+    (``idx_hi is None`` when the rank is integral).
+
+    Ranks and histogram counts ride device int32 unless x64 is
+    enabled (then int64 -- see ``_order_stat_key``); beyond 2^31-1
+    elements the int32 arithmetic would silently wrap, so refuse.
+    """
     if n_total > np.iinfo(np.int32).max and not jax.config.jax_enable_x64:
         raise ValueError(
             f"{n_total} elements overflow int32 rank arithmetic; enable "
             "jax_enable_x64 or compute percentiles per sub-volume"
         )
-    outs = []
+    ks, plan = [], []
     for q in qs:
-        rank = (n_total - 1) * (q / 100.0)
+        rank = (n_total - 1) * (float(q) / 100.0)
         k_lo = int(np.floor(rank))
         frac = rank - k_lo
-        v_lo = order_stat(x, k_lo, psum_fn)
+        idx_lo = len(ks)
+        ks.append(k_lo)
+        idx_hi = None
         if frac > 0:
-            v_hi = order_stat(x, k_lo + 1, psum_fn)
-            outs.append(v_lo + (v_hi - v_lo) * np.float32(frac))
+            idx_hi = len(ks)
+            ks.append(k_lo + 1)
+        plan.append((idx_lo, idx_hi, frac))
+    return ks, plan
+
+
+def _percentiles(x, qs, n_total, psum_fn):
+    ks, plan = rank_plan(n_total, qs)
+    keys = _float_keys(x)
+    vals = [
+        _keys_to_float(_order_stat_key(keys, k, psum_fn)) for k in ks
+    ]
+    outs = []
+    for idx_lo, idx_hi, frac in plan:
+        v_lo = vals[idx_lo]
+        if idx_hi is not None:
+            outs.append(v_lo + (vals[idx_hi] - v_lo) * np.float32(frac))
         else:
             outs.append(v_lo)
     return jnp.stack(outs)

@@ -28,13 +28,16 @@ in_path, out_path = sys.argv[3], sys.argv[4]
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
 import jax
 jax.config.update("jax_platforms", "cpu")
-jax.distributed.initialize(
+from aind_exaspim_neuron_segmentation_tpu import inference, parallel
+from aind_exaspim_neuron_segmentation_tpu.io import zarr_lite
+
+# Through the package wrapper (the CLI --distributed entry): it must
+# not touch the XLA backend before jax.distributed.initialize.
+assert parallel.initialize_distributed(
     coordinator_address=f"localhost:{port}", num_processes=2,
     process_id=pid, local_device_ids=list(range(4)),
 )
 assert jax.process_count() == 2 and len(jax.devices()) == 8
-from aind_exaspim_neuron_segmentation_tpu import inference, parallel
-from aind_exaspim_neuron_segmentation_tpu.io import zarr_lite
 
 runner = inference.load_model(
     affinity_mode=True, width_multiplier=0.25, dtype="float32"

@@ -56,8 +56,89 @@ class TestShardedPercentile:
         for k, expect in enumerate([-9.0, -2.0, 0.0, 5.0, 7.5, 7.5]):
             assert float(parallel.order_stat(x, k)) == expect
 
+    def test_rank_plan_overflow_guard(self):
+        from aind_exaspim_neuron_segmentation_tpu.parallel import stats
+
+        ks, plan = stats.rank_plan(101, (1.0, 99.9))
+        assert ks == [1, 99, 100]
+        assert plan == [(0, None, 0.0), (1, 2, pytest.approx(0.9))]
+        with pytest.raises(ValueError, match="int32"):
+            stats.rank_plan(2**31, (99.9,))
+
+    def test_x64_rank_arithmetic(self):
+        """With x64 enabled (the guard's advertised escape hatch),
+        ranks >= 2^31 must actually work: counts widen to int64 and
+        the huge-n rank_plan stops raising. Subprocess because x64 is
+        a process-global switch."""
+        import subprocess
+        import sys
+
+        code = (
+            "import jax\n"
+            "jax.config.update('jax_platforms', 'cpu')\n"
+            "jax.config.update('jax_enable_x64', True)\n"
+            "import numpy as np\n"
+            "from aind_exaspim_neuron_segmentation_tpu.parallel import"
+            " stats\n"
+            "ks, _ = stats.rank_plan(2**33, (99.9,))\n"
+            "assert ks[0] > 2**31, ks\n"
+            "x = np.arange(16, dtype=np.float32)\n"
+            "v = stats.order_stat(x, 2**31 + 2)\n"  # no OverflowError
+            "assert float(stats.order_stat(x, 3)) == 3.0\n"
+            "print('X64-OK')\n"
+        )
+        out = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True,
+            text=True, timeout=300,
+        )
+        assert "X64-OK" in out.stdout, out.stderr[-2000:]
+
 
 class TestShardedPredict:
+    def test_channel_mismatch_raises(self, runner):
+        """A 1-channel mask model under affinity_mode=True must raise
+        (like single-device predict), not silently broadcast into the
+        3-channel accumulator."""
+        mask_model = inference.load_model(
+            affinity_mode=False, width_multiplier=0.25,
+            dtype=jnp.float32,
+        )
+        vol = np.zeros((48, 48, 48), np.float32)
+        with pytest.raises(ValueError, match="output channels"):
+            parallel.predict_sharded(
+                vol, mask_model, mesh=parallel.make_mesh(2),
+                patch_shape=PATCH, overlap=OVERLAP, trim=TRIM,
+                affinity_mode=True,
+            )
+        with pytest.raises(ValueError, match="output channels"):
+            parallel.predict_sharded(
+                vol, runner, mesh=parallel.make_mesh(2),
+                patch_shape=PATCH, overlap=OVERLAP, trim=TRIM,
+                affinity_mode=False,
+            )
+
+    def test_empty_grid_out_path_writes_store(self, runner, tmp_path):
+        """The out_path contract (store written, lazy handle returned)
+        must hold on the empty-grid corner too."""
+        thin = np.zeros((4, 48, 48), np.float32)  # Z shorter than patch
+        out = str(tmp_path / "thin.zarr")
+        got = parallel.predict_sharded(
+            thin, runner, mesh=parallel.make_mesh(2),
+            patch_shape=PATCH, overlap=OVERLAP, trim=TRIM, out_path=out,
+        )
+        from aind_exaspim_neuron_segmentation_tpu import io
+
+        assert np.asarray(got[:]).shape == (3, 4, 48, 48)
+        np.testing.assert_array_equal(np.asarray(io.read(out)[:]), 0)
+        # and the single-device path honors the same contract
+        out2 = str(tmp_path / "thin1.zarr")
+        got2 = inference.predict(
+            thin, runner, patch_shape=PATCH, overlap=OVERLAP, trim=TRIM,
+            out_path=out2, verbose=False,
+        )
+        assert np.asarray(got2[:]).shape == (3, 4, 48, 48)
+        np.testing.assert_array_equal(np.asarray(io.read(out2)[:]), 0)
+
     @pytest.fixture(scope="class")
     def volume(self):
         rng = np.random.default_rng(1)
