@@ -70,7 +70,15 @@ def affinity_channels_jax(label_mask, edges=DEFAULT_EDGES, dtype=jnp.float32):
     """
     channels = []
     for edge in edges:
-        axis = tuple(edge).index(1)
+        edge_t = tuple(int(e) for e in edge)
+        if sorted(abs(e) for e in edge_t) != [0, 0, 1]:
+            raise ValueError(
+                f"expected a unit edge direction, got {edge}"
+            )
+        # Sign-agnostic: the host path gives IDENTICAL channels for +e
+        # and -e -- (o1 == o2) & (o1 != 0) is symmetric in o1/o2 under
+        # the equality, and both pad the end of the axis.
+        axis = next(i for i, e in enumerate(edge_t) if e != 0)
         ahead = [slice(None)] * 3
         behind = [slice(None)] * 3
         ahead[axis] = slice(1, None)

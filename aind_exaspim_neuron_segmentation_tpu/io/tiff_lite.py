@@ -461,7 +461,13 @@ def _parse(buf):
 
     pages = []
     pos = first
+    seen = set()
     while pos:
+        if pos in seen:
+            # Corrupt/adversarial next-IFD pointer looping back: fail
+            # like tifffile instead of spinning forever.
+            raise ValueError("circular IFD chain in TIFF")
+        seen.add(pos)
         (n_entries,) = struct.unpack(
             count_fmt, buf[pos: pos + count_size]
         )
@@ -512,7 +518,18 @@ class TiffStack:
                 raise ValueError("pages differ in shape/dtype")
         self.shape = (len(self.pages),) + p0.shape
         self.dtype = p0.dtype.newbyteorder("=")
-        self._cache = {}
+        # Decoded-page LRU: unbounded memoization would quietly hold
+        # the whole decoded volume after one streaming pass, defeating
+        # the lazy contract on beyond-RAM stacks. Bytes-capped; raise
+        # ``cache_bytes`` for random-access workloads that re-touch
+        # many pages.
+        self.cache_bytes = 256 * 1024**2
+        self._page_bytes = int(
+            np.prod(p0.shape) * self.dtype.itemsize
+        )
+        from collections import OrderedDict
+
+        self._cache = OrderedDict()
 
     @property
     def ndim(self):
@@ -523,11 +540,17 @@ class TiffStack:
         return self.shape[0]
 
     def _page(self, i):
-        if i not in self._cache:
-            self._cache[i] = np.ascontiguousarray(
-                self.pages[i].read(self._buf), dtype=self.dtype
-            )
-        return self._cache[i]
+        if i in self._cache:
+            self._cache.move_to_end(i)
+            return self._cache[i]
+        page = np.ascontiguousarray(
+            self.pages[i].read(self._buf), dtype=self.dtype
+        )
+        keep = max(self.cache_bytes // max(self._page_bytes, 1), 1)
+        while len(self._cache) >= keep:
+            self._cache.popitem(last=False)
+        self._cache[i] = page
+        return page
 
     def __getitem__(self, key):
         if not isinstance(key, tuple):
@@ -535,7 +558,13 @@ class TiffStack:
         zkey = key[0] if key else slice(None)
         rest = key[1:]
         if isinstance(zkey, (int, np.integer)):
-            page = self._page(int(zkey) % self.shape[0])
+            z = int(zkey)
+            n = self.shape[0]
+            if not -n <= z < n:  # numpy semantics: no silent wrap
+                raise IndexError(
+                    f"index {z} out of range for axis 0 with size {n}"
+                )
+            page = self._page(z % n)
             return page[rest] if rest else page
         idx = range(*zkey.indices(self.shape[0]))
         stack = np.stack([self._page(i) for i in idx]) if len(idx) else (

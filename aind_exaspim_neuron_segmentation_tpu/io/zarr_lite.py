@@ -379,10 +379,15 @@ class Zarr3Array(LazyArray):
         key_enc = meta.get(
             "chunk_key_encoding", {"name": "default"}
         )
-        sep = key_enc.get("configuration", {}).get("separator", "/")
         if key_enc.get("name") == "v2":
+            # The v2 encoding's SPEC default separator is "." (zarr v3
+            # spec, chunk-key-encoding section) -- defaulting to "/"
+            # here would make zarr-python's {"name": "v2"} stores read
+            # back as silent fill-value zeros.
+            sep = key_enc.get("configuration", {}).get("separator", ".")
             self._key = lambda idx: sep.join(str(i) for i in idx)
         else:
+            sep = key_enc.get("configuration", {}).get("separator", "/")
             self._key = lambda idx: "c" + sep + sep.join(
                 str(i) for i in idx
             )

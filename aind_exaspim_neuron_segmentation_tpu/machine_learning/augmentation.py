@@ -84,11 +84,18 @@ class RandomScale3D:
         rng = rng or _GLOBAL_RNG
         alpha = rng.uniform(*self.scale_range)
         factors = [alpha] * 3
-        input_img = input_img.copy()
-        label_mask = label_mask.copy()
-        input_img[0] = _zoom_keep_shape(input_img[0], factors, order=3)
-        label_mask[0] = _zoom_keep_shape(label_mask[0], factors, order=0)
-        return input_img, label_mask
+
+        def apply(vol, order):
+            # rank-aware like the module's other transforms: bare
+            # (D, H, W) patches zoom directly; channel-leading arrays
+            # keep the reference's channel-0 behavior
+            if vol.ndim == 3:
+                return _zoom_keep_shape(vol, factors, order)
+            vol = vol.copy()
+            vol[0] = _zoom_keep_shape(vol[0], factors, order)
+            return vol
+
+        return apply(input_img, 3), apply(label_mask, 0)
 
 
 def _zoom_keep_shape(vol, factors, order):

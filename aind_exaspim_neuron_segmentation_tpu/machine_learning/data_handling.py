@@ -350,9 +350,19 @@ class TrainDataset(BaseDataset):
         return i, center, label_patch
 
     def sample_center(self, shape):
-        """Uniform center in the patch-fitting interior (reference :294)."""
+        """Uniform center in the patch-fitting interior (reference :294).
+
+        Deliberate deviation (reference bug, :309): the reference's
+        inclusive ``randint(s//2, d - s//2)`` lets ODD patch shapes
+        overhang the volume by one plane (numpy clips -> ragged
+        batches). The upper bound here subtracts the ceil half
+        (``s - s//2``) instead, which is identical for the even shapes
+        the reference uses and in-bounds for odd ones.
+        """
         lower = [s // 2 for s in self.patch_shape]
-        upper = [d - s // 2 for d, s in zip(shape, self.patch_shape)]
+        upper = [
+            d - (s - s // 2) for d, s in zip(shape, self.patch_shape)
+        ]
         return np.array(
             [self.rng.randint(lo, hi) for lo, hi in zip(lower, upper)]
         )

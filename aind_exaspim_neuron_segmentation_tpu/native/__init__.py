@@ -322,13 +322,27 @@ def _u64(arr):
 
 
 def unique(labels, return_counts=False):
-    """Sorted distinct labels (and counts) -- fastremap.unique parity."""
+    """Sorted distinct labels (and counts) -- fastremap.unique parity.
+
+    Single-pass protocol: the engine fills up to ``cap`` entries and
+    returns the true distinct count, so one generously-sized call
+    suffices (a count-then-fill pair would re-hash the whole volume --
+    2x the discovery cost on full label volumes). Retries with the
+    exact count only past 2^20 distinct labels.
+    """
     lab = np.ascontiguousarray(labels, dtype=np.uint32).ravel()
     lib = _lib()
-    n = lib.exa_unique_counts(_u32(lab), lab.size, None, None, 0)
-    ids = np.empty(n, np.uint32)
-    counts = np.empty(n, np.int64)
-    lib.exa_unique_counts(_u32(lab), lab.size, _u32(ids), _i64(counts), n)
+    cap = max(min(lab.size, 1 << 20), 1)
+    while True:
+        ids = np.empty(cap, np.uint32)
+        counts = np.empty(cap, np.int64)
+        n = lib.exa_unique_counts(
+            _u32(lab), lab.size, _u32(ids), _i64(counts), cap
+        )
+        if n <= cap:
+            ids, counts = ids[:n], counts[:n]
+            break
+        cap = n
     if return_counts:
         return ids, counts
     return ids
@@ -352,9 +366,14 @@ def renumber(labels, preserve_zero=True, in_place=False):
 
     Returns ``(labels, n_labels)``.
     """
-    out = np.ascontiguousarray(labels, dtype=np.uint32)
-    if not in_place and out is labels:
-        out = out.copy()
+    if in_place:
+        out = np.ascontiguousarray(labels, dtype=np.uint32)
+    else:
+        # np.array(copy=True) guarantees a fresh buffer: no heuristic
+        # aliasing checks (ascontiguousarray can hand back views over
+        # caller-owned memory for array-likes), and never more than
+        # the one copy in_place=False implies anyway.
+        out = np.array(labels, dtype=np.uint32, order="C")
     n = _lib().exa_renumber(_u32(out.ravel()), out.size,
                             1 if preserve_zero else 0)
     return out, int(n)
@@ -496,6 +515,7 @@ class StreamSegmenter:
     """
 
     def __init__(self, shape):
+        self._h = None  # __del__ runs even when _lib() raises below
         d, h, w = (int(v) for v in shape)
         self._lib = _lib()
         self._h = self._lib.exa_streamseg_new(d, h, w)

@@ -68,20 +68,36 @@ int64_t watershed_replay(const uint8_t* plan, int64_t D, int64_t H,
   const int64_t strides[3] = {H * W, W, 1};
   exa::UnionFind uf(static_cast<size_t>(N));
   std::vector<uint8_t> foreground(N, 0);
-  for (int64_t v = 0; v < N; ++v) {
-    const uint8_t pb = plan[v];
-    for (int c = 0; c < 3; ++c) {
-      if (pb & (1 << c)) {
-        uf.unite(static_cast<uint32_t>(v),
-                 static_cast<uint32_t>(v + strides[c]));
+  // Plan bytes may arrive from spool files or digest stores, so a
+  // truncated/corrupt byte must fail (-1), not unite out-of-range
+  // voxels (heap corruption). Coordinates are tracked in the loop so
+  // the edge-validity tests are compares, not div/mod.
+  int64_t v = 0;
+  for (int64_t z = 0; z < D; ++z) {
+    for (int64_t y = 0; y < H; ++y) {
+      for (int64_t x = 0; x < W; ++x, ++v) {
+        const uint8_t pb = plan[v];
+        const bool fwd_ok[3] = {z + 1 < D, y + 1 < H, x + 1 < W};
+        for (int c = 0; c < 3; ++c) {
+          if (pb & (1 << c)) {
+            if (!fwd_ok[c]) return -1;
+            uf.unite(static_cast<uint32_t>(v),
+                     static_cast<uint32_t>(v + strides[c]));
+          }
+        }
+        const int dir = pb >> 3;
+        if (dir != 0) {
+          if (dir > 6) return -1;
+          const int c = (dir - 1) % 3;
+          const bool ok = dir <= 3
+              ? fwd_ok[c]
+              : (c == 0 ? z > 0 : c == 1 ? y > 0 : x > 0);
+          if (!ok) return -1;
+          const int64_t u = dir <= 3 ? v + strides[c] : v - strides[c];
+          foreground[v] = 1;
+          uf.unite(static_cast<uint32_t>(v), static_cast<uint32_t>(u));
+        }
       }
-    }
-    const int dir = pb >> 3;
-    if (dir != 0) {
-      const int c = (dir - 1) % 3;
-      const int64_t u = dir <= 3 ? v + strides[c] : v - strides[c];
-      foreground[v] = 1;
-      uf.unite(static_cast<uint32_t>(v), static_cast<uint32_t>(u));
     }
   }
 

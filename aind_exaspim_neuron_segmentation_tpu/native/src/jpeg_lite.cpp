@@ -259,6 +259,9 @@ struct Decoder {
           while (q < seg + body) {
             const int prec = q[0] >> 4, id = q[0] & 0x0F;
             if (id > 3) return -1;
+            // 64 entries of 1 or 2 bytes must fit inside the segment
+            // (a truncated DQT would otherwise read past the buffer).
+            if (q + 1 + (prec ? 128 : 64) > seg + body) return -1;
             ++q;
             for (int i = 0; i < 64; ++i) {
               uint16_t val;
@@ -352,6 +355,7 @@ struct Decoder {
           return -2;  // progressive / lossless / arithmetic
         case 0xDA: {  // SOS
           if (!scan_mode || !have_frame) return -1;
+          if (body < 1) return -1;  // ns byte itself must exist
           const int ns = seg[0];
           if (ns < 1 || ns > 4 || body < 1 + 2 * ns + 3) return -1;
           int scan_comps[4];
@@ -810,6 +814,7 @@ EXA_API int64_t exa_jpeg_info(const uint8_t* data, int64_t n,
     const int seg_len = (p[0] << 8) | p[1];
     if (seg_len < 2 || p + seg_len > end) return -1;
     if (marker == 0xC0 || marker == 0xC1 || marker == 0xC2) {
+      if (seg_len < 8) return -1;  // precision + dims + ncomp = 6 body
       const uint8_t* seg = p + 2;
       if (seg[0] != 8 && seg[0] != 12) return -3;
       info[0] = (seg[1] << 8) | seg[2];

@@ -259,6 +259,15 @@ EXA_API int64_t exa_streamseg_feed(void* handle, const uint8_t* plan,
         const int64_t v = (z * H + y) * W + x;
         const uint8_t pb = plan[v];
         if (pb == 0) continue;
+        // Plan bytes arrive from spool files / digest stores: a
+        // corrupt y/x edge flag at a volume face must fail (-1), not
+        // unite out-of-range indices (e.g. -W at z=0,y=0 wraps to a
+        // huge uint32 -> union-find heap corruption). Valid digests
+        // never set face-crossing flags (ops/predigest.py masks
+        // them). Z-face flags are NOT policed here: slab-end +z is
+        // legitimately deferred (prev_plan), and in distributed mode
+        // the rank's last local plane carries real +z flags for the
+        // cross-rank stitch.
         if ((pb & 1) && z + 1 < nz) {
           local.unite(static_cast<uint32_t>(v),
                       static_cast<uint32_t>(v + HW));
@@ -267,10 +276,12 @@ EXA_API int64_t exa_streamseg_feed(void* handle, const uint8_t* plan,
         // feed (prev_plan replays it); on the volume's last plane the
         // digest guarantees no such flag.
         if (pb & 2) {
+          if (y + 1 >= H) return -1;
           local.unite(static_cast<uint32_t>(v),
                       static_cast<uint32_t>(v + W));
         }
         if (pb & 4) {
+          if (x + 1 >= W) return -1;
           local.unite(static_cast<uint32_t>(v),
                       static_cast<uint32_t>(v + 1));
         }
@@ -283,10 +294,12 @@ EXA_API int64_t exa_streamseg_feed(void* handle, const uint8_t* plan,
             }
             break;  // last plane: deferred (prev_plan)
           case 2:
+            if (y + 1 >= H) return -1;
             local.unite(static_cast<uint32_t>(v),
                         static_cast<uint32_t>(v + W));
             break;
           case 3:
+            if (x + 1 >= W) return -1;
             local.unite(static_cast<uint32_t>(v),
                         static_cast<uint32_t>(v + 1));
             break;
@@ -299,14 +312,17 @@ EXA_API int64_t exa_streamseg_feed(void* handle, const uint8_t* plan,
             }
             break;
           case 5:
+            if (y == 0) return -1;
             local.unite(static_cast<uint32_t>(v),
                         static_cast<uint32_t>(v - W));
             break;
           case 6:
+            if (x == 0) return -1;
             local.unite(static_cast<uint32_t>(v),
                         static_cast<uint32_t>(v - 1));
             break;
           default:
+            if (dir > 6) return -1;
             break;
         }
       }

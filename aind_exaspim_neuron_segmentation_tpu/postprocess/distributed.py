@@ -89,6 +89,14 @@ class _RankWorker:
                     "aff thresholds are baked into the plan bytes at "
                     "digest time; re-digest for non-defaults"
                 )
+            if self.plan_h.ndim != 3 or self.qaff_h.shape != (
+                (3,) + tuple(self.plan_h.shape)
+            ):
+                # same fail-fast contract as segment_streaming
+                raise ValueError(
+                    f"digest pair shapes {self.plan_h.shape} / "
+                    f"{self.qaff_h.shape} do not match"
+                )
             d, h, w = self.plan_h.shape
         else:
             if affinities.ndim != 4 or affinities.shape[0] != 3:

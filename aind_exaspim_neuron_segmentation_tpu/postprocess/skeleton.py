@@ -38,15 +38,17 @@ class Skeleton:
         for a, b in self.edges:
             adj[a].append(b)
             adj[b].append(a)
+        from collections import deque
+
         parent = np.full(n, -2, np.int64)
         order = []
         for seed in range(n):
             if parent[seed] != -2:
                 continue
             parent[seed] = -1
-            queue = [seed]
+            queue = deque([seed])  # list.pop(0) is O(n) per pop
             while queue:
-                u = queue.pop(0)
+                u = queue.popleft()
                 order.append(u)
                 for v in adj[u]:
                     if parent[v] == -2:
@@ -157,10 +159,12 @@ def skeletonize(
     """
     del max_paths  # accepted for parity; the trace loop runs to coverage
     # Lazy chunked handles (io.LazyArray subclasses) stream through the
-    # crop engine; anything array-like (numpy/jax/list) densifies.
-    if not isinstance(segmentation, (np.ndarray, list)) and not hasattr(
-        segmentation, "__array__"
-    ):
+    # crop engine; anything array-like (numpy/jax/list/tuple/sequence)
+    # densifies -- only handles WITHOUT dense conversion but WITH chunk
+    # reads take the lazy path.
+    if not isinstance(
+        segmentation, (np.ndarray, list, tuple)
+    ) and not hasattr(segmentation, "__array__"):
         return skeletonize_lazy(
             segmentation, scale=scale, const=const,
             pdrf_exponent=pdrf_exponent, pdrf_scale=pdrf_scale,

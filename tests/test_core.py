@@ -152,6 +152,23 @@ class TestAffinities:
             get_affinity_channels(lab).astype(np.float32),
         )
 
+    def test_jax_matches_numpy_negative_edges(self):
+        """The host path supports -e unit edges; the device path must
+        agree instead of crashing on the axis lookup."""
+        lab = np.random.default_rng(5).integers(0, 4, size=(6, 7, 8))
+        edges = ((-1, 0, 0), (0, -1, 0), (0, 0, -1))
+        np.testing.assert_array_equal(
+            np.asarray(affinity_channels_jax(lab, edges=edges)),
+            get_affinity_channels(lab, edges=edges).astype(np.float32),
+        )
+
+    def test_jax_rejects_non_unit_edges(self):
+        import pytest
+
+        with pytest.raises(ValueError, match="unit edge"):
+            affinity_channels_jax(np.zeros((2, 2, 2), np.int32),
+                                  edges=((0, 0, 2),))
+
 
 class TestOffsetMasks:
     def test_shifted_views(self):

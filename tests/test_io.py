@@ -451,6 +451,56 @@ class TestTiffLite:
                                       vol[1:3, 5:9, 2:7])
         np.testing.assert_array_equal(stack[:], vol)
 
+    def test_lazy_stack_index_bounds(self, tmp_path):
+        """Out-of-range Z indices raise like numpy (no silent modulo
+        wrap to a valid page); negatives index from the end."""
+        from aind_exaspim_neuron_segmentation_tpu.io import tiff_lite
+
+        vol = self._vol("uint16", seed=7)
+        path = str(tmp_path / "b.tif")
+        tiff_lite.write_tiff(path, vol)
+        stack = tiff_lite.read_tiff(path, lazy=True)
+        n = vol.shape[0]
+        np.testing.assert_array_equal(stack[-1], vol[-1])
+        np.testing.assert_array_equal(stack[-n], vol[0])
+        for bad in (n, n + 3, -n - 1):
+            with pytest.raises(IndexError):
+                stack[bad]
+
+    def test_lazy_stack_cache_bounded(self, tmp_path):
+        """The decoded-page cache is a bytes-capped LRU: streaming a
+        whole beyond-RAM stack must not pin every decoded page."""
+        from aind_exaspim_neuron_segmentation_tpu.io import tiff_lite
+
+        vol = self._vol("uint16", seed=8)
+        path = str(tmp_path / "c.tif")
+        tiff_lite.write_tiff(path, vol)
+        stack = tiff_lite.read_tiff(path, lazy=True)
+        stack.cache_bytes = 2 * stack._page_bytes
+        np.testing.assert_array_equal(stack[:], vol)  # full pass
+        assert len(stack._cache) <= 2
+        # LRU keeps the most recently touched pages
+        np.testing.assert_array_equal(stack[0], vol[0])
+        assert 0 in stack._cache
+
+    def test_circular_ifd_chain_rejected(self, tmp_path):
+        """A corrupt next-IFD pointer looping back must fail cleanly,
+        not hang building pages forever."""
+        import struct
+
+        from aind_exaspim_neuron_segmentation_tpu.io import tiff_lite
+
+        vol = self._vol("uint16", seed=9)[0]
+        path = str(tmp_path / "loop.tif")
+        tiff_lite.write_tiff(path, vol)
+        raw = bytearray(open(path, "rb").read())
+        (first,) = struct.unpack("<I", raw[4:8])
+        (n_entries,) = struct.unpack("<H", raw[first: first + 2])
+        next_at = first + 2 + n_entries * 12
+        raw[next_at: next_at + 4] = struct.pack("<I", first)  # loop!
+        with pytest.raises(ValueError, match="circular"):
+            tiff_lite.read_tiff(bytes(raw))
+
     def test_predictor2_deflate(self, tmp_path):
         """Hand-built classic TIFF with predictor=2 (horizontal
         differencing) + deflate, the common tifffile/libtiff output for
@@ -967,6 +1017,35 @@ class TestZarr3:
         expect = vol.copy()
         expect[8:16, 8:16] = 0  # missing inner chunk -> fill value
         np.testing.assert_array_equal(arr[:], expect)
+
+    def test_v2_key_encoding_default_separator(self, tmp_path):
+        """{"name": "v2"} with no configuration means "." separators
+        (the v3 spec default for that encoding); zarr-python writes
+        keys like '0.1' for it. Defaulting to '/' would read every
+        chunk as missing -> silent fill-value zeros."""
+        import json as _json
+
+        from aind_exaspim_neuron_segmentation_tpu.io import zarr_lite
+
+        vol = np.arange(48, dtype=np.uint8).reshape(6, 8)
+        root = tmp_path / "v2keys.zarr"
+        root.mkdir()
+        (root / "zarr.json").write_text(_json.dumps({
+            "zarr_format": 3, "node_type": "array",
+            "shape": [6, 8], "data_type": "uint8",
+            "chunk_grid": {"name": "regular",
+                           "configuration": {"chunk_shape": [3, 4]}},
+            "chunk_key_encoding": {"name": "v2"},
+            "fill_value": 0,
+            "codecs": [{"name": "bytes",
+                        "configuration": {"endian": "little"}}],
+        }))
+        for i in range(2):
+            for j in range(2):
+                chunk = vol[i * 3:(i + 1) * 3, j * 4:(j + 1) * 4]
+                (root / f"{i}.{j}").write_bytes(chunk.tobytes())
+        arr = zarr_lite.open_zarr(str(root))
+        np.testing.assert_array_equal(arr[:], vol)
 
     @pytest.mark.parametrize("codecs", [
         None,  # default bytes + zstd

@@ -99,6 +99,71 @@ class TestMergeAtThreshold:
         assert len(np.unique(unmerged[unmerged > 0])) == 2
 
 
+class TestCorruptPlanRejected:
+    """Plan bytes come from spool files / digest stores, so malformed
+    edge flags at volume faces must fail cleanly, not unite
+    out-of-range voxels (heap corruption)."""
+
+    def test_watershed_plan_face_crossing_dir(self):
+        from aind_exaspim_neuron_segmentation_tpu import native
+
+        plan = np.full((2, 4, 4), 8, np.uint8)  # dir=+z EVERYWHERE
+        with pytest.raises(RuntimeError, match="replay"):
+            native.watershed_plan(plan)  # last plane has no +z target
+
+    def test_watershed_plan_invalid_dir_code(self):
+        from aind_exaspim_neuron_segmentation_tpu import native
+
+        plan = np.zeros((2, 4, 4), np.uint8)
+        plan[0, 0, 0] = 7 << 3  # dir code 7: undefined
+        with pytest.raises(RuntimeError, match="replay"):
+            native.watershed_plan(plan)
+
+    def test_streamseg_feed_face_crossing_dir(self):
+        from aind_exaspim_neuron_segmentation_tpu import native
+
+        plan = np.zeros((3, 4, 4), np.uint8)
+        plan[0, 0, 0] = 5 << 3  # -y at y=0: out of the volume
+        with native.StreamSegmenter((3, 4, 4)) as seg:
+            with pytest.raises(RuntimeError, match="feed"):
+                seg.feed(plan)
+
+
+class TestRemapWrappers:
+    def test_unique_retry_past_cap(self):
+        """> 2^20 distinct labels exercise the grow-and-retry path."""
+        from aind_exaspim_neuron_segmentation_tpu import native
+
+        n = (1 << 20) + 4097
+        lab = np.arange(n, dtype=np.uint32)
+        ids, counts = native.unique(lab, return_counts=True)
+        assert ids.size == n and counts.sum() == n
+        np.testing.assert_array_equal(ids, lab)  # sorted
+
+    def test_unique_small(self):
+        from aind_exaspim_neuron_segmentation_tpu import native
+
+        lab = np.array([5, 0, 5, 2, 2, 2], np.uint32)
+        ids, counts = native.unique(lab, return_counts=True)
+        np.testing.assert_array_equal(ids, [0, 2, 5])
+        np.testing.assert_array_equal(counts, [1, 3, 2])
+
+    def test_renumber_does_not_mutate_view_backed_input(self):
+        """in_place=False must copy even when ascontiguousarray hands
+        back a view over a caller-owned buffer."""
+        from aind_exaspim_neuron_segmentation_tpu import native
+
+        buf = bytearray(np.array([7, 7, 9, 0], np.uint32).tobytes())
+        view = np.frombuffer(buf, np.uint32)  # base is the bytearray
+        assert view.base is not None
+        out, n = native.renumber(view)
+        assert n == 2
+        np.testing.assert_array_equal(
+            np.frombuffer(buf, np.uint32), [7, 7, 9, 0]
+        )
+        np.testing.assert_array_equal(out, [1, 1, 2, 0])
+
+
 class TestWatershedTieBreak:
     def test_steepest_tie_prefers_first_enumerated_edge(self):
         """Equal-affinity steepest candidates resolve by enumeration

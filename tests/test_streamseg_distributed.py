@@ -24,6 +24,20 @@ from aind_exaspim_neuron_segmentation_tpu.postprocess.distributed import (
 from .test_streamseg import _blobby_affs, _lazy, _noisy_affs
 
 
+class TestRankWorkerValidation:
+    def test_digest_pair_shape_mismatch_fails_fast(self):
+        """A mismatched (plan, qaff) pair must raise up front (the
+        segment_streaming contract), not deep inside rag_feed."""
+        from aind_exaspim_neuron_segmentation_tpu.postprocess import (
+            distributed,
+        )
+
+        plan = np.zeros((8, 8, 8), np.uint8)
+        qaff = np.zeros((3, 8, 8, 4), np.uint8)  # wrong W
+        with pytest.raises(ValueError, match="do not match"):
+            distributed._RankWorker((plan, qaff), (0, 8))
+
+
 class TestPartition:
     def test_balanced_cover(self):
         for d, n in ((10, 3), (8, 8), (23, 4), (5, 1)):

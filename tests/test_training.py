@@ -45,6 +45,25 @@ class TestDatasets:
         assert 0 <= x.min() and x.max() <= 1
         assert set(np.unique(y)).issubset({0.0, 1.0})
 
+    def test_odd_patch_shape_stays_in_bounds(self):
+        """Deliberate deviation from the reference's inclusive upper
+        sampling bound: odd patch shapes must never overhang the
+        volume (numpy would clip -> ragged batches)."""
+        rng = np.random.default_rng(11)
+        img = rng.uniform(0, 300, (13, 13, 13)).astype(np.float32)
+        lab = (rng.uniform(0, 1, (13, 13, 13)) > 0.5).astype(np.uint32)
+        ds = data_handling.TrainDataset(
+            [img], [lab], patch_shape=(13, 11, 9), seed=2
+        )
+        for _ in range(50):
+            c = ds.sample_center((13, 13, 13))
+            for ci, s, d in zip(c, (13, 11, 9), (13, 13, 13)):
+                assert 0 <= ci - s // 2
+                assert ci - s // 2 + s <= d
+            x, y = ds[0]
+            assert x.shape == (1, 13, 11, 9)
+            assert y.shape == (3, 13, 11, 9)
+
     def test_foreground_bias(self):
         imgs, labs = make_volumes()
         ds = data_handling.TrainDataset(
@@ -133,6 +152,21 @@ class TestAugmentation:
         out_img, out_lab = t(img, lab)
         assert out_img.shape == img.shape
         assert out_lab.shape == lab.shape
+
+    def test_random_scale_rank_aware(self):
+        """RandomScale3D accepts bare (D, H, W) patches like the other
+        transforms (channel-leading arrays keep channel-0 behavior)."""
+        rng = np.random.default_rng(4)
+        img3 = rng.uniform(0, 1, (10, 10, 10)).astype(np.float32)
+        lab3 = (rng.uniform(0, 1, (10, 10, 10)) > 0.5).astype(np.uint32)
+        t = augmentation.RandomScale3D()
+        oi, ol = t(img3, lab3, rng=np.random.default_rng(0))
+        assert oi.shape == img3.shape and ol.shape == lab3.shape
+        assert set(np.unique(ol)).issubset(set(np.unique(lab3)) | {0})
+        oi4, ol4 = t(img3[None], lab3[None],
+                     rng=np.random.default_rng(0))
+        assert oi4.shape == (1, 10, 10, 10)
+        np.testing.assert_array_equal(oi4[0], oi)  # same draw, same zoom
 
     def test_labels_stay_integral(self):
         rng = np.random.default_rng(1)
