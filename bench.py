@@ -125,8 +125,17 @@ def analytic_macs_per_patch(patch=96, trim=0, out_channels=3):
         macs += ch[0] * out_channels * (d4 - 2 * trim) ** 3
     else:
         macs += 27 * d3**3 * (2 * ch[1] * ch[1] + ch[1] * (ch[1] // 2))
-        macs += 27 * d4**3 * (2 * ch[0] * ch[0] + ch[0] * ch[0])
-        macs += ch[0] * out_channels * d4**3
+        if trim >= 2 and d4 - 2 * trim > 0:
+            # up4's valid fast path gates on t >= 2 alone (unet3d.Up),
+            # so it runs VALID even when the up3 cascade fell back.
+            macs += 27 * ((2 * ch[0]) * ch[0] * (d4 - 2 * trim + 2) ** 3
+                          + ch[0] * ch[0] * (d4 - 2 * trim) ** 3)
+            macs += ch[0] * out_channels * (d4 - 2 * trim) ** 3
+        else:
+            macs += 27 * d4**3 * (2 * ch[0] * ch[0] + ch[0] * ch[0])
+            # any t > 0 slices up4's output before outc
+            out_d = d4 - 2 * trim if trim > 0 else d4
+            macs += ch[0] * out_channels * out_d**3
     return macs
 
 
@@ -518,7 +527,11 @@ def main_sharded():
 
     dryrun = "--dryrun" in sys.argv
     if dryrun:
-        n = int(sys.argv[sys.argv.index("--dryrun") + 1])
+        i = sys.argv.index("--dryrun") + 1
+        if i >= len(sys.argv) or sys.argv[i].startswith("-"):
+            sys.exit("usage: bench.py --sharded --dryrun N "
+                     "(N = virtual CPU device count)")
+        n = int(sys.argv[i])
         flags = os.environ.get("XLA_FLAGS", "")
         if "xla_force_host_platform_device_count" not in flags:
             os.environ["XLA_FLAGS"] = (
@@ -584,11 +597,24 @@ def main_sharded():
                                  **kw)
         best_pre = min(best_pre, time.time() - t0)
 
+    # vs_baseline must use the same unit the torch baseline was
+    # measured in (PATCH voxels per forward) -- dividing the volume
+    # throughput by it would understate the ratio ~3.4x relative to
+    # the single-chip line (patches overlap).
+    from aind_exaspim_neuron_segmentation_tpu.core.patches import (
+        patch_grid_ranges,
+    )
+
+    grid = patch_grid_ranges(dim, kw["patch_shape"], kw["overlap"])
+    patch_mvox_s = (
+        np.prod([len(r) for r in grid])
+        * np.prod(kw["patch_shape"]) / best / 1e6
+    )
     print(json.dumps({
         "metric": "sharded_inference_throughput",
         "value": round(mvox_s, 2),
         "unit": "Mvox/s (volume voxels)",
-        "vs_baseline": round(mvox_s / TORCH_CPU_BASELINE_MVOX_S, 1),
+        "vs_baseline": round(patch_mvox_s / TORCH_CPU_BASELINE_MVOX_S, 1),
         "mesh": list(mesh.devices.shape),
         "n_devices": int(n_dev),
         "per_chip": round(mvox_s / n_dev, 2),
@@ -686,6 +712,14 @@ def main_train():
 
 
 if __name__ == "__main__":
+    _KNOWN = {"--e2e", "--sharded", "--typical", "--train", "--dryrun",
+              "--measure-torch", "--device-augment", "--no-wire"}
+    _flags = [a for a in sys.argv[1:] if a.startswith("-")]
+    _bad = [a for a in _flags if a not in _KNOWN]
+    if _bad:
+        sys.exit(f"unknown flag(s) {_bad}; known: {sorted(_KNOWN)}")
+    if "--typical" in sys.argv and "--e2e" not in sys.argv:
+        sys.exit("--typical modifies --e2e; run bench.py --e2e --typical")
     if "--e2e" in sys.argv and "--sharded" in sys.argv:
         main_e2e_sharded()
     elif "--e2e" in sys.argv and "--typical" in sys.argv:

@@ -152,20 +152,35 @@ def parse_trace_ops(xplane_path, module_prefix="jit_fwd"):
                     # argument list (attrs after the closing paren hold
                     # no shapes for these op kinds)
                     b_in = shape_bytes(rest.split("), ")[0])
+                    if opcode == "copy-done":
+                        # operand is the copy-start result TUPLE
+                        # (dest, src, context) -- summing it books the
+                        # transfer ~3x. Real traffic: one source read
+                        # (the write is b_out).
+                        b_in = b_out
                     ent = ops[name] = [b_in, b_out, opcode, 0.0, 0]
                 ent[3] += ev.duration_ns
                 ent[4] += 1
     return ops, module_ns
 
 
-def minimal_traffic_model(batch=16, trim=0):
+def minimal_traffic_model(batch=16, trim=0, params=12_940_224):
     """Hand-computed minimum HBM bytes per forward iteration.
 
     Model: every activation tensor is written once by its producer and
     read once by its consumer(s) (skip connections read twice), weights
     read once, input read once, output written once. bf16 activations
     and weights; the final sigmoid output is f32 (3 channels).
-    Channel ladder (32, 64, 128, 256, 512) at width 1, NDHWC.
+
+    Channel ladder is the PRODUCTION trilinear UNet3D at width 1
+    (models/unet3d.py ``factor = 2``): encoder (32, 64, 128, 256) with
+    a HALVED 256-channel bottleneck, decoder DoubleConv mid = the skip
+    width and out = half the level width (except the last, 32). An
+    earlier revision of this tool modeled the non-trilinear ladder
+    (512 bottleneck, unhalved decoder), overstating the minimum ~10%
+    and flattering the measured/minimal ratio. ``params`` is the
+    weight count actually read per iteration (main() passes the exact
+    count from the built model).
 
     ``trim=t > 0`` models the valid-region-decoded forward
     (``UNet3D(valid_trim=t)``, models/unet3d.py): the final decoder
@@ -175,7 +190,12 @@ def minimal_traffic_model(batch=16, trim=0):
     from ``ops.upsample.x2_support_trim``) shrinks the same way. The
     encoder is unchanged (full receptive field still required).
     """
-    chans = [32, 64, 128, 256, 512]
+    chans = [32, 64, 128, 256, 256]  # trilinear: bottleneck halved
+    # decoder (trilinear): x1 entering each upsample, DoubleConv mid
+    # (= (up + skip) / 2) and out (= level width halved; last is 32)
+    up_src = {3: 256, 2: 128, 1: 64, 0: 32}
+    dec_mid = {3: 256, 2: 128, 1: 64, 0: 32}
+    dec_out = {3: 128, 2: 64, 1: 32, 0: 32}
     res = [96, 48, 24, 12, 6]
     act = 2  # bf16
     B = batch
@@ -231,20 +251,21 @@ def minimal_traffic_model(batch=16, trim=0):
     # lower level's channels, concat feeds DoubleConv (c_out = chans).
     # conv1 output sits between the upsample dim and the final dim.
     for lvl in range(3, -1, -1):
-        r, c = res[lvl], chans[lvl]
-        c_up = chans[lvl + 1]
+        r = res[lvl]
+        c_up = up_src[lvl]
         u, d = up_dim[lvl], dec_dim[lvl]
         mid = d + 2 if d != r else r  # VALID conv1 out when trimmed
         add(f"up{lvl} upsampled ({u}^3 x{c_up})",
             2 * (B * u**3 * c_up * act))
-        add(f"dec{lvl} conv1 out ({mid}^3 x{c})",
-            2 * (B * mid**3 * c * act))
-        add(f"dec{lvl} conv2 out ({d}^3 x{c})", 2 * (B * d**3 * c * act))
+        add(f"dec{lvl} conv1 out ({mid}^3 x{dec_mid[lvl]})",
+            2 * (B * mid**3 * dec_mid[lvl] * act))
+        add(f"dec{lvl} conv2 out ({d}^3 x{dec_out[lvl]})",
+            2 * (B * d**3 * dec_out[lvl] * act))
     # output (f32, 3 channels, written once)
     out_dim = dec_dim[0]
     add(f"output f32 x3 ({out_dim}^3)", B * out_dim**3 * 3 * 4)
-    # weights, read once (19M params bf16)
-    add("weights bf16", 19_000_000 * act)
+    # weights, read once (bf16)
+    add(f"weights bf16 ({params / 1e6:.2f}M params)", params * act)
     return total, entries
 
 
@@ -288,7 +309,15 @@ def main():
                      count / args.iters))
     rows.sort(key=lambda r: -r[4])
 
-    minimal, model_entries = minimal_traffic_model(args.batch, args.trim)
+    import jax as _jax
+
+    n_params = sum(
+        int(np.prod(v.shape))
+        for v in _jax.tree_util.tree_leaves(variables)
+    )
+    minimal, model_entries = minimal_traffic_model(
+        args.batch, args.trim, params=n_params
+    )
 
     lines = []
     lines.append(f"# HBM traffic audit (B={args.batch} bf16 forward, "
