@@ -28,6 +28,20 @@ import os
 import time
 
 
+def _emit(obj):
+    """Print the command's ONE machine-readable result line.
+
+    Under ``--distributed`` every process runs the same command; only
+    rank 0 emits the line (n duplicate JSON lines would break any
+    consumer parsing the documented single-line contract).
+    """
+    import jax
+
+    if jax.distributed.is_initialized() and jax.process_index() != 0:
+        return
+    print(json.dumps(obj))
+
+
 def _triple(text):
     """'96' or '96,96,96' -> (96, 96, 96)."""
     parts = [int(p) for p in text.replace("x", ",").split(",")]
@@ -87,7 +101,7 @@ def cmd_predict(args):
     )
     del out
     where = (args.predigest_out if args.predigest_out else args.output)
-    print(json.dumps({"predict": where}))
+    _emit({"predict": where})
 
 
 def cmd_segment(args):
@@ -121,7 +135,7 @@ def cmd_segment(args):
             out_path=args.output,
             verbose=not args.quiet,
         )
-    print(json.dumps({"segment": args.output}))
+    _emit({"segment": args.output})
 
 
 def cmd_swc(args):
@@ -144,7 +158,7 @@ def cmd_swc(args):
         skeletons = inference.segmentation_to_zipped_swcs(
             seg, args.output, anisotropy=tuple(args.anisotropy)
         )
-    print(json.dumps({"swc": args.output, "n": len(skeletons)}))
+    _emit({"swc": args.output, "n": len(skeletons)})
 
 
 def cmd_run(args):
@@ -216,13 +230,13 @@ def cmd_run(args):
             seg, args.output, anisotropy=tuple(args.anisotropy)
         )
     t3 = time.time()
-    print(json.dumps({
+    _emit({
         "run": args.output,
         "stages_s": {"predict": round(t1 - t0, 1),
                      "segment": round(t2 - t1, 1),
                      "swc": round(t3 - t2, 1)},
         "workdir": args.workdir,
-    }))
+    })
 
 
 def cmd_train(args):

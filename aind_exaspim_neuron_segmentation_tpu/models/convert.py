@@ -78,23 +78,45 @@ def torch_state_dict_to_variables(state_dict, trilinear=True):
     # later in-place update (e.g. running stats) would corrupt them.
     sd = {k: np.array(getattr(v, "cpu", lambda: v)()) for k, v in
           state_dict.items()}
+    used = set()
+
+    def take(key):
+        used.add(key)
+        return sd[key]
+
     params, stats = {}, {}
     for t_prefix, f_path, kind in _layout(trilinear):
         if kind == "conv":
-            w = sd[f"{t_prefix}.weight"]  # (O, I, D, H, W)
+            w = take(f"{t_prefix}.weight")  # (O, I, D, H, W)
             _set(params, f_path + ("kernel",),
                  np.ascontiguousarray(w.transpose(2, 3, 4, 1, 0)))
-            _set(params, f_path + ("bias",), sd[f"{t_prefix}.bias"])
+            _set(params, f_path + ("bias",), take(f"{t_prefix}.bias"))
         elif kind == "deconv":
-            w = sd[f"{t_prefix}.weight"]  # (I, O, D, H, W)
+            w = take(f"{t_prefix}.weight")  # (I, O, D, H, W)
             w = w.transpose(2, 3, 4, 0, 1)[::-1, ::-1, ::-1]
             _set(params, f_path + ("kernel",), np.ascontiguousarray(w))
-            _set(params, f_path + ("bias",), sd[f"{t_prefix}.bias"])
+            _set(params, f_path + ("bias",), take(f"{t_prefix}.bias"))
         else:  # bn
-            _set(params, f_path + ("scale",), sd[f"{t_prefix}.weight"])
-            _set(params, f_path + ("bias",), sd[f"{t_prefix}.bias"])
-            _set(stats, f_path + ("mean",), sd[f"{t_prefix}.running_mean"])
-            _set(stats, f_path + ("var",), sd[f"{t_prefix}.running_var"])
+            _set(params, f_path + ("scale",), take(f"{t_prefix}.weight"))
+            _set(params, f_path + ("bias",), take(f"{t_prefix}.bias"))
+            _set(stats, f_path + ("mean",),
+                 take(f"{t_prefix}.running_mean"))
+            _set(stats, f_path + ("var",),
+                 take(f"{t_prefix}.running_var"))
+    # strict like torch load_state_dict: unconsumed keys mean the
+    # checkpoint was built for a DIFFERENT architecture (e.g. a
+    # trilinear-flag mismatch leaves the ConvTranspose weights
+    # unread); loading it silently would run a wrong model.
+    leftover = sorted(
+        k for k in sd
+        if k not in used and not k.endswith("num_batches_tracked")
+    )
+    if leftover:
+        raise ValueError(
+            f"unexpected state_dict keys (checkpoint/architecture "
+            f"mismatch -- wrong trilinear={trilinear}?): "
+            f"{leftover[:6]}{'...' if len(leftover) > 6 else ''}"
+        )
     return {"params": params, "batch_stats": stats}
 
 

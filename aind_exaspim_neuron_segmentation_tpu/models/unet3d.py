@@ -60,7 +60,16 @@ class BatchNorm3d(nn.Module):
         if train:
             axes = tuple(range(x.ndim - 1))
             mean = jnp.mean(xf, axis=axes)
-            var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)
+            # E[x^2] - E[x]^2 in f32 can come out a few ulps NEGATIVE
+            # for near-constant channels (e.g. a dead LeakyReLU channel
+            # at its bias), and var < -eps makes rsqrt NaN -- poisoning
+            # the forward AND the running stats. Clamp at 0 (exact
+            # where it triggers: true var ~ 0). torch computes centered
+            # variance, which cannot go negative.
+            var = jnp.maximum(
+                jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean),
+                0.0,
+            )
             if not self.is_initializing():
                 n = 1
                 for a in axes:

@@ -35,6 +35,43 @@ import jax
 import jax.numpy as jnp
 
 
+def _digest_core(aff, in_z, in_y, in_x, valids, low, high):
+    """Shared digest core: steepest >= low candidate + >= high flags +
+    u8 quantization.
+
+    The SINGLE implementation of the parity-critical semantics both
+    entry points claim bit-identity to (agglomerate.cpp pass 1a +
+    Edge::quantize): candidate enumeration order out-z, in-z, out-y,
+    in-y, out-x, in-x with strict ``>``, f32 compares against low/high,
+    and ``clip(aff * 256, 0, 255)``. ``valids`` is the 6-tuple of
+    boolean masks in that order (broadcastable to the voxel grid).
+    """
+    az, ay, ax = aff[0], aff[1], aff[2]
+    out_z_v, in_z_v, out_y_v, in_y_v, out_x_v, in_x_v = valids
+    low = jnp.float32(low)
+    high = jnp.float32(high)
+    best = jnp.full(az.shape, jnp.float32(-1.0))
+    dirs = jnp.zeros(az.shape, jnp.uint8)
+    candidates = (
+        (az, out_z_v, 1), (in_z, in_z_v, 4),
+        (ay, out_y_v, 2), (in_y, in_y_v, 5),
+        (ax, out_x_v, 3), (in_x, in_x_v, 6),
+    )
+    for a, valid, code in candidates:
+        upd = valid & (a >= low) & (a > best)
+        best = jnp.where(upd, a, best)
+        dirs = jnp.where(upd, jnp.uint8(code), dirs)
+
+    flags = (
+        jnp.where(out_z_v & (az >= high), jnp.uint8(1), jnp.uint8(0))
+        | jnp.where(out_y_v & (ay >= high), jnp.uint8(2), jnp.uint8(0))
+        | jnp.where(out_x_v & (ax >= high), jnp.uint8(4), jnp.uint8(0))
+    )
+    plan = flags | (dirs << 3)
+    qaff = jnp.clip(aff * 256.0, 0.0, 255.0).astype(jnp.uint8)
+    return plan, qaff
+
+
 @functools.partial(
     jax.jit, static_argnames=("first_slab", "last_slab")
 )
@@ -51,65 +88,34 @@ def predigest_slab(aff, prev_plane=None, *, first_slab=True,
     """
     aff = aff.astype(jnp.float32)
     _, d, h, w = aff.shape
-    neg = jnp.float32(-1.0)
-    low = jnp.float32(low)
-    high = jnp.float32(high)
-
     az, ay, ax = aff[0], aff[1], aff[2]
     if prev_plane is None:
         prev_plane = jnp.zeros((h, w), jnp.float32)
 
-    # Candidate affinity value + validity per direction, all shaped
-    # (d, h, w). Outgoing edge along c is stored AT the voxel; incoming
-    # is the neighbor's stored value shifted forward.
+    # Candidate affinity value + validity per direction. Outgoing edge
+    # along c is stored AT the voxel; incoming is the neighbor's stored
+    # value shifted forward. Incoming -z at slab plane 0 comes from
+    # prev_plane.
     iota_z = jnp.arange(d)[:, None, None]
     iota_y = jnp.arange(h)[None, :, None]
     iota_x = jnp.arange(w)[None, None, :]
-
-    out_z_valid = (
-        jnp.ones((d, h, w), bool) if not last_slab
-        else jnp.broadcast_to(iota_z + 1 < d, (d, h, w))
-    )
-    # incoming -z at slab plane 0 comes from prev_plane
+    full = jnp.ones((d, h, w), bool)
     in_z = jnp.concatenate([prev_plane[None], az[:-1]], axis=0)
-    in_z_valid = (
-        jnp.ones((d, h, w), bool) if not first_slab
-        else jnp.broadcast_to(iota_z > 0, (d, h, w))
-    )
-    out_y_valid = jnp.broadcast_to(iota_y + 1 < h, (d, h, w))
     in_y = jnp.concatenate(
         [jnp.zeros((d, 1, w), jnp.float32), ay[:, :-1]], axis=1
     )
-    in_y_valid = jnp.broadcast_to(iota_y > 0, (d, h, w))
-    out_x_valid = jnp.broadcast_to(iota_x + 1 < w, (d, h, w))
     in_x = jnp.concatenate(
         [jnp.zeros((d, h, 1), jnp.float32), ax[:, :, :-1]], axis=2
     )
-    in_x_valid = jnp.broadcast_to(iota_x > 0, (d, h, w))
-
-    # Steepest >= low neighbor; enumeration order and strict > mirror
-    # agglomerate.cpp pass 1a (out-z, in-z, out-y, in-y, out-x, in-x).
-    best = jnp.full((d, h, w), neg)
-    dirs = jnp.zeros((d, h, w), jnp.uint8)
-    candidates = (
-        (az, out_z_valid, 1), (in_z, in_z_valid, 4),
-        (ay, out_y_valid, 2), (in_y, in_y_valid, 5),
-        (ax, out_x_valid, 3), (in_x, in_x_valid, 6),
+    valids = (
+        full if not last_slab else iota_z + 1 < d,
+        full if not first_slab else iota_z > 0,
+        iota_y + 1 < h,
+        iota_y > 0,
+        iota_x + 1 < w,
+        iota_x > 0,
     )
-    for a, valid, code in candidates:
-        upd = valid & (a >= low) & (a > best)
-        best = jnp.where(upd, a, best)
-        dirs = jnp.where(upd, jnp.uint8(code), dirs)
-
-    flags = (
-        jnp.where(out_z_valid & (az >= high), jnp.uint8(1), jnp.uint8(0))
-        | jnp.where(out_y_valid & (ay >= high), jnp.uint8(2), jnp.uint8(0))
-        | jnp.where(out_x_valid & (ax >= high), jnp.uint8(4), jnp.uint8(0))
-    )
-    plan = flags | (dirs << 3)
-
-    qaff = jnp.clip(aff * 256.0, 0.0, 255.0).astype(jnp.uint8)
-    return plan, qaff
+    return _digest_core(aff, in_z, in_y, in_x, valids, low, high)
 
 
 def predigest_shard(aff, prev_z, prev_y, z_off, y_off, dims,
@@ -139,45 +145,22 @@ def predigest_shard(aff, prev_z, prev_y, z_off, y_off, dims,
     _, kz, ky, wp = aff.shape
     d_g, h_g, w_g = dims
     az, ay, ax = aff[0], aff[1], aff[2]
-    low = jnp.float32(low)
-    high = jnp.float32(high)
 
     z_g = z_off + jnp.arange(kz)[:, None, None]
     y_g = y_off + jnp.arange(ky)[None, :, None]
     x_g = jnp.arange(wp)[None, None, :]
 
-    out_z_valid = z_g + 1 < d_g
     in_z = jnp.concatenate([prev_z[None], az[:-1]], axis=0)
-    in_z_valid = z_g > 0
-    out_y_valid = y_g + 1 < h_g
     in_y = jnp.concatenate([prev_y[:, None], ay[:, :-1]], axis=1)
-    in_y_valid = y_g > 0
-    out_x_valid = x_g + 1 < w_g
     in_x = jnp.concatenate(
         [jnp.zeros((kz, ky, 1), jnp.float32), ax[:, :, :-1]], axis=2
     )
-    in_x_valid = x_g > 0
-
-    best = jnp.full((kz, ky, wp), jnp.float32(-1.0))
-    dirs = jnp.zeros((kz, ky, wp), jnp.uint8)
-    candidates = (
-        (az, out_z_valid, 1), (in_z, in_z_valid, 4),
-        (ay, out_y_valid, 2), (in_y, in_y_valid, 5),
-        (ax, out_x_valid, 3), (in_x, in_x_valid, 6),
+    valids = (
+        z_g + 1 < d_g, z_g > 0,
+        y_g + 1 < h_g, y_g > 0,
+        x_g + 1 < w_g, x_g > 0,
     )
-    for a, valid, code in candidates:
-        upd = valid & (a >= low) & (a > best)
-        best = jnp.where(upd, a, best)
-        dirs = jnp.where(upd, jnp.uint8(code), dirs)
-
-    flags = (
-        jnp.where(out_z_valid & (az >= high), jnp.uint8(1), jnp.uint8(0))
-        | jnp.where(out_y_valid & (ay >= high), jnp.uint8(2), jnp.uint8(0))
-        | jnp.where(out_x_valid & (ax >= high), jnp.uint8(4), jnp.uint8(0))
-    )
-    plan = flags | (dirs << 3)
-    qaff = jnp.clip(aff * 256.0, 0.0, 255.0).astype(jnp.uint8)
-    return plan, qaff
+    return _digest_core(aff, in_z, in_y, in_x, valids, low, high)
 
 
 def predigest(aff, low=0.1, high=0.9999):

@@ -87,24 +87,90 @@ def reflect_pad_to_grid(img, patch_shape, overlap):
     end instead would diverge whenever pad > tail_len - 1.
     """
     ranges = patch_grid_ranges(img.shape, patch_shape, overlap)
-    pads = []
-    for axis, (r, p, d) in enumerate(zip(ranges, patch_shape, img.shape)):
-        pad = max(r[-1] + p - d, 0)
-        pads.append(pad)
+    pads = tuple(
+        max(r[-1] + p - d, 0)
+        for r, p, d in zip(ranges, patch_shape, img.shape)
+    )
+    if not any(pads):
+        return img, pads
+    # One preallocation + per-axis pad-plane fills: the previous
+    # concatenate-per-axis grew the array with a FULL-volume copy per
+    # padded axis (up to 3x multi-GB memcpy per slab on this host).
+    # Fill order matters: axis k's reflection covers the already-padded
+    # extent of axes < k and only the original extent of axes > k --
+    # exactly the sequential-concatenate semantics.
+    shape = tuple(d + pad for d, pad in zip(img.shape, pads))
+    out = np.empty(shape, img.dtype)
+    out[tuple(slice(0, d) for d in img.shape)] = img
+    for axis in range(3):
+        pad = pads[axis]
         if pad == 0:
             continue
-        tail_start = r[-1]
-        tail = [slice(None)] * 3
-        tail[axis] = slice(tail_start, None)
-        seg_pad = [(0, 0)] * 3
-        seg_pad[axis] = (0, pad)
-        extended = np.pad(img[tuple(tail)], seg_pad, mode="reflect")
-        ext_slice = [slice(None)] * 3
-        ext_slice[axis] = slice(d - tail_start, None)
-        img = np.concatenate(
-            [img, extended[tuple(ext_slice)]], axis=axis
+        d = img.shape[axis]
+        tail_start = ranges[axis][-1]
+        # source plane for each pad position: np.pad 'reflect' of the
+        # tail segment about its own end (multi-bounce included),
+        # expressed as an index map so only pad planes are copied
+        seg = np.arange(tail_start, d)
+        idx = np.pad(seg, (0, pad), mode="reflect")[d - tail_start:]
+        dst, src = [], []
+        for a in range(3):
+            if a < axis:
+                dst.append(slice(0, shape[a]))
+                src.append(slice(0, shape[a]))
+            elif a == axis:
+                dst.append(slice(d, shape[a]))
+                src.append(idx)
+            else:
+                dst.append(slice(0, img.shape[a]))
+                src.append(slice(0, img.shape[a]))
+        out[tuple(dst)] = out[tuple(src)]
+    return out, pads
+
+
+def _forward_weighted(variables, volume, starts, valid, module,
+                      patch_shape, trim, windows):
+    """gather -> apply(valid_trim) -> sigmoid -> validity/window mask
+    -> (B, C, core, core, core) float32.
+
+    The ONE implementation behind both the per-batch jit
+    (:func:`forward_batch`) and the scanned body
+    (:func:`accumulate_core`) -- the two paths are asserted bit-exact
+    by test, so the shared body keeps them from desynchronizing.
+    """
+    def gather(start):
+        return jax.lax.dynamic_slice(volume, start, patch_shape)
+
+    patches = jax.vmap(gather)(starts)
+    # valid_trim: the model returns the trimmed core directly, computing
+    # the final decoder stage only over it (exact; models/unet3d.py Up).
+    logits = module.apply(
+        variables, patches[..., None], train=False, valid_trim=trim
+    )
+    probs = jax.nn.sigmoid(logits.astype(jnp.float32))
+    probs = probs * valid[:, None, None, None, None]
+    if windows is not None:
+        wz, wy, wx = windows
+        probs = probs * (
+            wz[None, :, None, None, None]
+            * wy[None, None, :, None, None]
+            * wx[None, None, None, :, None]
         )
-    return img, tuple(pads)
+    return jnp.moveaxis(probs, -1, 1)
+
+
+def _scatter_add(acc, probs, starts, trim):
+    """Sequential read-add-write of each trimmed patch into the
+    accumulator (patches within a batch may overlap, so no vmap)."""
+    block = probs.shape[1:]
+
+    def add_one(i, acc):
+        st = starts[i] + trim
+        idx = (jnp.int32(0), st[0], st[1], st[2])
+        cur = jax.lax.dynamic_slice(acc, idx, block)
+        return jax.lax.dynamic_update_slice(acc, cur + probs[i], idx)
+
+    return jax.lax.fori_loop(0, probs.shape[0], add_one, acc)
 
 
 def accumulate_core(
@@ -144,45 +210,17 @@ def accumulate_core(
     """
     n = starts.shape[0]
     assert n % batch_size == 0
-    ps = patch_shape
-    core = tuple(p - 2 * trim for p in ps)
     acc = jnp.zeros((out_channels,) + volume.shape, jnp.float32)
     if vma_axes:
         acc = jax.lax.pcast(acc, tuple(vma_axes), to="varying")
 
-    def gather(start):
-        return jax.lax.dynamic_slice(volume, start, ps)
-
     def batch_step(acc, batch):
         b_starts, b_valid = batch
-        patches = jax.vmap(gather)(b_starts)  # (B, d, h, w)
-        # valid_trim: the model returns the trimmed core directly,
-        # computing the final decoder stage only over it (exact;
-        # models/unet3d.py Up docstring).
-        logits = module.apply(
-            variables, patches[..., None], train=False, valid_trim=trim
-        )  # (B, d-2t, h-2t, w-2t, C)
-        probs = jax.nn.sigmoid(logits.astype(jnp.float32))
-        probs = probs * b_valid[:, None, None, None, None]
-        if windows is not None:
-            wwz, wwy, wwx = windows
-            probs = probs * (
-                wwz[None, :, None, None, None]
-                * wwy[None, None, :, None, None]
-                * wwx[None, None, None, :, None]
-            )
-        probs = jnp.moveaxis(probs, -1, 1)  # (B, C, d', h', w')
-
-        def add_one(i, acc):
-            st = b_starts[i] + trim
-            idx = (jnp.int32(0), st[0], st[1], st[2])
-            cur = jax.lax.dynamic_slice(
-                acc, idx, (out_channels,) + core
-            )
-            return jax.lax.dynamic_update_slice(acc, cur + probs[i], idx)
-
-        acc = jax.lax.fori_loop(0, batch_size, add_one, acc)
-        return acc, None
+        probs = _forward_weighted(
+            variables, volume, b_starts, b_valid, module, patch_shape,
+            trim, windows,
+        )
+        return _scatter_add(acc, probs, b_starts, trim), None
 
     starts = starts.reshape(-1, batch_size, 3)
     valid = valid.reshape(-1, batch_size)
@@ -201,41 +239,17 @@ def forward_batch(variables, volume, starts, valid, *, module, patch_shape,
     each patch's trimmed core (gaussian blend mode). Returns
     (B, C, core, core, core) float32 weighted probabilities.
     """
-    def gather(start):
-        return jax.lax.dynamic_slice(volume, start, patch_shape)
-
-    patches = jax.vmap(gather)(starts)
-    # valid_trim: the model returns the trimmed core directly, computing
-    # the final decoder stage only over it (exact; models/unet3d.py Up).
-    logits = module.apply(
-        variables, patches[..., None], train=False, valid_trim=trim
+    return _forward_weighted(
+        variables, volume, starts, valid, module, patch_shape, trim,
+        windows,
     )
-    probs = jax.nn.sigmoid(logits.astype(jnp.float32))
-    probs = probs * valid[:, None, None, None, None]
-    if windows is not None:
-        wz, wy, wx = windows
-        probs = probs * (
-            wz[None, :, None, None, None]
-            * wy[None, None, :, None, None]
-            * wx[None, None, None, :, None]
-        )
-    return jnp.moveaxis(probs, -1, 1)
 
 
 @functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("trim",))
 def scatter_batch(acc, probs, starts, *, trim):
     """Sequential read-add-write of each trimmed patch into the donated
     accumulator (patches within a batch may overlap)."""
-    batch = probs.shape[0]
-    block = probs.shape[1:]
-
-    def add_one(i, acc):
-        st = starts[i] + trim
-        idx = (jnp.int32(0), st[0], st[1], st[2])
-        cur = jax.lax.dynamic_slice(acc, idx, block)
-        return jax.lax.dynamic_update_slice(acc, cur + probs[i], idx)
-
-    return jax.lax.fori_loop(0, batch, add_one, acc)
+    return _scatter_add(acc, probs, starts, trim)
 
 
 def accumulate_predictions(variables, volume, starts, valid, *, module,

@@ -250,3 +250,50 @@ def test_valid_trim_matches_sliced_full_forward(fused_bn):
             model.apply(variables, x, train=False, valid_trim=t)
         )
         np.testing.assert_array_equal(full[:, t:-t, t:-t, t:-t, :], fast)
+
+
+def test_batchnorm_train_never_nan_on_constant_channel():
+    """E[x^2] - E[x]^2 in f32 can come out a few ulps NEGATIVE for a
+    near-constant channel (a dead LeakyReLU channel at its bias), and
+    rsqrt(var + eps) would be NaN -- poisoning the forward and, through
+    the momentum update, the running stats. The clamp must hold."""
+    from aind_exaspim_neuron_segmentation_tpu.models import BatchNorm3d
+
+    # deterministic search for an input whose uncentered f32 variance
+    # is negative (same seed every run; found at scale 5.3 on CPU f32)
+    rng = np.random.default_rng(0)
+    found = None
+    for scale in (5.3, 5.7, 6.1, 4.9):
+        for _ in range(300):
+            x = np.full(4096, scale, np.float32)
+            x += rng.normal(0, 1e-4, x.size).astype(np.float32)
+            m = jnp.mean(jnp.asarray(x))
+            v = jnp.mean(jnp.square(jnp.asarray(x))) - jnp.square(m)
+            if float(v) < -1e-5:
+                found = x
+                break
+        if found is not None:
+            break
+    if found is None:
+        pytest.skip("no negative-uncentered-variance vector on this "
+                    "platform's f32")
+    xin = jnp.asarray(found).reshape(1, 16, 16, 16, 1)
+    bn = BatchNorm3d()
+    variables = bn.init(jax.random.PRNGKey(0), xin, train=True)
+    out, updates = bn.apply(
+        variables, xin, train=True, mutable=["batch_stats"]
+    )
+    assert np.isfinite(np.asarray(out)).all()
+    assert np.isfinite(
+        np.asarray(updates["batch_stats"]["var"])
+    ).all()
+    assert float(updates["batch_stats"]["var"][0]) >= 0.0
+
+
+def test_state_dict_architecture_mismatch_rejected():
+    """A deconv checkpoint loaded with trilinear=True (or vice versa)
+    must raise like torch's strict load_state_dict, not silently drop
+    the ConvTranspose weights and run a wrong model."""
+    tm = _torch_model(3, trilinear=False, seed=0)
+    with pytest.raises(ValueError, match="trilinear"):
+        torch_state_dict_to_variables(tm.state_dict(), trilinear=True)

@@ -80,21 +80,26 @@ def main():
             for s in range(max(0, (cz - r) // slab),
                            min((n - 1) // slab, (cz + r) // slab) + 1):
                 by_slab.setdefault(s, []).append((cz, cy, cx))
-        for s in range(n // slab):
+        # ceil-div so a trailing partial slab still writes (the append
+        # writer's close() verifies full Z coverage; N % slab != 0
+        # would otherwise crash after .zarray exists, and a re-run
+        # would then segment the incomplete store)
+        for s in range(-(-n // slab)):
             z0 = s * slab
-            lbl = np.zeros((slab, n, n), bool)
+            nz = min(slab, n - z0)
+            lbl = np.zeros((nz, n, n), bool)
             for (cz, cy, cx) in by_slab.get(s, []):
-                zl, zh = max(z0, cz - r), min(z0 + slab, cz + r + 1)
+                zl, zh = max(z0, cz - r), min(z0 + nz, cz + r + 1)
                 zz = np.arange(zl, zh)[:, None, None] - cz
                 yy = np.arange(cy - r, cy + r + 1)[None, :, None] - cy
                 xx = np.arange(cx - r, cx + r + 1)[None, None, :] - cx
                 lbl[zl - z0: zh - z0, cy - r: cy + r + 1,
                     cx - r: cx + r + 1] |= zz**2 + yy**2 + xx**2 < r**2
             base = np.where(lbl, np.float32(0.9), np.float32(0.02))
-            aff = np.empty((3, slab, n, n), np.float32)
+            aff = np.empty((3, nz, n, n), np.float32)
             for c in range(3):
                 aff[c] = base + rng.uniform(
-                    -0.05, 0.05, (slab, n, n)).astype(np.float32)
+                    -0.05, 0.05, (nz, n, n)).astype(np.float32)
             np.clip(aff, 0.0, 1.0, out=aff)
             w.append(aff)
         w.close()
