@@ -14,7 +14,12 @@ import sys
 
 import numpy as np
 
-from aind_exaspim_neuron_segmentation_tpu import inference
+# runnable from anywhere without an install, like the other examples
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from aind_exaspim_neuron_segmentation_tpu import inference  # noqa: E402
 from aind_exaspim_neuron_segmentation_tpu.utils import img_util
 from aind_exaspim_neuron_segmentation_tpu.utils.profiling import StageTimer
 
