@@ -288,6 +288,12 @@ def build_parser():
     )
     top.add_argument("--version", action="version",
                      version=f"%(prog)s {__version__}")
+    top.add_argument(
+        "--platform", choices=("cpu", "tpu"), default=None,
+        help="force the JAX platform (jax.config jax_platforms; the "
+             "JAX_PLATFORMS env var is ignored by some PJRT plugins). "
+             "Goes BEFORE the subcommand.",
+    )
     sub = top.add_subparsers(dest="command", required=True)
 
     p = sub.add_parser("predict", help="volume -> affinity Zarr store")
@@ -374,6 +380,12 @@ def build_parser():
 def main(argv=None):
     """Parse ``argv`` (default ``sys.argv[1:]``) and run the subcommand."""
     args = build_parser().parse_args(argv)
+    if args.platform:
+        # must precede any jax backend use (the subcommands all import
+        # jax lazily, so this is the first touch)
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     if args.command == "predict":
         if not (args.output or args.predigest_out):
             raise SystemExit("predict needs --output or --predigest-out")

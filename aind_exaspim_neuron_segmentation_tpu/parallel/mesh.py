@@ -35,6 +35,15 @@ def initialize_distributed(coordinator_address=None, num_processes=None,
         or env.get("JAX_COORDINATOR_ADDRESS")
         or env.get("COORDINATOR_ADDRESS")
     )
+    # The CLI --distributed contract (README / --help): process
+    # geometry via env when not passed explicitly. jax.distributed
+    # does NOT read these names itself (only cluster autodetect like
+    # SLURM), so without this the documented env-driven launch raised
+    # 'Number of processes must be defined'.
+    if num_processes is None and env.get("JAX_NUM_PROCESSES"):
+        num_processes = int(env["JAX_NUM_PROCESSES"])
+    if process_id is None and env.get("JAX_PROCESS_ID"):
+        process_id = int(env["JAX_PROCESS_ID"])
     # TPU pod auto-detect: only when the worker list names MULTIPLE
     # hosts (single-host TPU VMs also export TPU_WORKER_HOSTNAMES).
     workers = [

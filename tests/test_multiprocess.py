@@ -500,3 +500,69 @@ def test_two_process_dp_training(tmp_path):
     leaves = jax.tree_util.tree_leaves(t.params)
     digest = float(sum(np.abs(np.asarray(x)).sum() for x in leaves))
     np.testing.assert_allclose(digest, digests[0], rtol=1e-6)
+
+
+def test_two_process_cli_segment_distributed(tmp_path):
+    """The USER-FACING `segment --distributed` launch contract: two
+    real processes of `python -m aind_exaspim_neuron_segmentation_tpu`
+    driven purely by the documented env vars (JAX_COORDINATOR_ADDRESS /
+    JAX_NUM_PROCESSES / JAX_PROCESS_ID) must produce a label store
+    bit-identical to the single-process CLI, and exactly ONE JSON
+    result line between them (rank 0's)."""
+    import json
+
+    from .test_streamseg import _blobby_affs
+
+    aff = _blobby_affs(shape=(32, 24, 24), r=5, seed=21, step=12)
+    aff_path = str(tmp_path / "aff.zarr")
+    zarr_lite.write_zarr(aff_path, aff, chunks=(3, 8, 24, 24))
+
+    base_env = dict(os.environ)
+    base_env["PYTHONPATH"] = (
+        "/root/repo" + os.pathsep + base_env.get("PYTHONPATH", "")
+    )
+    base_env.pop("JAX_PLATFORMS", None)
+    base_env["EXA_DIST_HOST"] = "127.0.0.1"
+
+    def run_cli(extra_args, env):
+        return subprocess.Popen(
+            [sys.executable, "-m",
+             "aind_exaspim_neuron_segmentation_tpu", "--platform", "cpu",
+             "segment", "--affinities", aff_path, "--quiet",
+             *extra_args],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        )
+
+    want_path = str(tmp_path / "want.zarr")
+    p = run_cli(["--output", want_path], base_env)
+    out, _ = p.communicate(timeout=600)
+    assert p.returncode == 0, out[-3000:]
+
+    got_path = str(tmp_path / "got.zarr")
+    port = str(_free_port())
+    procs = []
+    for pid in (0, 1):
+        env = dict(base_env)
+        env["JAX_COORDINATOR_ADDRESS"] = f"localhost:{port}"
+        env["JAX_NUM_PROCESSES"] = "2"
+        env["JAX_PROCESS_ID"] = str(pid)
+        procs.append(
+            run_cli(["--output", got_path, "--distributed"], env)
+        )
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        assert p.returncode == 0, out[-3000:]
+        outs.append(out)
+
+    np.testing.assert_array_equal(
+        np.asarray(zarr_lite.open_zarr(want_path)[:]),
+        np.asarray(zarr_lite.open_zarr(got_path)[:]),
+    )
+    json_lines = [
+        ln for out in outs for ln in out.splitlines()
+        if ln.startswith("{")
+    ]
+    assert len(json_lines) == 1, json_lines
+    assert json.loads(json_lines[0]) == {"segment": got_path}
