@@ -115,6 +115,27 @@ def _lib():
             u8p, i64p, ctypes.c_int64, ctypes.c_int64, u64p, f32p,
             ctypes.c_int64, ctypes.c_int32, ctypes.c_int64, u32p,
         ]
+        lib.exa_ragroute_new.restype = ctypes.c_void_p
+        lib.exa_ragroute_new.argtypes = [
+            ctypes.POINTER(u8p), i64p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64,
+        ]
+        lib.exa_ragroute_free.restype = None
+        lib.exa_ragroute_free.argtypes = [ctypes.c_void_p]
+        lib.exa_ragroute_sizes.restype = ctypes.c_int64
+        lib.exa_ragroute_sizes.argtypes = [ctypes.c_void_p, i64p]
+        lib.exa_ragroute_fill.restype = ctypes.c_int64
+        lib.exa_ragroute_fill.argtypes = [ctypes.c_void_p, u8p, i64p]
+        lib.exa_streamseg_merge_local.restype = ctypes.c_int64
+        lib.exa_streamseg_merge_local.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, f32p, ctypes.c_int64,
+            ctypes.c_int32, u32p, ctypes.c_int64,
+        ]
+        lib.exa_streamseg_compose_lut.restype = ctypes.c_int64
+        lib.exa_streamseg_compose_lut.argtypes = [
+            ctypes.c_int64, u64p, u32p, ctypes.c_int64, ctypes.c_int64,
+            u32p,
+        ]
         lib.exa_blosc_info.restype = ctypes.c_int64
         lib.exa_blosc_info.argtypes = [u8p, ctypes.c_int64, i64p]
         lib.exa_blosc_decompress.restype = ctypes.c_int64
@@ -725,4 +746,104 @@ def merge_rag_parts(parts, n_fragments, frag_fg, thresholds,
     )
     if n < 0:
         raise RuntimeError(f"merge_parts failed (rc={n})")
+    return lut, int(n)
+
+
+def route_rag_parts(parts, n_fragments, n_owners):
+    """Rank 0: partition the ranks' serialized RAG parts by connected
+    component across ``n_owners`` merge workers.
+
+    The component-partitioned counterpart of :func:`merge_rag_parts`:
+    instead of rebuilding the global RAG, the parts are scanned for
+    edge endpoints only, components are greedily assigned to owners by
+    edge load (deterministic), and each serialized edge record is
+    routed -- in global stream order -- to its component's owner.
+    Returns ``n_owners`` self-contained payloads for
+    :func:`merge_rag_local` (an owner with no components gets an empty
+    8-byte payload). ``parts`` must be in RANK ORDER.
+    """
+    lib = _lib()
+    if not parts:
+        raise ValueError("need at least one RAG part")
+    arrs = [np.frombuffer(p, np.uint8) for p in parts]
+    u8pp = ctypes.POINTER(ctypes.c_uint8)
+    ptrs = (u8pp * len(arrs))(*[a.ctypes.data_as(u8pp) for a in arrs])
+    sizes = np.array([a.size for a in arrs], np.int64)
+    h = lib.exa_ragroute_new(
+        ptrs, _i64(sizes), len(arrs), int(n_fragments), int(n_owners)
+    )
+    if not h:
+        raise RuntimeError("malformed serialized RAG parts")
+    try:
+        owner_bytes = np.empty(n_owners, np.int64)
+        lib.exa_ragroute_sizes(h, _i64(owner_bytes))
+        offsets = np.zeros(n_owners + 1, np.int64)
+        np.cumsum(owner_bytes, out=offsets[1:])
+        out = np.empty(int(offsets[-1]), np.uint8)
+        rc = lib.exa_ragroute_fill(h, _u8p(out), _i64(offsets))
+        if rc < 0:
+            raise RuntimeError(f"RAG routing failed (rc={rc})")
+    finally:
+        lib.exa_ragroute_free(h)
+    return [
+        out[offsets[o]: offsets[o + 1]].tobytes() for o in range(n_owners)
+    ]
+
+
+def merge_rag_local(routed, n_fragments, thresholds, quantile_pct=85):
+    """One rank's merge over its routed component payload.
+
+    Runs the shared merge loop (rag.hpp run_merge, fragment ids
+    remapped to a dense local range) over the components
+    :func:`route_rag_parts` assigned to this rank and returns the
+    executed ``(keep, drop)`` unions up to the LAST threshold as an
+    ``(n, 2)`` uint32 array in GLOBAL fragment ids -- the exact replay
+    prefix :func:`compose_rag_lut` needs (the reference keeps only the
+    final threshold's labeling, reference inference.py:229-233).
+    """
+    buf = np.frombuffer(routed, np.uint8)
+    if buf.size < 8:
+        raise ValueError("routed payload too short")
+    th = np.ascontiguousarray(thresholds, dtype=np.float32)
+    if len(th) == 0 or np.any(np.diff(th) < 0):
+        raise ValueError("thresholds must be non-empty and ascending")
+    cap = int(np.frombuffer(routed[:8], np.uint64)[0])
+    pairs = np.empty((max(cap, 1), 2), np.uint32)
+    n = _lib().exa_streamseg_merge_local(
+        _u8p(buf), buf.size, int(n_fragments), _f32(th), len(th),
+        int(quantile_pct), _u32(pairs.ravel()), cap,
+    )
+    if n < 0:
+        raise RuntimeError(f"local merge failed (rc={n})")
+    return pairs[:n].copy()
+
+
+def compose_rag_lut(n_fragments, frag_fg, pairs_list, min_segment_size=0):
+    """Rank 0: compose the ranks' merge pairs into the final lut.
+
+    ``pairs_list``: the ranks' :func:`merge_rag_local` outputs (any
+    order -- components touch disjoint fragments). Returns
+    ``(lut_ws, n_segments)`` exactly like :func:`merge_rag_parts`
+    (shared min-size filter + first-appearance renumber tail).
+    """
+    k = int(n_fragments)
+    frag_fg = np.ascontiguousarray(frag_fg, dtype=np.uint64)
+    if frag_fg.size != k + 1:
+        raise ValueError(f"frag_fg has {frag_fg.size} entries, need K+1")
+    chunks = [
+        np.ascontiguousarray(p, dtype=np.uint32).reshape(-1, 2)
+        for p in pairs_list
+    ]
+    pairs = (
+        np.concatenate(chunks) if chunks else np.empty((0, 2), np.uint32)
+    )
+    if not pairs.flags.c_contiguous:
+        pairs = np.ascontiguousarray(pairs)
+    lut = np.empty(k + 1, np.uint32)
+    n = _lib().exa_streamseg_compose_lut(
+        k, _u64(frag_fg), _u32(pairs.ravel()), len(pairs),
+        int(min_segment_size), _u32(lut),
+    )
+    if n < 0:
+        raise RuntimeError(f"lut composition failed (rc={n})")
     return lut, int(n)

@@ -181,24 +181,14 @@ void rag_plane(StreamSeg& s, const uint32_t* fp, const uint8_t* q3,
   }
 }
 
-// Shared tail of the merge: advance the replay forest through every
-// threshold (the reference keeps only the last labeling,
-// inference.py:229-233), apply the min-size filter (keep strictly
-// greater), and number kept segments by first appearance (ascending
-// fragment id IS ascending first-foreground scan order). Returns the
-// segment count and fills lut_ws (K + 1 entries, fragment -> final
-// label). Used by the single-process merge and the distributed rank-0
-// merge so both are bit-identical by construction.
-int64_t finalize_lut_ws(exa_rag::MergeEvents& me, int64_t K,
-                        int64_t n_thresholds, const uint64_t* frag_fg,
-                        int64_t min_size, std::vector<uint32_t>& lut_ws) {
-  std::vector<uint32_t> rparent(static_cast<size_t>(K) + 1);
-  for (int64_t f = 0; f <= K; ++f) rparent[f] = static_cast<uint32_t>(f);
-  std::vector<uint32_t> applied(me.n_comps, 0);
-  for (int64_t k = 0; k < n_thresholds; ++k) {
-    exa_rag::apply_threshold(me, k, rparent, applied);
-  }
-  me.comp_events.clear();
+// Min-size filter + first-appearance renumber over a finished replay
+// forest (`rparent`: fragment -> surviving root pointers). Shared by
+// finalize_lut_ws (single-process / rank-0 merge) and the distributed
+// compose entry (exa_streamseg_compose_lut) so all paths are
+// bit-identical by construction.
+int64_t lut_from_rparent(std::vector<uint32_t>& rparent, int64_t K,
+                         const uint64_t* frag_fg, int64_t min_size,
+                         std::vector<uint32_t>& lut_ws) {
   auto rfind = [&](uint32_t x) {
     while (rparent[x] != x) {
       rparent[x] = rparent[rparent[x]];
@@ -222,6 +212,24 @@ int64_t finalize_lut_ws(exa_rag::MergeEvents& me, int64_t K,
     lut_ws[ws] = seg_of_root[r];
   }
   return static_cast<int64_t>(next - 1);
+}
+
+// Shared tail of the merge: advance the replay forest through every
+// threshold (the reference keeps only the last labeling,
+// inference.py:229-233), then the min-size filter + first-appearance
+// renumber (lut_from_rparent). Returns the segment count and fills
+// lut_ws (K + 1 entries, fragment -> final label).
+int64_t finalize_lut_ws(exa_rag::MergeEvents& me, int64_t K,
+                        int64_t n_thresholds, const uint64_t* frag_fg,
+                        int64_t min_size, std::vector<uint32_t>& lut_ws) {
+  std::vector<uint32_t> rparent(static_cast<size_t>(K) + 1);
+  for (int64_t f = 0; f <= K; ++f) rparent[f] = static_cast<uint32_t>(f);
+  std::vector<uint32_t> applied(me.n_comps, 0);
+  for (int64_t k = 0; k < n_thresholds; ++k) {
+    exa_rag::apply_threshold(me, k, rparent, applied);
+  }
+  me.comp_events.clear();
+  return lut_from_rparent(rparent, K, frag_fg, min_size, lut_ws);
 }
 
 }  // namespace
@@ -868,6 +876,315 @@ EXA_API int64_t exa_streamseg_merge_parts(
   std::vector<uint32_t> lut_ws;
   const int64_t n_segments =
       finalize_lut_ws(me, K, n_thresholds, frag_fg, min_size, lut_ws);
+  std::memcpy(lut_ws_out, lut_ws.data(), lut_ws.size() * sizeof(uint32_t));
+  return n_segments;
+}
+
+// ---------------------------------------------------------------------
+// Component-partitioned distributed merge. Rank-0's merge_parts above
+// rebuilds the GLOBAL RAG and runs the whole merge loop alone -- the
+// one stage of the distributed postprocess that more hosts could not
+// speed up. RAG components are independent serial programs (the
+// run_merge contract in rag.hpp), so the merge partitions by connected
+// component instead:
+//
+//   1. rank 0 scans the gathered serialized parts ONCE for edge
+//      endpoints only (no Edge structs, no distributions -- the O(RAG)
+//      rebuild that was rank 0's memory peak disappears), unions them
+//      into components, and greedily assigns components to ranks by
+//      edge load (descending load, ties by smallest fragment id; least
+//      loaded rank wins, ties by rank index -- the deterministic
+//      _partition_labels rule from postprocess/distributed.py);
+//   2. a second scan routes each serialized edge record, in global
+//      stream order, to its component's owner buffer -- so within any
+//      component the records keep their global first-appearance
+//      relative order, which is the only order run_merge's FIFO
+//      tie-break can observe (CSR bucket fill never mixes components);
+//   3. every rank deserializes ITS buffer with fragment ids remapped to
+//      a dense local range (bounding its UnionFind/adjacency memory by
+//      the local subgraph, not global K), runs the SAME run_merge, and
+//      returns the executed (keep, drop) unions up to the last
+//      threshold in global fragment ids;
+//   4. rank 0 composes the pairs into the replay forest and applies the
+//      shared min-size + first-appearance tail (lut_from_rparent).
+//
+// Bit parity with merge_parts holds because per-component event
+// prefixes are invariant to which process runs the component (same
+// records, same relative order, same code), pair composition is
+// order-independent (components touch disjoint fragments; each
+// fragment is dropped at most once), and the final numbering depends
+// only on the composed forest. Pinned by tests/test_streamseg_distributed.py.
+
+namespace {
+
+// Scan one serialized RAG part (the exa_streamseg_rag_export format)
+// record by record, invoking fn(a, b, record_ptr, record_bytes) per
+// edge record. Structural validation matches merge_parts. Returns 0 or
+// -2 on malformed input.
+template <typename Fn>
+int64_t scan_part(const uint8_t* p, const uint8_t* end, int64_t K,
+                  Fn&& fn) {
+  if (end - p < 8) return -2;
+  const uint64_t n_records = rd<uint64_t>(p);
+  for (uint64_t ei = 0; ei < n_records; ++ei) {
+    const uint8_t* rec = p;
+    if (end - p < 9) return -2;
+    const uint32_t a = rd<uint32_t>(p);
+    const uint32_t b = rd<uint32_t>(p);
+    if (a == 0 || a >= b || static_cast<int64_t>(b) > K) return -2;
+    const uint8_t tag = rd<uint8_t>(p);
+    if (tag == 0) {
+      if (end - p < 1) return -2;
+      const uint8_t n = rd<uint8_t>(p);
+      if (end - p < n) return -2;
+      p += n;
+    } else if (tag == 1) {
+      if (end - p < 2) return -2;
+      const uint16_t nnz = rd<uint16_t>(p);
+      if (end - p < static_cast<int64_t>(nnz) * 5) return -2;
+      p += static_cast<int64_t>(nnz) * 5;
+    } else {
+      return -2;
+    }
+    fn(a, b, rec, static_cast<size_t>(p - rec));
+  }
+  if (p != end) return -2;
+  return 0;
+}
+
+struct RagRouter {
+  std::vector<const uint8_t*> begins, ends;
+  int64_t K = 0;
+  int64_t n_owners = 0;
+  exa::UnionFind uf{0};
+  std::vector<uint32_t> owner_of_root;  // K + 1; valid at component roots
+  std::vector<int64_t> owner_bytes;     // per owner, incl. 8 B header
+  std::vector<uint64_t> owner_records;  // edge records per owner
+};
+
+}  // namespace
+
+// Rank 0: plan the component partition over the gathered parts.
+// part_ptrs/part_sizes: n_parts serialized RAG payloads in RANK ORDER
+// (the buffers must stay alive until exa_ragroute_free). Returns a
+// router handle or nullptr on malformed input.
+EXA_API void* exa_ragroute_new(const uint8_t* const* part_ptrs,
+                               const int64_t* part_sizes, int64_t n_parts,
+                               int64_t K, int64_t n_owners) {
+  if (n_parts <= 0 || K < 0 || n_owners <= 0) return nullptr;
+  auto r = std::make_unique<RagRouter>();
+  r->K = K;
+  r->n_owners = n_owners;
+  r->uf = exa::UnionFind(static_cast<size_t>(K) + 1);
+  for (int64_t i = 0; i < n_parts; ++i) {
+    r->begins.push_back(part_ptrs[i]);
+    r->ends.push_back(part_ptrs[i] + part_sizes[i]);
+  }
+
+  // Pass A: union endpoints; accumulate per-fragment load so component
+  // loads aggregate in O(K) afterwards (no second byte scan here).
+  std::vector<uint64_t> rec_of_frag(static_cast<size_t>(K) + 1, 0);
+  std::vector<int64_t> bytes_of_frag(static_cast<size_t>(K) + 1, 0);
+  for (int64_t i = 0; i < n_parts; ++i) {
+    const int64_t rc = scan_part(
+        r->begins[i], r->ends[i], K,
+        [&](uint32_t a, uint32_t b, const uint8_t*, size_t sz) {
+          r->uf.unite(a, b);
+          ++rec_of_frag[a];
+          bytes_of_frag[a] += static_cast<int64_t>(sz);
+        });
+    if (rc < 0) return nullptr;
+  }
+
+  // Aggregate loads per component root; component identity for the
+  // deterministic greedy order is its smallest member fragment id.
+  std::vector<uint64_t> comp_recs(static_cast<size_t>(K) + 1, 0);
+  std::vector<int64_t> comp_bytes(static_cast<size_t>(K) + 1, 0);
+  std::vector<uint32_t> comp_min(static_cast<size_t>(K) + 1, 0);
+  for (int64_t f = 1; f <= K; ++f) {
+    if (rec_of_frag[f] == 0 &&
+        r->uf.find(static_cast<uint32_t>(f)) == f && r->uf.size[f] == 1) {
+      continue;  // isolated fragment: no edges, no owner needed
+    }
+    const uint32_t root = r->uf.find(static_cast<uint32_t>(f));
+    comp_recs[root] += rec_of_frag[f];
+    comp_bytes[root] += bytes_of_frag[f];
+    if (comp_min[root] == 0) comp_min[root] = static_cast<uint32_t>(f);
+  }
+  std::vector<uint32_t> roots;
+  for (int64_t f = 1; f <= K; ++f) {
+    if (comp_min[f] != 0 &&
+        r->uf.find(static_cast<uint32_t>(f)) == f) {
+      roots.push_back(static_cast<uint32_t>(f));
+    }
+  }
+  std::sort(roots.begin(), roots.end(), [&](uint32_t x, uint32_t y) {
+    if (comp_recs[x] != comp_recs[y]) return comp_recs[x] > comp_recs[y];
+    return comp_min[x] < comp_min[y];
+  });
+
+  r->owner_of_root.assign(static_cast<size_t>(K) + 1, 0);
+  r->owner_bytes.assign(n_owners, 8);  // u64 record-count header each
+  r->owner_records.assign(n_owners, 0);
+  std::vector<uint64_t> load(n_owners, 0);
+  for (const uint32_t root : roots) {
+    int64_t best = 0;
+    for (int64_t o = 1; o < n_owners; ++o) {
+      if (load[o] < load[best]) best = o;
+    }
+    load[best] += comp_recs[root];
+    r->owner_of_root[root] = static_cast<uint32_t>(best);
+    r->owner_bytes[best] += comp_bytes[root];
+    r->owner_records[best] += comp_recs[root];
+  }
+  return r.release();
+}
+
+EXA_API void exa_ragroute_free(void* handle) {
+  delete static_cast<RagRouter*>(handle);
+}
+
+// Per-owner routed-buffer byte sizes (n_owners entries, headers
+// included).
+EXA_API int64_t exa_ragroute_sizes(void* handle, int64_t* bytes_out) {
+  RagRouter& r = *static_cast<RagRouter*>(handle);
+  std::memcpy(bytes_out, r.owner_bytes.data(),
+              r.owner_bytes.size() * sizeof(int64_t));
+  return 0;
+}
+
+// Route every edge record to its owner's buffer in global stream
+// order. `out` + owner_offsets[o] must have owner_bytes[o] capacity
+// per owner (offsets are the caller's cumulative-sum layout).
+EXA_API int64_t exa_ragroute_fill(void* handle, uint8_t* out,
+                                  const int64_t* owner_offsets) {
+  RagRouter& r = *static_cast<RagRouter*>(handle);
+  std::vector<uint8_t*> cursor(r.n_owners);
+  for (int64_t o = 0; o < r.n_owners; ++o) {
+    uint8_t* p = out + owner_offsets[o];
+    wr<uint64_t>(p, r.owner_records[o]);
+    cursor[o] = p;
+  }
+  for (size_t i = 0; i < r.begins.size(); ++i) {
+    const int64_t rc = scan_part(
+        r.begins[i], r.ends[i], r.K,
+        [&](uint32_t a, uint32_t, const uint8_t* rec, size_t sz) {
+          const uint32_t o = r.owner_of_root[r.uf.find(a)];
+          std::memcpy(cursor[o], rec, sz);
+          cursor[o] += sz;
+        });
+    if (rc < 0) return -2;
+  }
+  for (int64_t o = 0; o < r.n_owners; ++o) {
+    if (cursor[o] != out + owner_offsets[o] + r.owner_bytes[o]) return -2;
+  }
+  return 0;
+}
+
+// One rank's merge over its routed component buffer. Fragment ids are
+// remapped to a dense local range on deserialization (memory bounded
+// by the LOCAL subgraph, not global K), the shared run_merge executes,
+// and the events up to the LAST threshold stream out as (keep, drop)
+// pairs in GLOBAL fragment ids (2 * max_pairs u32 capacity; the
+// routed buffer's u64 record-count header is a valid bound). Returns
+// the pair count; -2 malformed, -3 capacity exceeded.
+EXA_API int64_t exa_streamseg_merge_local(
+    const uint8_t* buf, int64_t size, int64_t K, const float* thresholds,
+    int64_t n_thresholds, int32_t quantile_pct, uint32_t* pairs_out,
+    int64_t max_pairs) {
+  if (K < 0 || n_thresholds <= 0 || max_pairs < 0) return -1;
+  for (int64_t i = 1; i < n_thresholds; ++i) {
+    if (thresholds[i] < thresholds[i - 1]) return -1;
+  }
+  FlatMap remap{1024};
+  std::vector<uint32_t> to_global(1, 0);  // local id 0 unused
+  auto localize = [&](uint32_t g) {
+    auto [slot, fresh] = remap.find_or_insert(
+        g, static_cast<uint32_t>(to_global.size()));
+    if (fresh) to_global.push_back(g);
+    return *slot;
+  };
+  FlatMap edge_index{1024};
+  EdgeStore edges;
+  const uint8_t* p = buf;
+  const uint8_t* end = buf + size;
+  const int64_t rc = scan_part(
+      p, end, K,
+      [&](uint32_t a, uint32_t b, const uint8_t* rec, size_t) {
+        const uint32_t la = localize(a);
+        const uint32_t lb = localize(b);
+        const EdgeKey key{std::min(la, lb), std::max(la, lb)};
+        auto [slot, fresh] = edge_index.find_or_insert(
+            key.packed(), static_cast<uint32_t>(edges.size()));
+        if (fresh) edges.emplace_back(key.a, key.b);
+        Edge& e = edges[*slot];
+        const uint8_t* q = rec + 9;  // past a, b, tag
+        if (rec[8] == 0) {
+          const uint8_t n = *q++;
+          for (uint8_t k = 0; k < n; ++k) e.add_bin(q[k]);
+        } else {
+          uint16_t nnz;
+          std::memcpy(&nnz, q, 2);
+          q += 2;
+          if (e.hist.empty()) e.to_hist();
+          for (uint16_t k = 0; k < nnz; ++k) {
+            const uint8_t bin = q[0];
+            uint32_t c;
+            std::memcpy(&c, q + 1, 4);
+            q += 5;
+            e.hist[bin] += c;
+            e.count += c;
+          }
+          e.cached_bin = -1;
+        }
+      });
+  if (rc < 0) return -2;
+  remap.reset(16);
+
+  const int64_t k_local = static_cast<int64_t>(to_global.size()) - 1;
+  exa_rag::MergeEvents me = exa_rag::run_merge(
+      edge_index, edges, k_local, thresholds, n_thresholds, quantile_pct);
+  edge_index.reset(16);
+  edges.release();
+
+  int64_t n_pairs = 0;
+  for (uint32_t c = 0; c < me.n_comps; ++c) {
+    const uint32_t to =
+        me.cutoffs[static_cast<size_t>(c) * n_thresholds + n_thresholds - 1];
+    if (n_pairs + to > max_pairs) return -3;
+    for (uint32_t i = 0; i < to; ++i) {
+      pairs_out[2 * n_pairs] = to_global[me.comp_events[c][i].first];
+      pairs_out[2 * n_pairs + 1] = to_global[me.comp_events[c][i].second];
+      ++n_pairs;
+    }
+  }
+  return n_pairs;
+}
+
+// Rank 0: compose the ranks' (keep, drop) pairs into the replay forest
+// and apply the shared min-size + first-appearance tail. Pair order is
+// irrelevant (disjoint components; each fragment dropped at most
+// once -- validated). Fills lut_ws_out (K + 1); returns the segment
+// count, -2 on an invalid pair stream.
+EXA_API int64_t exa_streamseg_compose_lut(
+    int64_t K, const uint64_t* frag_fg, const uint32_t* pairs,
+    int64_t n_pairs, int64_t min_size, uint32_t* lut_ws_out) {
+  if (K < 0 || n_pairs < 0) return -1;
+  std::vector<uint32_t> rparent(static_cast<size_t>(K) + 1);
+  for (int64_t f = 0; f <= K; ++f) rparent[f] = static_cast<uint32_t>(f);
+  for (int64_t i = 0; i < n_pairs; ++i) {
+    const uint32_t keep = pairs[2 * i];
+    const uint32_t drop = pairs[2 * i + 1];
+    if (keep == 0 || drop == 0 || keep == drop ||
+        static_cast<int64_t>(keep) > K || static_cast<int64_t>(drop) > K ||
+        rparent[drop] != drop) {
+      return -2;
+    }
+    rparent[drop] = keep;
+  }
+  std::vector<uint32_t> lut_ws;
+  const int64_t n_segments =
+      lut_from_rparent(rparent, K, frag_fg, min_size, lut_ws);
   std::memcpy(lut_ws_out, lut_ws.data(), lut_ws.size() * sizeof(uint32_t));
   return n_segments;
 }

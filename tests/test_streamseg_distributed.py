@@ -163,6 +163,114 @@ class TestDistributedParity:
         np.testing.assert_array_equal(want, got)
 
 
+class TestComponentPartitionedMerge:
+    """route_rag_parts -> merge_rag_local -> compose_rag_lut: the
+    multi-rank merge must equal rank-0's monolithic merge_rag_parts
+    bit-for-bit, for any owner count (rag.hpp run_merge contract:
+    components are independent serial programs)."""
+
+    @staticmethod
+    def _parts(tmp_path, aff, n_ranks):
+        import tempfile
+
+        from aind_exaspim_neuron_segmentation_tpu.postprocess.distributed import (  # noqa: E501
+            _RankWorker, _hub_stitch,
+        )
+
+        workers = [
+            _RankWorker(
+                _lazy(tmp_path, aff), zr,
+                tmp_dir=tempfile.mkdtemp(dir=tmp_path),
+            )
+            for zr in partition_z(aff.shape[1], n_ranks)
+        ]
+        exports = [w.pass1() for w in workers]
+        ws_per_rank, k, frag_fg, next_ws = _hub_stitch(exports)
+        parts = [
+            w.pass2(ws_per_rank[r], k, next_ws[r])
+            for r, w in enumerate(workers)
+        ]
+        for w in workers:
+            w.close()
+        return parts, k, frag_fg
+
+    @pytest.mark.parametrize("n_owners", [1, 2, 3, 7])
+    def test_owner_count_invariance(self, tmp_path, n_owners):
+        from aind_exaspim_neuron_segmentation_tpu import native
+
+        aff = _blobby_affs(shape=(24, 18, 18), r=4, seed=3, step=9)
+        parts, k, frag_fg = self._parts(tmp_path, aff, 2)
+        th = [0.6, 0.8, 0.9]
+        want_lut, want_n = native.merge_rag_parts(
+            parts, k, frag_fg, th, min_segment_size=5
+        )
+        routed = native.route_rag_parts(parts, k, n_owners)
+        assert len(routed) == n_owners
+        pairs = [native.merge_rag_local(b, k, th) for b in routed]
+        lut, n = native.compose_rag_lut(
+            k, frag_fg, pairs, min_segment_size=5
+        )
+        assert n == want_n
+        np.testing.assert_array_equal(lut, want_lut)
+
+    def test_single_giant_component_routes_whole(self, tmp_path):
+        """Worst case: one cross-rank component -- one owner gets all
+        records, the others get empty payloads, output unchanged."""
+        from aind_exaspim_neuron_segmentation_tpu import native
+
+        aff = _noisy_affs(shape=(16, 12, 12), seed=4)
+        parts, k, frag_fg = self._parts(tmp_path, aff, 2)
+        th = [0.6, 0.8, 0.9]
+        routed = native.route_rag_parts(parts, k, 3)
+        n_records = [
+            int(np.frombuffer(b[:8], np.uint64)[0]) for b in routed
+        ]
+        assert sorted(n_records)[:2] == [0, 0] and max(n_records) > 0
+        pairs = [native.merge_rag_local(b, k, th) for b in routed]
+        assert [len(p) for p in pairs].count(0) == 2
+        want_lut, want_n = native.merge_rag_parts(
+            parts, k, frag_fg, th, min_segment_size=0
+        )
+        lut, n = native.compose_rag_lut(
+            k, frag_fg, pairs, min_segment_size=0
+        )
+        assert n == want_n
+        np.testing.assert_array_equal(lut, want_lut)
+
+    def test_routing_preserves_stream_order_per_component(self, tmp_path):
+        """Concatenating every owner's records in owner-iteration order
+        must preserve each component's record multiset (and the total
+        byte volume, headers aside)."""
+        from aind_exaspim_neuron_segmentation_tpu import native
+
+        aff = _blobby_affs(shape=(30, 20, 20), r=4, seed=9, step=10)
+        parts, k, _ = self._parts(tmp_path, aff, 3)
+        routed = native.route_rag_parts(parts, k, 4)
+        assert sum(len(b) - 8 for b in routed) == sum(
+            len(p) - 8 for p in parts
+        )
+        total = sum(int(np.frombuffer(b[:8], np.uint64)[0]) for b in routed)
+        want = 0
+        for p in parts:
+            want += int(np.frombuffer(p[:8], np.uint64)[0])
+        assert total == want
+
+    def test_malformed_part_rejected(self):
+        from aind_exaspim_neuron_segmentation_tpu import native
+
+        with pytest.raises(RuntimeError, match="malformed"):
+            native.route_rag_parts([b"\x01" + b"\0" * 10], 5, 2)
+
+    def test_double_drop_pairs_rejected(self):
+        from aind_exaspim_neuron_segmentation_tpu import native
+
+        pairs = np.array([[1, 2], [3, 2]], np.uint32)  # 2 dropped twice
+        with pytest.raises(RuntimeError, match="rc=-2"):
+            native.compose_rag_lut(
+                3, np.array([0, 10, 10, 10], np.uint64), [pairs]
+            )
+
+
 class TestTcpComm:
     def test_gather_scatter_broadcast(self):
         """3-rank hub protocol over localhost sockets (threads)."""
