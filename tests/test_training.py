@@ -295,6 +295,125 @@ class TestTrainer:
         assert events
 
 
+def make_two_blob_volumes(n=2, shape=(48, 48, 48), seed=0):
+    """Two bright, well-separated boxes per volume -- a learnable
+    instance-segmentation task with a known 2-segment ground truth."""
+    rng = np.random.default_rng(seed)
+    imgs, labs = [], []
+    for k in range(n):
+        lab = np.zeros(shape, np.uint32)
+        lab[8:40, 6:20 + k, 8:40] = 1
+        lab[8:40, 28:42, 8:40 - k] = 2
+        img = rng.uniform(0, 80, shape).astype(np.float32)
+        img[lab > 0] += 400
+        imgs.append(img)
+        labs.append(lab)
+    return imgs, labs
+
+
+class TestLearning:
+    """The training stack must LEARN, not just run (reference
+    train.py:89-121, README.md:81-117): loss decreasing by an order of
+    magnitude, validation F1 reaching production-useful levels, and --
+    the full loop -- a Trainer-produced best-F1 ``.pth`` driving
+    ``load_model -> predict -> affinities_to_segmentation`` to a
+    segmentation that beats random weights by a wide VOI margin.
+    Everything is seeded; shapes are tiny (width_multiplier 0.25, 16^3
+    patches) so both tests run in minutes on the 1-core CPU host."""
+
+    def test_loss_converges_and_f1(self):
+        """Seeded convergence: loss drops >= 10x and val F1 >= 0.9
+        within 120 steps on the blob task (affinity mode)."""
+        import tempfile
+
+        imgs, labs = make_volumes()
+        ds = data_handling.TrainDataset(
+            imgs, labs, patch_shape=PATCH, seed=0, transform=False
+        )
+        val = data_handling.ValidateDataset(
+            imgs, labs, patch_shape=PATCH, containment_buffer=0
+        )
+        trainer = Trainer(
+            tempfile.mkdtemp(), batch_size=8, max_epochs=1,
+            width_multiplier=0.25, use_amp=False, lr=1e-2,
+        )
+        losses = []
+        for epoch in range(120):
+            losses.append(trainer.train_step(ds, epoch)["loss"])
+            # measured headroom: ratio 14x by step 80 (BASELINE.md
+            # round-5 learning proof); early-exit with margin
+            if epoch >= 40 and losses[0] / min(losses) >= 12:
+                break
+        ratio = losses[0] / min(losses)
+        assert ratio >= 10, (
+            f"loss only dropped {ratio:.1f}x in {len(losses)} steps "
+            f"(first={losses[0]:.4f}, best={min(losses):.4f})"
+        )
+        stats, _ = trainer.validate_step(val, len(losses))
+        assert stats["f1"] >= 0.9, f"val F1 {stats['f1']:.3f} < 0.9"
+
+    def test_trained_model_segments_better_than_random(self, tmp_path):
+        """Full-loop quality: Trainer.run -> best-F1 .pth -> load_model
+        -> predict -> affinities_to_segmentation must separate the two
+        ground-truth blobs exactly (VOI ~ 0 on foreground) while random
+        weights cannot tell them apart (VOI ~ ln 2)."""
+        import contextlib
+        import io
+
+        from aind_exaspim_neuron_segmentation_tpu import inference
+
+        from .test_postprocess import variation_of_information
+
+        imgs, labs = make_two_blob_volumes()
+        ds = data_handling.TrainDataset(
+            imgs, labs, patch_shape=PATCH, seed=0, transform=False
+        )
+        # a small held-out crop keeps the per-epoch validation cheap;
+        # its F1 still gates the best-checkpoint export
+        val = data_handling.ValidateDataset(
+            [imgs[1][:32, :32, :32]], [labs[1][:32, :32, :32]],
+            patch_shape=PATCH, containment_buffer=0,
+        )
+        trainer = Trainer(
+            str(tmp_path), batch_size=8, max_epochs=60,
+            width_multiplier=0.25, use_amp=False, lr=1e-2,
+        )
+        with contextlib.redirect_stdout(io.StringIO()):
+            best_f1 = trainer.run(ds, val)
+        assert best_f1 >= 0.9
+
+        pths = glob.glob(os.path.join(trainer.log_dir, "*.pth"))
+        best_pth = max(
+            pths, key=lambda p: float(p.rsplit("-", 1)[1][:-4])
+        )
+        kw = dict(
+            patch_shape=PATCH, overlap=(8, 8, 8), trim=2, batch_size=8,
+            brightness_clip=300, verbose=False,
+        )
+        runner = inference.load_model(
+            best_pth, affinity_mode=True, width_multiplier=0.25,
+            dtype=np.float32,
+        )
+        seg = inference.affinities_to_segmentation(
+            inference.predict(imgs[0], runner, **kw)
+        )
+        voi_trained = variation_of_information(seg, labs[0])
+        # the two blobs resolve as distinct non-background segments
+        assert seg[20, 12, 20] != seg[20, 35, 20]
+        assert seg[20, 12, 20] > 0 and seg[20, 35, 20] > 0
+
+        random_runner = inference.load_model(
+            affinity_mode=True, width_multiplier=0.25, dtype=np.float32
+        )
+        seg_rand = inference.affinities_to_segmentation(
+            inference.predict(imgs[0], random_runner, **kw)
+        )
+        voi_random = variation_of_information(seg_rand, labs[0])
+        assert voi_trained < 0.05, f"trained VOI {voi_trained:.3f}"
+        assert voi_random > 0.5, f"random VOI {voi_random:.3f}"
+        assert voi_trained < voi_random / 4
+
+
 class TestLabelWire:
     """Compact-label wire batches must change NOTHING numerically."""
 
