@@ -80,13 +80,18 @@ def cmd_predict(args):
     """Volume -> affinity Zarr store (or pre-digest plan+qaff stores)."""
     from aind_exaspim_neuron_segmentation_tpu import inference
 
+    if args.distributed:
+        # must precede load_model: anything touching the XLA backend
+        # (even jax.default_backend) locks out jax.distributed.initialize
+        from aind_exaspim_neuron_segmentation_tpu import parallel
+
+        parallel.initialize_distributed()
     runner = inference.load_model(
         args.model, affinity_mode=not args.foreground,
         width_multiplier=args.width_multiplier,
     )
     img = _read(args.input)
-    out = inference.predict(
-        img, runner,
+    kw = dict(
         affinity_mode=not args.foreground,
         batch_size=args.batch_size,
         brightness_clip=args.brightness_clip,
@@ -97,8 +102,18 @@ def cmd_predict(args):
         out_path=(tuple(args.predigest_out) if args.predigest_out
                   else args.output),
         predigest=bool(args.predigest_out),
-        verbose=not args.quiet,
     )
+    if args.distributed:
+        # Mesh-sharded sliding window across every device of the
+        # jax.distributed job (same command on every process; each
+        # writes only its own Z rows into the shared store).
+        from aind_exaspim_neuron_segmentation_tpu import parallel
+
+        out = parallel.predict_sharded(
+            img, runner, mesh=parallel.make_mesh(), **kw
+        )
+    else:
+        out = inference.predict(img, runner, verbose=not args.quiet, **kw)
     del out
     where = (args.predigest_out if args.predigest_out else args.output)
     _emit({"predict": where})
@@ -144,21 +159,23 @@ def cmd_swc(args):
 
     seg = _read(args.segmentation)
     if args.distributed:
-        import jax
-
         from aind_exaspim_neuron_segmentation_tpu import parallel, postprocess
 
         parallel.initialize_distributed()
+        # each rank returns only ITS labels' skeletons; rank 0 streams
+        # the zip from the ranks' SWC texts (no full-table broadcast)
+        stats = {}
         skeletons = postprocess.skeletonize_sharded(
-            seg, anisotropy=tuple(args.anisotropy)
+            seg, anisotropy=tuple(args.anisotropy),
+            zip_path=args.output, stats_out=stats,
         )
-        if jax.process_index() == 0:
-            inference.skeletons_to_zipped_swcs(skeletons, args.output)
+        n = stats.get("n_skeletons", len(skeletons))
     else:
         skeletons = inference.segmentation_to_zipped_swcs(
             seg, args.output, anisotropy=tuple(args.anisotropy)
         )
-    _emit({"swc": args.output, "n": len(skeletons)})
+        n = len(skeletons)
+    _emit({"swc": args.output, "n": n})
 
 
 def cmd_run(args):
@@ -181,6 +198,12 @@ def cmd_run(args):
     qaff_p = os.path.join(args.workdir, "qaff.zarr")
     seg_p = os.path.join(args.workdir, "segmentation.zarr")
 
+    if args.distributed:
+        # must precede load_model: anything touching the XLA backend
+        # locks out jax.distributed.initialize
+        from aind_exaspim_neuron_segmentation_tpu import parallel, postprocess
+
+        parallel.initialize_distributed()
     runner = inference.load_model(
         args.model, affinity_mode=True,
         width_multiplier=args.width_multiplier,
@@ -195,9 +218,6 @@ def cmd_run(args):
         predigest=True, out_path=(plan_p, qaff_p),
     )
     if args.distributed:
-        from aind_exaspim_neuron_segmentation_tpu import parallel, postprocess
-
-        parallel.initialize_distributed()
         plan, qaff = parallel.predict_sharded(
             img, runner, mesh=parallel.make_mesh(), **predict_kw
         )
@@ -218,13 +238,9 @@ def cmd_run(args):
         seg = inference.affinities_to_segmentation((plan, qaff), **seg_kw)
     t2 = time.time()
     if args.distributed:
-        import jax
-
-        skels = postprocess.skeletonize_sharded(
-            seg, anisotropy=tuple(args.anisotropy)
+        postprocess.skeletonize_sharded(
+            seg, anisotropy=tuple(args.anisotropy), zip_path=args.output
         )
-        if jax.process_index() == 0:
-            inference.skeletons_to_zipped_swcs(skels, args.output)
     else:
         inference.segmentation_to_zipped_swcs(
             seg, args.output, anisotropy=tuple(args.anisotropy)
@@ -250,6 +266,22 @@ def cmd_train(args):
 
     if len(args.images) != len(args.labels):
         raise SystemExit("--images and --labels must pair up")
+    mesh = None
+    output = args.output
+    if args.distributed or args.mesh:
+        from aind_exaspim_neuron_segmentation_tpu import parallel
+
+        if args.distributed:
+            import jax
+
+            parallel.initialize_distributed()
+            if jax.process_index() != 0:
+                # one writer per artifact: peers keep their (identical,
+                # deterministic) checkpoints/events out of rank 0's way
+                output = os.path.join(
+                    args.output, f".rank{jax.process_index()}"
+                )
+        mesh = parallel.make_mesh(args.mesh)  # None -> every device
     common = dict(
         affinity_mode=not args.foreground,
         patch_shape=args.patch,
@@ -266,16 +298,17 @@ def cmd_train(args):
         **common,
     )
     trainer = Trainer(
-        args.output,
+        output,
         affinity_mode=not args.foreground,
         batch_size=args.batch_size,
         lr=args.lr,
         max_epochs=args.epochs,
         width_multiplier=args.width_multiplier,
         seed=args.seed,
+        mesh=mesh,
     )
     trainer.run(train_ds, val_ds)
-    print(json.dumps({"train": trainer.log_dir}))
+    _emit({"train": trainer.log_dir})
 
 
 def build_parser():
@@ -306,6 +339,12 @@ def build_parser():
     )
     _add_predict_args(p)
     p.add_argument("--quiet", action="store_true")
+    p.add_argument("--distributed", action="store_true",
+                   help="mesh-sharded sliding window across every "
+                        "device of a jax.distributed job (same command "
+                        "on every process; each writes its own Z rows "
+                        "into the shared --output store; coordinator "
+                        "via JAX_COORDINATOR_ADDRESS etc.)")
     p.set_defaults(fn=cmd_predict)
 
     p = sub.add_parser("segment",
@@ -373,6 +412,16 @@ def build_parser():
                    help="validation-grid center containment margin "
                         "(reference default 64; use 0 for small volumes)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--mesh", type=int, default=None, metavar="N",
+                   help="data-parallel Trainer(mesh=) over the first N "
+                        "devices (default with --distributed: all "
+                        "devices of the job)")
+    p.add_argument("--distributed", action="store_true",
+                   help="initialize the jax.distributed runtime first "
+                        "(same command on every process; batches shard "
+                        "over the joint device mesh, gradient psum "
+                        "rides the cross-process runtime; rank 0 owns "
+                        "--output)")
     p.set_defaults(fn=cmd_train)
     return top
 

@@ -692,17 +692,28 @@ def segment_streaming_sharded(
     return result
 
 
+def _partition_z_skeleton(depth, n_ranks):
+    """``partition_z``, but ranks beyond the plane count take EMPTY
+    (lo == lo) ranges instead of raising: the skeleton work is
+    label-partitioned, so a shallow volume on a wide job is harmless
+    (the empty bbox scan contributes a sentinel partial)."""
+    if n_ranks <= depth:
+        return partition_z(depth, n_ranks)
+    return partition_z(depth, depth) + [(depth, depth)] * (n_ranks - depth)
+
+
 def _merge_bbox_partials(partials):
     """Merge per-rank (bbox, counts, gmin, gmax) partials from disjoint
     Z ranges: pad to the widest label table, elementwise min/max the
-    bbox columns, sum the counts."""
+    bbox columns, sum the counts. Empty-range partials carry
+    ``gmin is None`` and are skipped in the extrema."""
     n = max(len(c) for _, c, _, _ in partials)
     bbox = np.empty((n, 6), np.int64)
     bbox[:, 0::2] = np.iinfo(np.int64).max
     bbox[:, 1::2] = -1
     counts = np.zeros(n, np.int64)
-    gmin = min(g for _, _, g, _ in partials)
-    gmax = max(g for _, _, _, g in partials)
+    gmin = min(g for _, _, g, _ in partials if g is not None)
+    gmax = max(g for _, _, _, g in partials if g is not None)
     for b, c, _, _ in partials:
         k = len(c)
         np.minimum(bbox[:k, 0::2], b[:, 0::2], out=bbox[:k, 0::2])
@@ -771,7 +782,7 @@ def skeletonize_virtual(labels, n_ranks, fix_borders=True,
     d = labels.shape[0]
     partials = [
         bbox_scan(labels, lo, hi, slab_planes)
-        for lo, hi in partition_z(d, n_ranks)
+        for lo, hi in _partition_z_skeleton(d, n_ranks)
     ]
     pieces = {}
     for labs, bbox, params in _skeleton_plan(partials, n_ranks, kw):
@@ -783,6 +794,7 @@ def skeletonize_virtual(labels, n_ranks, fix_borders=True,
 
 def skeletonize_sharded(labels, fix_borders=True, fill_holes=True,
                         slab_planes=64, address=None, verbose=False,
+                        zip_path=None, broadcast=False, stats_out=None,
                         **teasar_kw):
     """Multi-process TEASAR skeletonization over ``jax.distributed``.
 
@@ -801,12 +813,26 @@ def skeletonize_sharded(labels, fix_borders=True, fill_holes=True,
        their 1-voxel-padded bbox crops -- per-label work is isolated,
        so the partition cannot change any skeleton.
 
-    Rank 0 merges the piece tables and broadcasts the finished
-    ``{segment_id: Skeleton}`` dict, so every process returns the full
-    result (bit-identical to single-process ``skeletonize_lazy``,
-    pinned by tests). This closes the last single-host stage of the
-    zarr -> SWC pipeline: predict, segmentation, and skeletonization
-    all scale across ``jax.distributed`` processes.
+    Each process returns the ``{segment_id: Skeleton}`` table of ITS
+    OWN labels only (disjoint across ranks; their union is
+    bit-identical to single-process ``skeletonize_lazy``, pinned by
+    tests) -- at ExaSPIM label counts, materializing every skeleton on
+    every rank would be O(all skeletons) memory per host for nothing.
+
+    ``zip_path``: rank 0 additionally assembles the full SWC archive --
+    peers ship their labels' SWC texts (never Skeleton objects, never
+    other ranks' data) and rank 0 writes ``{id}.swc`` entries in
+    ascending id, matching the single-process
+    ``skeletons_to_zipped_swcs(skeletonize_lazy(...))`` archive entry
+    for entry. This is the ``swc --distributed`` / ``run
+    --distributed`` CLI contract.
+
+    ``broadcast=True`` restores the full-dict-everywhere return (every
+    rank pays O(all skeletons) memory -- only for callers that truly
+    need the complete table on every host).
+
+    ``stats_out``: optional dict; filled with this rank's per-pass
+    walls and hub byte counts (rank 0 additionally gets ``"ranks"``).
     """
     import sys
     import time
@@ -820,11 +846,24 @@ def skeletonize_sharded(labels, fix_borders=True, fill_holes=True,
     kw = {**_SKEL_DEFAULTS, **teasar_kw}
     n, rank = jax.process_count(), jax.process_index()
     if n == 1:
-        return skeletonize_virtual(
+        skeletons = skeletonize_virtual(
             labels, 1, fix_borders=fix_borders, fill_holes=fill_holes,
             slab_planes=slab_planes, **teasar_kw
         )
+        if zip_path is not None:
+            import zipfile
+
+            with zipfile.ZipFile(zip_path, "w") as zf:
+                for seg_id in sorted(skeletons):
+                    zf.writestr(
+                        f"{seg_id}.swc", skeletons[seg_id].to_swc()
+                    )
+        if stats_out is not None:
+            stats_out["rank"] = 0
+            stats_out["ranks"] = [dict(stats_out)]
+        return skeletons
     t0 = time.time()
+    stats = {"rank": rank}
 
     def stamp(msg):
         if verbose:
@@ -833,24 +872,62 @@ def skeletonize_sharded(labels, fix_borders=True, fill_holes=True,
                 f" {msg}", file=sys.stderr, flush=True,
             )
 
-    z_lo, z_hi = partition_z(labels.shape[0], n)[rank]
+    z_lo, z_hi = _partition_z_skeleton(labels.shape[0], n)[rank]
     comm = _connect_hub(rank, n, address)
     try:
-        partials = comm.gather(bbox_scan(labels, z_lo, z_hi, slab_planes))
+        t = time.time()
+        partial = bbox_scan(labels, z_lo, z_hi, slab_planes)
+        stats["bbox_scan_s"] = round(time.time() - t, 3)
+        partials = comm.gather(partial)
         plan = _skeleton_plan(partials, n, kw) if rank == 0 else None
         labs, bbox, params = comm.scatter(plan)
+        stats["labels_local"] = len(labs)
         stamp(f"bbox scan + plan done ({len(labs)} labels local)")
-        pieces = comm.gather(
+        t = time.time()
+        local = _merge_pieces(
             crop_pass(labels, labs, bbox, params, fix_borders, fill_holes)
         )
+        stats["crop_pass_s"] = round(time.time() - t, 3)
         stamp("crop pass done")
-        if rank == 0:
-            merged = {}
-            for p in pieces:
-                merged.update(p)
-            skeletons = _merge_pieces(merged)
-        else:
-            skeletons = None
-        return comm.broadcast(skeletons)
+        if zip_path is not None:
+            # Rank 0 single-writer zip: peers hand over SWC TEXT for
+            # their own labels (compact, write-ready); nothing is ever
+            # broadcast back, so peer memory stays at its local table.
+            t = time.time()
+            texts = comm.gather(
+                {seg_id: sk.to_swc() for seg_id, sk in local.items()}
+            )
+            if rank == 0:
+                import zipfile
+
+                merged = {}
+                for part in texts:
+                    merged.update(part)
+                del texts
+                with zipfile.ZipFile(zip_path, "w") as zf:
+                    for seg_id in sorted(merged):
+                        zf.writestr(f"{seg_id}.swc", merged[seg_id])
+                stats["n_skeletons"] = len(merged)
+                del merged
+            stats["zip_s"] = round(time.time() - t, 3)
+            stamp("zip written")
+        if broadcast:
+            pieces = comm.gather(local)
+            if rank == 0:
+                merged = {}
+                for p in pieces:
+                    merged.update(p)
+                local = comm.broadcast(merged)
+            else:
+                local = comm.broadcast(None)
+        stats["bytes_sent"] = comm.bytes_sent
+        stats["bytes_recv"] = comm.bytes_recv
+        rank_stats = comm.gather(stats)
+        comm.broadcast(True)  # archive visible before anyone returns
+        if stats_out is not None:
+            stats_out.update(stats)
+            if rank == 0:
+                stats_out["ranks"] = rank_stats
+        return local
     finally:
         comm.close()

@@ -411,18 +411,23 @@ from aind_exaspim_neuron_segmentation_tpu import inference, postprocess
 from aind_exaspim_neuron_segmentation_tpu.io import zarr_lite
 
 t0 = time.time()
+seg_stats = {}
 labels = postprocess.segment_streaming_sharded(
     (zarr_lite.open_zarr(plan_p), zarr_lite.open_zarr(qaff_p)),
-    out_path=out_p,
+    out_path=out_p, stats_out=seg_stats,
 )
 t1 = time.time()
-skels = postprocess.skeletonize_sharded(labels)
+sk_stats = {}
+postprocess.skeletonize_sharded(
+    labels, zip_path=out_p + ".swcs.zip", stats_out=sk_stats,
+)
 t2 = time.time()
 if pid == 0:
-    inference.skeletons_to_zipped_swcs(skels, out_p + ".swcs.zip")
     with open(out_p + ".stages.json", "w") as f:
         json.dump({"segment": t1 - t0, "skeletonize": t2 - t1,
-                   "n_skeletons": len(skels)}, f)
+                   "n_skeletons": sk_stats["n_skeletons"],
+                   "segment_ranks": seg_stats["ranks"],
+                   "skeletonize_ranks": sk_stats["ranks"]}, f)
 """
 
 
@@ -514,6 +519,11 @@ def main_e2e_sharded():
             "skeletonize_sharded_2proc": round(stages["skeletonize"], 1),
         },
         "n_skeletons": stages["n_skeletons"],
+        # transport vs compute, separable per rank (VERDICT r4 weak
+        # #4): per-pass walls + hub payload bytes for both distributed
+        # stages, straight from the protocol's stats_out
+        "segment_protocol": stages["segment_ranks"],
+        "skeletonize_protocol": stages["skeletonize_ranks"],
         "caveats": "both segmentation/skeletonization ranks share this "
                    "host's single CPU core; the line validates the "
                    "multi-process path (bit-identical labels/SWCs), "

@@ -244,3 +244,19 @@ class TestSkeletonizeVirtual:
         assert [1] in parts
         for part in parts:
             assert part == sorted(part)
+
+    def test_more_ranks_than_planes(self, tmp_path):
+        """A shallow volume on a wide job must NOT hard-fail: the crop
+        pass is label-partitioned, so ranks beyond the plane count take
+        empty bbox-scan ranges (advisor round-4 finding)."""
+        from aind_exaspim_neuron_segmentation_tpu.postprocess.distributed import (
+            skeletonize_virtual,
+        )
+
+        seg = np.zeros((3, 16, 16), np.uint32)
+        seg[1, 3:13, 3:13] = 1
+        seg[0:3, 14, 2:9] = 2
+        store = TestSkeletonizeLazy._store(tmp_path, seg)
+        dense = skeletonize(seg)
+        got = skeletonize_virtual(store, 5, slab_planes=2)
+        TestSkeletonizeLazy._assert_same(dense, got)
