@@ -287,8 +287,14 @@ def cmd_train(args):
         patch_shape=args.patch,
         brightness_clip=args.brightness_clip,
     )
+    # Default: raw label patches -> the Trainer auto-enables on-device
+    # augmentation (+ the raw-u16 wire when the volumes qualify) -- the
+    # measured-fastest path (BASELINE.md train-step wire diet).
+    # --host-augment restores host-side ImageTransforms.
     train_ds = data_handling.TrainDataset(
-        list(args.images), list(args.labels), transform=True,
+        list(args.images), list(args.labels),
+        transform=args.host_augment,
+        return_label_patches=not args.host_augment,
         seed=args.seed, **common,
     )
     val_ds = data_handling.ValidateDataset(
@@ -412,6 +418,9 @@ def build_parser():
                    help="validation-grid center containment margin "
                         "(reference default 64; use 0 for small volumes)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--host-augment", action="store_true",
+                   help="augment on the host (ImageTransforms) instead "
+                        "of the default on-device augmentation pipeline")
     p.add_argument("--mesh", type=int, default=None, metavar="N",
                    help="data-parallel Trainer(mesh=) over the first N "
                         "devices (default with --distributed: all "

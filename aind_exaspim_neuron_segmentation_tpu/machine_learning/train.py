@@ -94,7 +94,7 @@ class Trainer:
         accumulate_grads_quirk=False,
         seed=0,
         mesh=None,
-        device_augment=False,
+        device_augment=None,
         prefetch=True,
         wire_labels=True,
     ):
@@ -113,7 +113,12 @@ class Trainer:
         # patches (TrainDataset(return_label_patches=True)); the jitted
         # step flips image+label jointly, jitters intensity, and
         # computes affinity targets on device -- zero host transform
-        # work (TPU-idiomatic counterpart of ImageTransforms).
+        # work (TPU-idiomatic counterpart of ImageTransforms). Default
+        # None = AUTO: enabled on the first train_step whenever the
+        # dataset ships raw label patches, so the fast path (with the
+        # raw-u16 wire when the volumes qualify, _apply_wire_mode) is
+        # what users get rather than what they discover; False opts
+        # out, True forces (and fails fast on an ineligible dataset).
         self.device_augment = device_augment
         # Input-pipeline prefetch: a background thread produces the next
         # batches while the (async-dispatched) device step runs, so host
@@ -409,6 +414,26 @@ class Trainer:
             put(mask, mask_sharding),
         )
 
+    def _resolve_device_augment(self, dataset):
+        """Resolve ``device_augment=None`` (auto) against the dataset.
+
+        Auto enables the on-device augmentation path exactly when the
+        dataset ships raw label patches; the jitted step is rebuilt
+        once on the flip. ``True`` against a host-transformed dataset
+        is a contract error (its float targets cannot be re-augmented).
+        """
+        eligible = bool(getattr(dataset, "return_label_patches", False))
+        if self.device_augment is None and eligible:
+            self.device_augment = True
+            self._train_step = self._build_train_step()
+        elif self.device_augment and not eligible:
+            raise ValueError(
+                "device_augment needs TrainDataset("
+                "return_label_patches=True): this dataset ships "
+                "host-transformed targets that cannot be re-augmented "
+                "on device"
+            )
+
     def _apply_wire_mode(self, dataset):
         """Switch a BaseDataset to the compact-label wire when enabled.
 
@@ -451,6 +476,7 @@ class Trainer:
         )
 
         stats = {"f1": None, "precision": [], "recall": [], "loss": []}
+        self._resolve_device_augment(train_dataset)
         self._apply_wire_mode(train_dataset)
         batches = (
             prefetch_batches(train_dataset, self.batch_size)

@@ -625,6 +625,11 @@ def main_sharded():
         "value": round(mvox_s, 2),
         "unit": "Mvox/s (volume voxels)",
         "vs_baseline": round(patch_mvox_s / TORCH_CPU_BASELINE_MVOX_S, 1),
+        # 'value' counts volume voxels; vs_baseline counts PATCH voxels
+        # (the torch baseline's unit; patches overlap, ~3.4x apart) --
+        # both spelled out so the two units in one line can't mislead
+        "vs_baseline_unit": "patch Mvox/s vs torch-CPU patch Mvox/s",
+        "patch_mvox_s": round(patch_mvox_s, 2),
         "mesh": list(mesh.devices.shape),
         "n_devices": int(n_dev),
         "per_chip": round(mvox_s / n_dev, 2),
@@ -658,11 +663,13 @@ def main_train():
     lab = np.zeros((160, 160, 160), np.uint32)
     for k, (cz, cy, cx) in enumerate(rng.integers(20, 140, (30, 3))):
         lab[cz - 8: cz + 8, cy - 8: cy + 8, cx - 8: cx + 8] = k + 1
-    # --device-augment: the 1-core host's scipy augmentation dominates
-    # input wait after the wire diet; this leg moves the augmentation
-    # into the jitted step (ops/augment_device.py) so the host only
-    # samples patches.
-    dev_aug = "--device-augment" in sys.argv
+    # Device augmentation is now the DEFAULT (the Trainer auto-enables
+    # it on label-patch datasets and the u16 volumes here qualify for
+    # the raw wire): the 1-core host's scipy augmentation dominated
+    # input wait after the wire diet, so the jitted step owns the
+    # augmentation (ops/augment_device.py) and the host only samples
+    # patches. --host-augment restores the round-4 default leg.
+    dev_aug = "--host-augment" not in sys.argv
     # 8 handles to the same volume: len(ds) = 32 samples -> 4 steps/epoch
     ds = data_handling.TrainDataset(
         [img] * 8, [lab] * 8, patch_shape=patch, seed=0,
@@ -671,7 +678,8 @@ def main_train():
     out = tempfile.mkdtemp()
     wire = "--no-wire" not in sys.argv
     trainer = Trainer(out, batch_size=batch, max_epochs=1,
-                      wire_labels=wire, device_augment=dev_aug)
+                      wire_labels=wire,
+                      device_augment=None if dev_aug else False)
     trainer.train_step(ds, 0)  # warm: compile + caches
     # Wire accounting: bytes shipped host->device per step (images +
     # targets + mask). Label-wire mode ships compact uint16 labels and
@@ -723,7 +731,8 @@ def main_train():
 
 if __name__ == "__main__":
     _KNOWN = {"--e2e", "--sharded", "--typical", "--train", "--dryrun",
-              "--measure-torch", "--device-augment", "--no-wire"}
+              "--measure-torch", "--device-augment", "--host-augment",
+              "--no-wire"}
     _flags = [a for a in sys.argv[1:] if a.startswith("-")]
     _bad = [a for a in _flags if a not in _KNOWN]
     if _bad:

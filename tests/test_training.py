@@ -767,6 +767,35 @@ class TestDeviceAugment:
         )
         t.run(tr, val)
 
+    def test_device_augment_auto_default(self, tmp_path):
+        """device_augment=None (the default) auto-enables on a raw
+        label-patch dataset, stays off on a host-transformed one, and
+        device_augment=True on an ineligible dataset fails fast."""
+        imgs, labs = make_volumes()
+        raw = data_handling.TrainDataset(
+            imgs, labs, patch_shape=PATCH, seed=0,
+            return_label_patches=True,
+        )
+        t = Trainer(str(tmp_path / "auto"), batch_size=4, max_epochs=1,
+                    width_multiplier=0.25, use_amp=False)
+        assert t.device_augment is None
+        t.train_step(raw, 0)
+        assert t.device_augment is True
+
+        host = data_handling.TrainDataset(
+            imgs, labs, patch_shape=PATCH, seed=0, transform=True
+        )
+        t2 = Trainer(str(tmp_path / "host"), batch_size=4, max_epochs=1,
+                     width_multiplier=0.25, use_amp=False)
+        t2.train_step(host, 0)
+        assert not t2.device_augment
+
+        t3 = Trainer(str(tmp_path / "force"), batch_size=4, max_epochs=1,
+                     width_multiplier=0.25, use_amp=False,
+                     device_augment=True)
+        with pytest.raises(ValueError, match="return_label_patches"):
+            t3.train_step(host, 0)
+
     def test_device_affinity_targets_match_host(self):
         import jax
         import jax.numpy as jnp
