@@ -504,10 +504,13 @@ class TiffStack:
     """Lazy multi-page TIFF: pages decode on first access.
 
     Numpy-style indexing over (Z, H, W[, S]); ``[:]`` densifies. Pages
-    must share shape and dtype (scientific stacks do).
+    must share shape and dtype (scientific stacks do). Decoded pages
+    are memoized in a byte-capped LRU (``cache_bytes``, default
+    256 MiB) -- raise it for random-access workloads that re-touch
+    many pages, or lower it on tight hosts.
     """
 
-    def __init__(self, buf):
+    def __init__(self, buf, *, cache_bytes=256 * 1024**2):
         self._buf = buf
         self.pages = _parse(buf)
         if not self.pages:
@@ -520,10 +523,8 @@ class TiffStack:
         self.dtype = p0.dtype.newbyteorder("=")
         # Decoded-page LRU: unbounded memoization would quietly hold
         # the whole decoded volume after one streaming pass, defeating
-        # the lazy contract on beyond-RAM stacks. Bytes-capped; raise
-        # ``cache_bytes`` for random-access workloads that re-touch
-        # many pages.
-        self.cache_bytes = 256 * 1024**2
+        # the lazy contract on beyond-RAM stacks. Bytes-capped.
+        self.cache_bytes = int(cache_bytes)
         self._page_bytes = int(
             np.prod(p0.shape) * self.dtype.itemsize
         )
@@ -573,16 +574,17 @@ class TiffStack:
         return stack[(slice(None),) + rest] if rest else stack
 
 
-def read_tiff(path_or_bytes, lazy=False):
+def read_tiff(path_or_bytes, lazy=False, cache_bytes=256 * 1024**2):
     """Read a TIFF/BigTIFF into an ndarray (Z, H, W), (H, W), or, with
-    ``lazy=True`` and multiple pages, a page-on-demand :class:`TiffStack`.
+    ``lazy=True`` and multiple pages, a page-on-demand :class:`TiffStack`
+    whose decoded-page LRU holds at most ``cache_bytes``.
     """
     if isinstance(path_or_bytes, (bytes, bytearray, memoryview)):
         buf = memoryview(bytes(path_or_bytes))
     else:
         with open(path_or_bytes, "rb") as f:
             buf = memoryview(f.read())
-    stack = TiffStack(buf)
+    stack = TiffStack(buf, cache_bytes=cache_bytes)
     if lazy and len(stack) > 1:
         return stack
     if len(stack) == 1:

@@ -121,6 +121,34 @@ def _auto_band_rows(n_rows, nz, stride_z, patch_z, plane_bytes,
     return None if rows >= n_rows else rows
 
 
+def _ysplit_chunk_grid(trim, own, dim):
+    """(cy, cx) store chunk grid for Y-split multi-process writes.
+
+    Chunk height must divide every Y shard boundary (``trim + j*own``)
+    so the processes sharing a Z row touch disjoint chunk keys;
+    ``gcd(trim, own)`` does (halved down to <=256 for sane objects).
+    A degenerate gcd (coprime trim/own -> cy=1) stays CORRECT but
+    explodes the store into per-row chunks, so warn with the object
+    count and the knobs that fix it (advisor round-4 finding).
+    """
+    g = math.gcd(trim, own) if trim else own
+    while g > 256 and g % 2 == 0:
+        g //= 2
+    if g < 8:
+        import warnings
+
+        n_chunks = dim[0] * -(-dim[1] // g) * -(-dim[2] // 256)
+        warnings.warn(
+            f"Y-split output chunk height gcd(trim={trim}, own={own})"
+            f" = {g} is degenerate: the store would need ~{n_chunks} "
+            "chunk objects. Pick patch/overlap/trim so the per-device "
+            "Y extent shares a factor >= 8 with trim, use a Z-only "
+            "mesh, or pass allow_partial=True.",
+            RuntimeWarning, stacklevel=3,
+        )
+    return (g, min(256, dim[2]))
+
+
 def predict_sharded(
     img,
     model,
@@ -636,10 +664,7 @@ def predict_sharded(
             for i in range(nz)
         )
         if split:
-            g = math.gcd(trim, yp.own) if trim else yp.own
-            while g > 256 and g % 2 == 0:
-                g //= 2
-            ysplit_chunks = (g, min(256, dim[2]))
+            ysplit_chunks = _ysplit_chunk_grid(trim, yp.own, dim)
     writer = None
     plane_writer = None
     digest_writers = None

@@ -483,6 +483,18 @@ class TestTiffLite:
         np.testing.assert_array_equal(stack[0], vol[0])
         assert 0 in stack._cache
 
+    def test_lazy_stack_cache_bytes_param(self, tmp_path):
+        """cache_bytes is a constructor/read_tiff parameter (advisor
+        round-4 finding), not just a discoverable attribute."""
+        from aind_exaspim_neuron_segmentation_tpu.io import tiff_lite
+
+        vol = self._vol("uint16", seed=9)
+        path = str(tmp_path / "p.tif")
+        tiff_lite.write_tiff(path, vol)
+        stack = tiff_lite.read_tiff(path, lazy=True, cache_bytes=1)
+        np.testing.assert_array_equal(stack[:], vol)
+        assert len(stack._cache) == 1  # floor: always keep one page
+
     def test_circular_ifd_chain_rejected(self, tmp_path):
         """A corrupt next-IFD pointer looping back must fail cleanly,
         not hang building pages forever."""

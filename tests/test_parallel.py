@@ -575,6 +575,34 @@ class TestAutoBanding:
         np.testing.assert_allclose(got, want, atol=1e-6)
 
 
+class TestYsplitChunkGrid:
+    def test_gcd_chunk_height(self):
+        from aind_exaspim_neuron_segmentation_tpu.parallel.sharded_inference import (  # noqa: E501
+            _ysplit_chunk_grid,
+        )
+
+        # healthy gcd: chunk height divides every shard boundary
+        assert _ysplit_chunk_grid(8, 64, (32, 256, 300)) == (8, 256)
+        # zero trim: shard size itself (halved down to <= 256)
+        assert _ysplit_chunk_grid(0, 1024, (32, 2048, 100)) == (256, 100)
+
+    def test_degenerate_gcd_warns(self):
+        """Coprime trim/own (cy=1) stays correct but warns with the
+        object count (advisor round-4 finding)."""
+        import warnings
+
+        from aind_exaspim_neuron_segmentation_tpu.parallel.sharded_inference import (  # noqa: E501
+            _ysplit_chunk_grid,
+        )
+
+        with pytest.warns(RuntimeWarning, match="degenerate"):
+            cy, cx = _ysplit_chunk_grid(8, 125, (16, 258, 64))
+        assert (cy, cx) == (1, 64)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")  # healthy case: no warning
+            _ysplit_chunk_grid(8, 128, (16, 258, 64))
+
+
 class TestForegroundModeSharded:
     def test_non_affinity_matches_single_device(self):
         rng = np.random.default_rng(50)
