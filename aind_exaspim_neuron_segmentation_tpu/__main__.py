@@ -312,6 +312,7 @@ def cmd_train(args):
         width_multiplier=args.width_multiplier,
         seed=args.seed,
         mesh=mesh,
+        num_workers=args.num_workers,
     )
     trainer.run(train_ds, val_ds)
     _emit({"train": trainer.log_dir})
@@ -421,6 +422,11 @@ def build_parser():
     p.add_argument("--host-augment", action="store_true",
                    help="augment on the host (ImageTransforms) instead "
                         "of the default on-device augmentation pipeline")
+    p.add_argument("--num-workers", type=int, default=0, metavar="N",
+                   help="fork N GIL-free sampler processes per host "
+                        "(torch DataLoader-workers role; 0 = one "
+                        "producer thread, bit-reproducible streams "
+                        "either way)")
     p.add_argument("--mesh", type=int, default=None, metavar="N",
                    help="data-parallel Trainer(mesh=) over the first N "
                         "devices (default with --distributed: all "

@@ -249,6 +249,13 @@ class TrainDataset(BaseDataset):
             self.transform = None
         self.rng = _random.Random(seed)
         self.np_rng = np.random.default_rng(seed)
+        # Multi-process sampler support: the base seed (or, unseeded,
+        # one OS-entropy draw captured up front -- it does NOT touch the
+        # seeded streams above) keys per-worker RNG derivation in
+        # reseed_worker.
+        self._sampler_seed = seed
+        self._worker_entropy = np.random.SeedSequence().entropy
+        self._sampler_draw_round = 0
         self.wgts = self.compute_wgts()
         # Device-augmentation mode: hand back raw label patches so the
         # jitted train step can flip jointly and compute affinity
@@ -349,6 +356,34 @@ class TrainDataset(BaseDataset):
                 break
         return i, center, label_patch
 
+    def reseed_worker(self, worker_id, draw_round=0):
+        """Re-key every RNG stream for one forked sampler worker.
+
+        Called inside worker ``worker_id`` of the multi-process
+        prefetcher (:func:`_prefetch_batches_mp`): forked children
+        inherit IDENTICAL RNG state, so without this every worker would
+        draw the same patches. Derivation is a
+        ``SeedSequence([base, draw_round, worker_id])`` spawn per
+        stream (np_rng / center rng / transform rng), where ``base`` is
+        the constructor seed (reproducible across runs) or the captured
+        OS entropy (independent, unseeded case) -- the torch
+        DataLoader worker_init_fn contract.
+        """
+        base = (
+            self._sampler_seed
+            if self._sampler_seed is not None
+            else self._worker_entropy
+        )
+        ss = np.random.SeedSequence([int(base), int(draw_round),
+                                     int(worker_id)])
+        np_ss, center_ss, transform_ss = ss.spawn(3)
+        self.np_rng = np.random.default_rng(np_ss)
+        self.rng = _random.Random(
+            int.from_bytes(center_ss.generate_state(4).tobytes(), "little")
+        )
+        if isinstance(self.transform, ImageTransforms):
+            self.transform.rng = np.random.default_rng(transform_ss)
+
     def sample_center(self, shape):
         """Uniform center in the patch-fitting interior (reference :294).
 
@@ -443,6 +478,21 @@ class ValidateDataset(BaseDataset):
         return input_patch, self._target(label_patch)
 
 
+def _stack_items(items):
+    """Stack a list of (x, y) examples into one (xs, ys) batch."""
+    if isinstance(items[0][0], tuple):
+        # raw-wire examples: x is (u16 patch, f32 [mn, inv]) --
+        # stack each component into its own batch array
+        xs = tuple(
+            np.stack([it[0][k] for it in items])
+            for k in range(len(items[0][0]))
+        )
+    else:
+        xs = np.stack([it[0] for it in items])
+    ys = np.stack([it[1] for it in items])
+    return xs, ys
+
+
 def iterate_batches(dataset, batch_size, stacked=True):
     """Yield (inputs, targets) numpy batches from an indexable dataset.
 
@@ -455,33 +505,41 @@ def iterate_batches(dataset, batch_size, stacked=True):
         if not stacked:
             yield items
             continue
-        if isinstance(items[0][0], tuple):
-            # raw-wire examples: x is (u16 patch, f32 [mn, inv]) --
-            # stack each component into its own batch array
-            xs = tuple(
-                np.stack([it[0][k] for it in items])
-                for k in range(len(items[0][0]))
-            )
-        else:
-            xs = np.stack([it[0] for it in items])
-        ys = np.stack([it[1] for it in items])
-        yield xs, ys
+        yield _stack_items(items)
 
 
-def prefetch_batches(dataset, batch_size, depth=2):
-    """:func:`iterate_batches` with a background producer thread.
+def prefetch_batches(dataset, batch_size, depth=2, num_workers=0):
+    """:func:`iterate_batches` with background batch production.
 
     Patch sampling + host augmentation overlap the (async-dispatched)
     device step instead of serializing with it -- the role of the torch
-    DataLoader's worker processes (reference train.py:103-106), sized
-    for a single producer because patch assembly is numpy-bound. Yields
-    the same batches in the same order as ``iterate_batches``; a bounded
-    queue (``depth``) caps host memory at depth+1 batches.
+    DataLoader's worker processes (reference train.py:103-106).
+
+    * ``num_workers=0`` (default): ONE producer thread. Yields the same
+      batches in the same order as ``iterate_batches`` -- bit-identical
+      RNG streams -- because patch assembly is numpy-bound and a single
+      producer suffices to hide it behind the device step on this
+      class of host. A bounded queue (``depth``) caps host memory at
+      depth+1 batches.
+    * ``num_workers>0``: a FORKED PROCESS POOL (GIL-free sampling for
+      multi-core hosts; see :func:`_prefetch_batches_mp`). Batch ``b``
+      is produced by worker ``b % num_workers``; index-deterministic
+      datasets (ValidateDataset) yield bit-identical batches, while
+      draw-based samplers (TrainDataset) follow per-worker seeded RNG
+      streams -- deterministic given (seed, num_workers, epoch) but a
+      DIFFERENT stream than ``num_workers=0`` (the same contract as the
+      torch DataLoader's worker_init_fn seeding).
 
     The consumer must drain the generator or call ``.close()`` (the
-    producer thread is daemonic, so an abandoned generator cannot hang
-    interpreter exit).
+    producer thread is daemonic and worker processes are terminated on
+    close, so an abandoned generator cannot hang interpreter exit).
     """
+    if num_workers:
+        yield from _prefetch_batches_mp(
+            dataset, batch_size, depth, num_workers
+        )
+        return
+
     import queue
     import threading
 
@@ -506,3 +564,113 @@ def prefetch_batches(dataset, batch_size, depth=2):
             raise item
         yield item
     thread.join()
+
+
+def _prefetch_batches_mp(dataset, batch_size, depth, num_workers):
+    """Multi-process sampler fan-out behind :func:`prefetch_batches`.
+
+    Forked workers (volumes are shared copy-on-write -- no pickling of
+    the dataset) each own the batches ``b % num_workers == w`` and push
+    them in order onto a PER-WORKER bounded queue; the consumer cycles
+    the queues in batch order, so ordering is strict, memory is capped
+    at ``num_workers * depth`` buffered batches, and backpressure is
+    natural. TrainDataset workers re-seed per (seed, draw-round,
+    worker) via :meth:`TrainDataset.reseed_worker`, so streams are
+    reproducible across runs and distinct across epochs.
+
+    The sticky label-wire dtype (:attr:`BaseDataset._label_wire_dtype`)
+    is harmonized on the consumer side: worker promotion to uint32 is
+    per-process, so once any yielded batch is wider the consumer
+    upcasts every later batch (and writes the promotion back to the
+    parent dataset so the next epoch's fork inherits it) -- the jitted
+    step signature flips AT MOST once, exactly as in-process.
+
+    JAX emits an os.fork() multithreading warning when the parent has
+    an initialized backend; it is benign HERE because workers only run
+    numpy + the in-repo native lib (no JAX calls, no XLA locks) -- the
+    same posture as the torch DataLoader's forked workers.
+    """
+    import multiprocessing as _mp
+    import queue as _queue
+
+    ctx = _mp.get_context("fork")
+    n = len(dataset)
+    n_batches = (n + batch_size - 1) // batch_size
+    if n_batches == 0:
+        return
+    num_workers = min(num_workers, n_batches)
+    # Per-epoch draw round (bumped in the PARENT before forking) keeps
+    # worker streams distinct across epochs while staying reproducible.
+    draw_round = getattr(dataset, "_sampler_draw_round", 0)
+    reseedable = hasattr(dataset, "reseed_worker")
+    if reseedable:
+        dataset._sampler_draw_round = draw_round + 1
+
+    queues = [ctx.Queue(maxsize=max(1, depth)) for _ in range(num_workers)]
+
+    def produce(w, q):
+        try:
+            if reseedable:
+                dataset.reseed_worker(w, draw_round)
+            for b in range(w, n_batches, num_workers):
+                lo = b * batch_size
+                items = [
+                    dataset[j] for j in range(lo, min(lo + batch_size, n))
+                ]
+                q.put(("ok", _stack_items(items)))
+        except BaseException as err:
+            try:
+                q.put(("err", err))
+            except Exception:  # unpicklable exception payloads
+                q.put(("err", RuntimeError(repr(err))))
+
+    procs = [
+        ctx.Process(target=produce, args=(w, queues[w]), daemon=True)
+        for w in range(num_workers)
+    ]
+    for p in procs:
+        p.start()
+
+    wire = bool(getattr(dataset, "wire_labels", False))
+    sticky = None
+    try:
+        for b in range(n_batches):
+            w = b % num_workers
+            q, p = queues[w], procs[w]
+            dead_retries = 0
+            while True:
+                try:
+                    tag, payload = q.get(timeout=5.0)
+                    break
+                except _queue.Empty:
+                    if not p.is_alive():
+                        # One grace retry: the feeder thread may still
+                        # be flushing the pipe after a clean exit.
+                        dead_retries += 1
+                        if dead_retries > 1:
+                            raise RuntimeError(
+                                f"sampler worker {w} died (exitcode "
+                                f"{p.exitcode}) before producing batch "
+                                f"{b}"
+                            ) from None
+            if tag == "err":
+                raise payload
+            xs, ys = payload
+            if wire and isinstance(ys, np.ndarray) and ys.dtype.kind == "u":
+                if sticky is None:
+                    sticky = np.dtype(dataset._label_wire_dtype)
+                if ys.dtype.itemsize > sticky.itemsize:
+                    sticky = ys.dtype
+                    dataset._label_wire_dtype = ys.dtype.type
+                elif ys.dtype != sticky:
+                    ys = ys.astype(sticky)
+            yield xs, ys
+    finally:
+        for p in procs:
+            if p.is_alive():
+                p.terminate()
+        for q in queues:
+            q.close()
+            q.cancel_join_thread()
+        for p in procs:
+            p.join(timeout=5.0)

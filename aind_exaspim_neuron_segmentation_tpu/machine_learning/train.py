@@ -96,6 +96,7 @@ class Trainer:
         mesh=None,
         device_augment=None,
         prefetch=True,
+        num_workers=0,
         wire_labels=True,
     ):
         exp_name = "session-" + datetime.today().strftime("%Y%m%d_%H%M")
@@ -126,6 +127,16 @@ class Trainer:
         # DataLoader-workers role, reference train.py:103-106). Batches
         # and RNG streams are identical either way.
         self.prefetch = prefetch
+        # Multi-process sampler fan-out: num_workers > 0 forks that many
+        # GIL-free producer processes (batch b <- worker b % N, strict
+        # order, bounded memory). ValidateDataset batches stay
+        # bit-identical (index-deterministic); TrainDataset draws follow
+        # per-worker seeded streams -- deterministic given (seed,
+        # num_workers, epoch) but distinct from the num_workers=0 stream
+        # (see data_handling.prefetch_batches). Default 0 keeps the
+        # single-producer thread: this host has one core, so fan-out
+        # only pays on multi-core production hosts.
+        self.num_workers = num_workers
         # Label-wire batches: BaseDataset targets leave the host as
         # compact uint16 labels and the jitted steps derive the
         # affinity / foreground channels on device (bit-identical --
@@ -478,11 +489,15 @@ class Trainer:
         stats = {"f1": None, "precision": [], "recall": [], "loss": []}
         self._resolve_device_augment(train_dataset)
         self._apply_wire_mode(train_dataset)
-        batches = (
-            prefetch_batches(train_dataset, self.batch_size)
-            if self.prefetch
-            else iterate_batches(train_dataset, self.batch_size)
-        )
+        if self.num_workers:
+            batches = prefetch_batches(
+                train_dataset, self.batch_size,
+                num_workers=self.num_workers,
+            )
+        elif self.prefetch:
+            batches = prefetch_batches(train_dataset, self.batch_size)
+        else:
+            batches = iterate_batches(train_dataset, self.batch_size)
         # Device metrics stay device-resident until the epoch ends: a
         # per-step float() would synchronize and serialize host batch
         # production with the device step.
@@ -524,11 +539,15 @@ class Trainer:
 
         stats = {"f1": None, "precision": [], "recall": [], "loss": []}
         self._apply_wire_mode(val_dataset)
-        batches = (
-            prefetch_batches(val_dataset, self.batch_size)
-            if self.prefetch
-            else iterate_batches(val_dataset, self.batch_size)
-        )
+        if self.num_workers:
+            batches = prefetch_batches(
+                val_dataset, self.batch_size,
+                num_workers=self.num_workers,
+            )
+        elif self.prefetch:
+            batches = prefetch_batches(val_dataset, self.batch_size)
+        else:
+            batches = iterate_batches(val_dataset, self.batch_size)
         pending = []
         for xs, ys in batches:
             n_real = xs.shape[0]

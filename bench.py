@@ -677,8 +677,15 @@ def main_train():
     )
     out = tempfile.mkdtemp()
     wire = "--no-wire" not in sys.argv
+    # --num-workers N: the multi-process sampler fan-out. On this
+    # 1-core host forking cannot beat the single producer thread (it
+    # adds pickling on the same core); the leg exists so multi-core
+    # production hosts can measure the GIL-free path.
+    workers = 0
+    if "--num-workers" in sys.argv:
+        workers = int(sys.argv[sys.argv.index("--num-workers") + 1])
     trainer = Trainer(out, batch_size=batch, max_epochs=1,
-                      wire_labels=wire,
+                      wire_labels=wire, num_workers=workers,
                       device_augment=None if dev_aug else False)
     trainer.train_step(ds, 0)  # warm: compile + caches
     # Wire accounting: bytes shipped host->device per step (images +
@@ -723,6 +730,7 @@ def main_train():
         "upload_mb_per_step": round(upload_mb, 1),
         "wire_labels": wire,
         "device_augment": dev_aug,
+        "num_workers": workers,
         "train_mfu": round(
             mvox_s * 1e6 * flop_train / PEAK_BF16_FLOPS, 4
         ),
@@ -732,7 +740,7 @@ def main_train():
 if __name__ == "__main__":
     _KNOWN = {"--e2e", "--sharded", "--typical", "--train", "--dryrun",
               "--measure-torch", "--device-augment", "--host-augment",
-              "--no-wire"}
+              "--no-wire", "--num-workers"}
     _flags = [a for a in sys.argv[1:] if a.startswith("-")]
     _bad = [a for a in _flags if a not in _KNOWN]
     if _bad:
