@@ -48,7 +48,10 @@
 // targeted background voxels for robustness.
 
 #include <algorithm>
+#include <chrono>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <vector>
 
@@ -1096,6 +1099,12 @@ EXA_API int64_t exa_streamseg_merge_local(
   for (int64_t i = 1; i < n_thresholds; ++i) {
     if (thresholds[i] < thresholds[i - 1]) return -1;
   }
+  const bool dbg = std::getenv("EXA_DEBUG_TIMING") != nullptr;
+  auto now = []() { return std::chrono::steady_clock::now(); };
+  auto secs = [](auto a, auto b) {
+    return std::chrono::duration<double>(b - a).count();
+  };
+  const auto t0 = now();
   FlatMap remap{1024};
   std::vector<uint32_t> to_global(1, 0);  // local id 0 unused
   auto localize = [&](uint32_t g) {
@@ -1140,10 +1149,19 @@ EXA_API int64_t exa_streamseg_merge_local(
       });
   if (rc < 0) return -2;
   remap.reset(16);
+  const auto t1 = now();
 
   const int64_t k_local = static_cast<int64_t>(to_global.size()) - 1;
   exa_rag::MergeEvents me = exa_rag::run_merge(
       edge_index, edges, k_local, thresholds, n_thresholds, quantile_pct);
+  const auto t2 = now();
+  if (dbg) {
+    std::fprintf(stderr,
+                 "[exa merge_local] deserialize+localize %.3fs "
+                 "(k_local=%lld edges=%lld) run_merge %.3fs\n",
+                 secs(t0, t1), static_cast<long long>(k_local),
+                 static_cast<long long>(edges.size()), secs(t1, t2));
+  }
   edge_index.reset(16);
   edges.release();
 
