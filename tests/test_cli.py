@@ -142,7 +142,8 @@ def test_cli_train_one_epoch(tmp_path, capsys):
     out = str(tmp_path / "runs")
     main(["train", "--output", out, "--images", img_p, "--labels", lab_p,
           "--epochs", "1", "--batch-size", "2", "--patch", "32",
-          "--width-multiplier", "0.25", "--containment-buffer", "0"])
+          "--width-multiplier", "0.25", "--containment-buffer", "0",
+          "--num-workers", "2"])  # exercises the forked sampler path
     got = _capture_json(capsys)
     assert got["train"].startswith(out)
     files = os.listdir(got["train"])
