@@ -374,8 +374,12 @@ class TrainDataset(BaseDataset):
             if self._sampler_seed is not None
             else self._worker_entropy
         )
-        ss = np.random.SeedSequence([int(base), int(draw_round),
-                                     int(worker_id)])
+        # SeedSequence rejects negative entropy (as does the
+        # constructor's default_rng, so no valid dataset carries a
+        # negative seed) -- the mask is belt-and-braces for any future
+        # seed pathway.
+        ss = np.random.SeedSequence([int(base) & ((1 << 63) - 1),
+                                     int(draw_round), int(worker_id)])
         np_ss, center_ss, transform_ss = ss.spawn(3)
         self.np_rng = np.random.default_rng(np_ss)
         self.rng = _random.Random(
@@ -619,10 +623,18 @@ def _prefetch_batches_mp(dataset, batch_size, depth, num_workers):
                 ]
                 q.put(("ok", _stack_items(items)))
         except BaseException as err:
+            # Queue.put pickles in a FEEDER THREAD, not at the call
+            # site: an unpicklable payload would be silently dropped
+            # there and the consumer would only see a generic
+            # worker-death timeout. Pre-check picklability so the real
+            # error (at worst its repr) always crosses the pipe.
+            import pickle
+
             try:
-                q.put(("err", err))
-            except Exception:  # unpicklable exception payloads
-                q.put(("err", RuntimeError(repr(err))))
+                pickle.dumps(err)
+            except Exception:
+                err = RuntimeError(repr(err))
+            q.put(("err", err))
 
     procs = [
         ctx.Process(target=produce, args=(w, queues[w]), daemon=True)

@@ -136,6 +136,11 @@ class Trainer:
         # (see data_handling.prefetch_batches). Default 0 keeps the
         # single-producer thread: this host has one core, so fan-out
         # only pays on multi-core production hosts.
+        if num_workers and not prefetch:
+            raise ValueError(
+                "num_workers>0 forks background producers, which "
+                "prefetch=False explicitly disables -- pick one"
+            )
         self.num_workers = num_workers
         # Label-wire batches: BaseDataset targets leave the host as
         # compact uint16 labels and the jitted steps derive the
@@ -489,15 +494,12 @@ class Trainer:
         stats = {"f1": None, "precision": [], "recall": [], "loss": []}
         self._resolve_device_augment(train_dataset)
         self._apply_wire_mode(train_dataset)
-        if self.num_workers:
-            batches = prefetch_batches(
-                train_dataset, self.batch_size,
-                num_workers=self.num_workers,
-            )
-        elif self.prefetch:
-            batches = prefetch_batches(train_dataset, self.batch_size)
-        else:
-            batches = iterate_batches(train_dataset, self.batch_size)
+        batches = (
+            prefetch_batches(train_dataset, self.batch_size,
+                             num_workers=self.num_workers)
+            if self.prefetch
+            else iterate_batches(train_dataset, self.batch_size)
+        )
         # Device metrics stay device-resident until the epoch ends: a
         # per-step float() would synchronize and serialize host batch
         # production with the device step.
@@ -539,15 +541,12 @@ class Trainer:
 
         stats = {"f1": None, "precision": [], "recall": [], "loss": []}
         self._apply_wire_mode(val_dataset)
-        if self.num_workers:
-            batches = prefetch_batches(
-                val_dataset, self.batch_size,
-                num_workers=self.num_workers,
-            )
-        elif self.prefetch:
-            batches = prefetch_batches(val_dataset, self.batch_size)
-        else:
-            batches = iterate_batches(val_dataset, self.batch_size)
+        batches = (
+            prefetch_batches(val_dataset, self.batch_size,
+                             num_workers=self.num_workers)
+            if self.prefetch
+            else iterate_batches(val_dataset, self.batch_size)
+        )
         pending = []
         for xs, ys in batches:
             n_real = xs.shape[0]

@@ -807,7 +807,13 @@ def merge_rag_local(routed, n_fragments, thresholds, quantile_pct=85):
     th = np.ascontiguousarray(thresholds, dtype=np.float32)
     if len(th) == 0 or np.any(np.diff(th) < 0):
         raise ValueError("thresholds must be non-empty and ascending")
-    cap = int(np.frombuffer(routed[:8], np.uint64)[0])
+    # Unions are bounded by the fragment count (each union drops one
+    # fragment), not the routed record count -- records repeat (a, b)
+    # across rank parts, so the header alone over-sizes the buffer by
+    # 8 B per duplicate at multi-million-edge scale.
+    cap = min(
+        int(np.frombuffer(routed[:8], np.uint64)[0]), int(n_fragments)
+    )
     pairs = np.empty((max(cap, 1), 2), np.uint32)
     n = _lib().exa_streamseg_merge_local(
         _u8p(buf), buf.size, int(n_fragments), _f32(th), len(th),

@@ -846,21 +846,36 @@ def skeletonize_sharded(labels, fix_borders=True, fill_holes=True,
     kw = {**_SKEL_DEFAULTS, **teasar_kw}
     n, rank = jax.process_count(), jax.process_index()
     if n == 1:
-        skeletons = skeletonize_virtual(
-            labels, 1, fix_borders=fix_borders, fill_holes=fill_holes,
-            slab_planes=slab_planes, **teasar_kw
+        # Single-process fast path: same passes, no transport -- and
+        # the SAME stats_out contract fields as the multi-rank path
+        # (per-pass walls, labels_local, n_skeletons, zero hub bytes).
+        stats = {"rank": 0}
+        t = time.time()
+        partial = bbox_scan(labels, 0, labels.shape[0], slab_planes)
+        stats["bbox_scan_s"] = round(time.time() - t, 3)
+        labs, bbox, params = _skeleton_plan([partial], 1, kw)[0]
+        stats["labels_local"] = len(labs)
+        t = time.time()
+        skeletons = _merge_pieces(
+            crop_pass(labels, labs, bbox, params, fix_borders,
+                      fill_holes)
         )
+        stats["crop_pass_s"] = round(time.time() - t, 3)
         if zip_path is not None:
             import zipfile
 
+            t = time.time()
             with zipfile.ZipFile(zip_path, "w") as zf:
                 for seg_id in sorted(skeletons):
                     zf.writestr(
                         f"{seg_id}.swc", skeletons[seg_id].to_swc()
                     )
+            stats["n_skeletons"] = len(skeletons)
+            stats["zip_s"] = round(time.time() - t, 3)
+        stats["bytes_sent"] = stats["bytes_recv"] = 0
         if stats_out is not None:
-            stats_out["rank"] = 0
-            stats_out["ranks"] = [dict(stats_out)]
+            stats_out.update(stats)
+            stats_out["ranks"] = [dict(stats)]
         return skeletons
     t0 = time.time()
     stats = {"rank": rank}

@@ -179,6 +179,17 @@ class TestStickyWireDtype:
 
 
 class TestTrainerIntegration:
+    def test_prefetch_false_with_workers_rejected(self):
+        import tempfile
+
+        from aind_exaspim_neuron_segmentation_tpu.machine_learning.train import (  # noqa: E501
+            Trainer,
+        )
+
+        with tempfile.TemporaryDirectory() as tmp:
+            with pytest.raises(ValueError, match="prefetch=False"):
+                Trainer(tmp, prefetch=False, num_workers=2)
+
     def test_validate_metrics_identical_any_workers(self):
         """validate_step consumes index-deterministic batches, so its
         epoch metrics are IDENTICAL for num_workers 0 and 2."""

@@ -306,3 +306,39 @@ class TestTcpComm:
         for t in threads:
             t.join(timeout=30)
         assert results == {0: "done", 1: "done", 2: "done"}
+
+
+class TestSkeletonizeSingleProcessStats:
+    def test_stats_contract_matches_multirank_fields(self, tmp_path):
+        """The n==1 fast path of skeletonize_sharded must honor the
+        documented stats_out contract (per-pass walls, labels_local,
+        n_skeletons, hub byte counts) exactly like the multi-rank
+        path, and stay bit-identical to skeletonize_lazy."""
+        import zipfile
+
+        from aind_exaspim_neuron_segmentation_tpu.postprocess import (
+            skeleton as sk,
+        )
+        from aind_exaspim_neuron_segmentation_tpu.postprocess.distributed import (  # noqa: E501
+            skeletonize_sharded,
+        )
+
+        lab = np.zeros((12, 12, 12), np.uint32)
+        lab[2:10, 2:5, 2:10] = 1
+        lab[2:10, 7:10, 2:10] = 2
+        stats = {}
+        zp = str(tmp_path / "skels.zip")
+        got = skeletonize_sharded(lab, zip_path=zp, stats_out=stats)
+        want = sk.skeletonize_lazy(lab)
+        assert set(got) == set(want) and len(got) == 2
+        for lab_id in got:
+            assert got[lab_id].to_swc() == want[lab_id].to_swc()
+        for key in ("rank", "bbox_scan_s", "labels_local", "crop_pass_s",
+                    "n_skeletons", "zip_s", "bytes_sent", "bytes_recv",
+                    "ranks"):
+            assert key in stats, f"stats_out missing {key}"
+        assert stats["n_skeletons"] == 2
+        assert stats["labels_local"] == 2
+        assert stats["bytes_sent"] == 0 and stats["bytes_recv"] == 0
+        with zipfile.ZipFile(zp) as zf:
+            assert sorted(zf.namelist()) == ["1.swc", "2.swc"]

@@ -205,7 +205,14 @@ def main_distributed(n, work, ranks):
 
     sampler = RssSampler()
     synth_store(n, work, sampler)
+    # Bind-then-close port pick: inherently TOCTOU (the coordinator is
+    # a CHILD process, so the live listening socket cannot be handed
+    # over the way _rendezvous_address does in-process). SO_REUSEADDR
+    # on the probe keeps the port out of TIME_WAIT, and the window to
+    # rank 0's jax coordinator bind is milliseconds; on a clash the
+    # coordinator fails fast and the wait-all below reports it.
     with socket.socket() as s:
+        s.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         s.bind(("localhost", 0))
         port = s.getsockname()[1]
     env = dict(os.environ)
@@ -220,9 +227,30 @@ def main_distributed(n, work, ranks):
         )
         for r in range(ranks)
     ]
-    for p in procs:
-        p.wait()
-        assert p.returncode == 0, f"rank failed rc={p.returncode}"
+    # Poll ALL ranks: a crashed rank leaves peers blocked forever in
+    # hub collectives, so a sequential wait (or a first-failure
+    # assert) would either hang or orphan survivors holding the
+    # work_dir and port. On the first nonzero exit, terminate the
+    # rest, then report every exit code.
+    pending = set(procs)
+    failed = False
+    while pending and not failed:
+        for p in list(pending):
+            rc = p.poll()
+            if rc is not None:
+                pending.discard(p)
+                failed = failed or rc != 0
+        if pending and not failed:
+            time.sleep(0.5)
+    if failed:
+        for p in procs:
+            if p.poll() is None:
+                p.terminate()
+        for p in procs:
+            p.wait()
+        raise AssertionError(
+            f"rank failure, exit codes {[p.returncode for p in procs]}"
+        )
     sampler.stamp(f"all {ranks} ranks done")
     # Per-rank table
     rows = [json.load(open(os.path.join(work, f"proof_rank{r}.json")))
