@@ -123,12 +123,35 @@ class _ExplodingDataset:
         return x, x
 
 
+class _UnpicklableError(ValueError):
+    def __init__(self):
+        super().__init__("unpicklable boom")
+        self.payload = lambda: None  # lambdas cannot pickle
+
+
+class _UnpicklableExploder(_ExplodingDataset):
+    def __getitem__(self, idx):
+        if idx == self.bad:
+            raise _UnpicklableError()
+        return super().__getitem__(idx)
+
+
 class TestWorkerFailure:
     def test_exception_propagates(self):
         gen = data_handling.prefetch_batches(
             _ExplodingDataset(), 2, num_workers=2
         )
         with pytest.raises(ValueError, match="boom at 5"):
+            _drain(gen)
+
+    def test_unpicklable_exception_still_reported(self):
+        """mp.Queue pickles in a feeder thread that silently DROPS
+        unpicklable payloads; the worker must pre-check and fall back
+        to a repr-carrying RuntimeError instead of dying mute."""
+        gen = data_handling.prefetch_batches(
+            _UnpicklableExploder(), 2, num_workers=2
+        )
+        with pytest.raises(RuntimeError, match="unpicklable boom"):
             _drain(gen)
 
     def test_close_midstream_terminates_workers(self):
