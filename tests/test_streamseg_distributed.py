@@ -261,6 +261,44 @@ class TestComponentPartitionedMerge:
         with pytest.raises(RuntimeError, match="malformed"):
             native.route_rag_parts([b"\x01" + b"\0" * 10], 5, 2)
 
+    def test_fuzzed_parts_never_crash(self, tmp_path):
+        """Serialized parts cross the network: mutated payloads (byte
+        flips, truncations, junk extensions) must either parse to a
+        sane result or raise the malformed-input error -- never read
+        out of bounds. Deterministic 200-case fuzz over a real part."""
+        from aind_exaspim_neuron_segmentation_tpu import native
+
+        aff = _blobby_affs(shape=(16, 12, 12), r=4, seed=5, step=8)
+        parts, k, _ = self._parts(tmp_path, aff, 2)
+        base = bytearray(parts[0])
+        th = [0.6, 0.8, 0.9]
+        rng = np.random.default_rng(0)
+        for case in range(200):
+            buf = bytearray(base)
+            kind = case % 4
+            if kind == 0:  # flip 1-4 bytes anywhere
+                for _ in range(int(rng.integers(1, 5))):
+                    buf[int(rng.integers(len(buf)))] = int(
+                        rng.integers(256)
+                    )
+            elif kind == 1:  # truncate
+                buf = buf[: int(rng.integers(len(buf)))]
+            elif kind == 2:  # extend with junk
+                buf += bytes(rng.integers(0, 256, 16, dtype=np.uint8))
+            else:  # clobber the record-count header
+                buf[:8] = rng.integers(
+                    0, 256, 8, dtype=np.uint8
+                ).tobytes()
+            payload = bytes(buf)
+            for fn in (
+                lambda b: native.route_rag_parts([b, parts[1]], k, 3),
+                lambda b: native.merge_rag_local(b, k, th),
+            ):
+                try:
+                    fn(payload)
+                except (RuntimeError, ValueError):
+                    pass  # malformed input correctly rejected
+
     def test_double_drop_pairs_rejected(self):
         from aind_exaspim_neuron_segmentation_tpu import native
 
