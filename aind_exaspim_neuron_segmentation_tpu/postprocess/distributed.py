@@ -404,8 +404,12 @@ class _TcpComm:
                 srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
                 srv.bind((host or "0.0.0.0", int(port)))
             srv.listen(n_ranks)
+            # Symmetric to the peers' 120 s connect deadline below: a
+            # peer that never launches must not wedge rank 0 in accept.
+            srv.settimeout(120)
             for _ in range(n_ranks - 1):
                 conn, _addr = srv.accept()
+                conn.settimeout(None)
                 peer = struct.unpack("<q", self._recv_n(conn, 8))[0]
                 self._socks[peer] = conn
             srv.close()
@@ -426,6 +430,16 @@ class _TcpComm:
                     time.sleep(0.1)
             s.sendall(struct.pack("<q", rank))
             self._socks[0] = s
+        # Opt-in liveness bound: a wedged-but-alive peer (process up,
+        # collective never reached) blocks recv forever by default --
+        # legitimate, since a rank's compute pass between messages can
+        # take unbounded wall time. EXA_HUB_TIMEOUT_S=N raises
+        # socket.timeout after N idle seconds instead, for deployments
+        # that prefer fail-fast over patience.
+        hub_timeout = float(os.environ.get("EXA_HUB_TIMEOUT_S", "0") or 0)
+        if hub_timeout > 0:
+            for sock in self._socks.values():
+                sock.settimeout(hub_timeout)
 
     @staticmethod
     def _recv_n(sock, n):

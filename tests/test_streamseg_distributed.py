@@ -345,6 +345,47 @@ class TestTcpComm:
             t.join(timeout=30)
         assert results == {0: "done", 1: "done", 2: "done"}
 
+    def test_hub_timeout_env_fails_fast(self, monkeypatch):
+        """EXA_HUB_TIMEOUT_S bounds recv on a wedged-but-alive peer:
+        rank 0 gathers while rank 1 connects and then goes silent --
+        the gather must raise socket.timeout, not block forever."""
+        import socket
+
+        monkeypatch.setenv("EXA_HUB_TIMEOUT_S", "0.5")
+        srv = socket.socket()
+        srv.bind(("127.0.0.1", 0))
+        port = srv.getsockname()[1]
+        srv.close()
+        addr = f"127.0.0.1:{port}"
+        outcome = {}
+        silent_done = threading.Event()
+
+        def silent_peer():
+            comm = _TcpComm(1, 2, addr)  # handshakes, then says nothing
+            silent_done.wait(10)
+            comm.close()
+
+        def hub():
+            comm = _TcpComm(0, 2, addr)
+            try:
+                comm.gather("x")
+                outcome["err"] = None
+            except socket.timeout as e:
+                outcome["err"] = e
+            finally:
+                silent_done.set()
+                comm.close()
+
+        threads = [
+            threading.Thread(target=silent_peer),
+            threading.Thread(target=hub),
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        assert isinstance(outcome["err"], socket.timeout)
+
 
 class TestSkeletonizeSingleProcessStats:
     def test_stats_contract_matches_multirank_fields(self, tmp_path):
