@@ -135,13 +135,18 @@ def cmd_segment(args):
         from aind_exaspim_neuron_segmentation_tpu import parallel, postprocess
 
         parallel.initialize_distributed()
+        stats = {}
         postprocess.segment_streaming_sharded(
             affs,
             agglomeration_thresholds=tuple(args.thresholds),
             min_segment_size=args.min_size,
             out_path=args.output,
             verbose=not args.quiet,
+            stats_out=stats,
         )
+        # transport vs compute, separable per rank on any pod run
+        # (the same stats_out ledger bench.py --e2e --sharded records)
+        _emit({"segment": args.output, "protocol": stats.get("ranks")})
     else:
         inference.affinities_to_segmentation(
             affs,
@@ -150,7 +155,7 @@ def cmd_segment(args):
             out_path=args.output,
             verbose=not args.quiet,
         )
-    _emit({"segment": args.output})
+        _emit({"segment": args.output})
 
 
 def cmd_swc(args):
@@ -170,12 +175,13 @@ def cmd_swc(args):
             zip_path=args.output, stats_out=stats,
         )
         n = stats.get("n_skeletons", len(skeletons))
+        _emit({"swc": args.output, "n": n,
+               "protocol": stats.get("ranks")})
     else:
         skeletons = inference.segmentation_to_zipped_swcs(
             seg, args.output, anisotropy=tuple(args.anisotropy)
         )
-        n = len(skeletons)
-    _emit({"swc": args.output, "n": n})
+        _emit({"swc": args.output, "n": len(skeletons)})
 
 
 def cmd_run(args):
@@ -232,27 +238,37 @@ def cmd_run(args):
         out_path=seg_p,
         verbose=not args.quiet,
     )
+    seg_stats, sk_stats = {}, {}
     if args.distributed:
-        seg = postprocess.segment_streaming_sharded((plan, qaff), **seg_kw)
+        seg = postprocess.segment_streaming_sharded(
+            (plan, qaff), stats_out=seg_stats, **seg_kw
+        )
     else:
         seg = inference.affinities_to_segmentation((plan, qaff), **seg_kw)
     t2 = time.time()
     if args.distributed:
         postprocess.skeletonize_sharded(
-            seg, anisotropy=tuple(args.anisotropy), zip_path=args.output
+            seg, anisotropy=tuple(args.anisotropy), zip_path=args.output,
+            stats_out=sk_stats,
         )
     else:
         inference.segmentation_to_zipped_swcs(
             seg, args.output, anisotropy=tuple(args.anisotropy)
         )
     t3 = time.time()
-    _emit({
+    out = {
         "run": args.output,
         "stages_s": {"predict": round(t1 - t0, 1),
                      "segment": round(t2 - t1, 1),
                      "swc": round(t3 - t2, 1)},
         "workdir": args.workdir,
-    })
+    }
+    if args.distributed:
+        # per-rank per-pass walls + hub payload bytes for both
+        # distributed stages -- transport vs compute on any pod run
+        out["segment_protocol"] = seg_stats.get("ranks")
+        out["swc_protocol"] = sk_stats.get("ranks")
+    _emit(out)
 
 
 def cmd_train(args):

@@ -575,7 +575,12 @@ def segment_streaming_sharded(
     ``stats_out``: optional dict; filled with this rank's per-pass
     wall-clock seconds and protocol byte counts, plus (rank 0 only)
     ``"ranks"`` -- the per-rank stat dicts of the whole job -- so
-    transport and compute are separately measurable numbers.
+    transport and compute are separately measurable numbers. The
+    single-process fast path fills the same fields with zero hub
+    bytes, except that its merge runs the dense in-process loop
+    (``merge_s`` instead of the routed path's ``route_s`` /
+    ``merge_local_s`` / ``compose_s`` -- no routing happens, so none
+    is reported).
 
     Labels are bit-identical to single-process
     :func:`..streaming.segment_streaming` for any process count.
@@ -608,14 +613,26 @@ def segment_streaming_sharded(
         slab_planes=slab_planes,
     )
     if n == 1:
+        t = time.time()
         exports = [worker.pass1()]
+        stats["pass1_s"] = round(time.time() - t, 3)
+        t = time.time()
         ws_per_rank, k, frag_fg, next_ws = _hub_stitch(exports)
+        stats["stitch_s"] = round(time.time() - t, 3)
+        t = time.time()
         parts = [worker.pass2(ws_per_rank[0], k, next_ws[0])]
+        stats["rag_build_s"] = round(time.time() - t, 3)
+        stats["rag_part_bytes"] = len(parts[0])
+        t = time.time()
         lut_ws, n_segments = native.merge_rag_parts(
             parts, k, frag_fg, th, quantile_pct=quantile_pct,
             min_segment_size=min_segment_size,
         )
+        stats["merge_s"] = round(time.time() - t, 3)
+        t = time.time()
         result = worker.pass3(lut_ws, n_segments, out_path)
+        stats["relabel_s"] = round(time.time() - t, 3)
+        stats["bytes_sent"] = stats["bytes_recv"] = 0
         if stats_out is not None:
             stats_out.update(stats)
             stats_out["ranks"] = [dict(stats)]

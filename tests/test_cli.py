@@ -202,7 +202,16 @@ def test_cli_distributed_flags_single_process(volume_store, tmp_path,
           "--min-size", "10", "--quiet"])
     main(["segment", "--affinities", affs, "--output", seg_d,
           "--min-size", "10", "--quiet", "--distributed"])
-    assert _capture_json(capsys) == {"segment": seg_d}
+    got = _capture_json(capsys)
+    assert got["segment"] == seg_d
+    # the n==1 path honors the protocol-stats contract (zero hub
+    # bytes, per-pass walls, dense merge_s instead of the routed
+    # route_s/merge_local_s/compose_s)
+    (proto,) = got["protocol"]
+    for key in ("pass1_s", "stitch_s", "rag_build_s", "merge_s",
+                "relabel_s"):
+        assert key in proto, f"protocol missing {key}"
+    assert proto["bytes_sent"] == 0 and proto["bytes_recv"] == 0
     np.testing.assert_array_equal(io.read(seg_p)[:], io.read(seg_d)[:])
 
     zip_p = str(tmp_path / "sk.zip")
@@ -212,6 +221,9 @@ def test_cli_distributed_flags_single_process(volume_store, tmp_path,
           "--distributed"])
     got = _capture_json(capsys)
     assert got["swc"] == zip_d
+    (proto,) = got["protocol"]
+    assert "bbox_scan_s" in proto and "crop_pass_s" in proto
+    assert proto["bytes_sent"] == 0 and proto["bytes_recv"] == 0
     za, zb = zipfile.ZipFile(zip_p), zipfile.ZipFile(zip_d)
     assert sorted(za.namelist()) == sorted(zb.namelist())
     for name in za.namelist():
@@ -230,6 +242,9 @@ def test_cli_run_distributed_single_process(volume_store, tmp_path,
          + PATCH)
     got = _capture_json(capsys)
     assert got["run"] == zip_p
+    (sp,) = got["segment_protocol"]
+    (kp,) = got["swc_protocol"]
+    assert "merge_s" in sp and "crop_pass_s" in kp
     seg = io.read(os.path.join(work, "segmentation.zarr"))
     assert seg.shape == (48, 48, 48)
     names = set(zipfile.ZipFile(zip_p).namelist())

@@ -609,7 +609,18 @@ def test_two_process_cli_segment_distributed(tmp_path):
         if ln.startswith("{")
     ]
     assert len(json_lines) == 1, json_lines
-    assert json.loads(json_lines[0]) == {"segment": got_path}
+    got = json.loads(json_lines[0])
+    assert got["segment"] == got_path
+    # the result line carries the whole job's protocol ledger
+    # (per-rank per-pass walls + hub payload bytes)
+    proto = got["protocol"]
+    assert [p["rank"] for p in proto] == [0, 1]
+    for p in proto:
+        for key in ("pass1_s", "rag_build_s", "merge_local_s",
+                    "merge_pairs", "bytes_sent", "bytes_recv"):
+            assert key in p, f"rank {p['rank']} missing {key}"
+        assert p["bytes_sent"] > 0 and p["bytes_recv"] > 0
+    assert "stitch_s" in proto[0] and "compose_s" in proto[0]
 
 
 def _cli_env(n_devices_per_proc):

@@ -421,3 +421,35 @@ class TestSkeletonizeSingleProcessStats:
         assert stats["bytes_sent"] == 0 and stats["bytes_recv"] == 0
         with zipfile.ZipFile(zp) as zf:
             assert sorted(zf.namelist()) == ["1.swc", "2.swc"]
+
+
+class TestSegmentSingleProcessStats:
+    def test_stats_contract_fields_and_parity(self, tmp_path):
+        """The n==1 fast path of segment_streaming_sharded must honor
+        the documented stats_out contract (per-pass walls, RAG part
+        bytes, zero hub bytes; dense ``merge_s`` rather than the
+        routed path's route/merge_local/compose split) and stay
+        bit-identical to the dense engine."""
+        from aind_exaspim_neuron_segmentation_tpu.postprocess.distributed import (  # noqa: E501
+            segment_streaming_sharded,
+        )
+
+        aff = _blobby_affs(shape=(16, 12, 12), r=4, seed=5, step=8)
+        want = inference.affinities_to_segmentation(aff, min_segment_size=10)
+        stats = {}
+        z0, labels = segment_streaming_sharded(
+            aff, min_segment_size=10, tmp_dir=str(tmp_path),
+            stats_out=stats,
+        )
+        assert z0 == 0
+        np.testing.assert_array_equal(want, labels)
+        for key in ("rank", "pass1_s", "stitch_s", "rag_build_s",
+                    "rag_part_bytes", "merge_s", "relabel_s",
+                    "bytes_sent", "bytes_recv", "ranks"):
+            assert key in stats, f"stats_out missing {key}"
+        assert stats["rank"] == 0
+        assert stats["rag_part_bytes"] >= 8
+        assert stats["bytes_sent"] == 0 and stats["bytes_recv"] == 0
+        assert stats["ranks"] == [
+            {k: v for k, v in stats.items() if k != "ranks"}
+        ]
