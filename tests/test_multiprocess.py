@@ -772,3 +772,70 @@ def test_two_process_cli_train_distributed(tmp_path):
     np.testing.assert_allclose(
         digest(got_sd), digest(want_sd), rtol=1e-4
     )
+
+
+def test_two_process_cli_run_distributed(tmp_path):
+    """`run --distributed` launch contract: the WHOLE production
+    pipeline (mesh-sharded pre-digest predict -> multi-process
+    streaming segmentation -> distributed TEASAR -> rank-0 zip) over
+    two env-driven CLI processes in one job -- the three hub/mesh
+    stages sharing one process lifetime is exactly what a pod runs and
+    was previously only covered stage by stage. Asserts the store/zip
+    are consistent, rank 0 emits the single JSON line, and the line
+    carries both stages' two-rank protocol ledgers."""
+    import json
+    import zipfile
+
+    rng = np.random.default_rng(9)
+    vol = rng.integers(0, 1500, (48, 44, 20)).astype(np.uint16)
+    in_path = str(tmp_path / "in.zarr")
+    zarr_lite.write_zarr(in_path, vol, chunks=(16, 16, 20))
+    work = str(tmp_path / "work")
+    zip_p = str(tmp_path / "out.zip")
+
+    port = str(_free_port())
+    procs = []
+    for pid in (0, 1):
+        env = _cli_env(2)
+        env["JAX_COORDINATOR_ADDRESS"] = f"localhost:{port}"
+        env["JAX_NUM_PROCESSES"] = "2"
+        env["JAX_PROCESS_ID"] = str(pid)
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m",
+             "aind_exaspim_neuron_segmentation_tpu", "--platform", "cpu",
+             "run", "--input", in_path, "--workdir", work,
+             "--output", zip_p, "--min-size", "10",
+             "--patch", "16", "--overlap", "8,8,4", "--trim", "2",
+             "--batch-size", "4", "--width-multiplier", "0.25",
+             "--quiet", "--distributed"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        ))
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        assert p.returncode == 0, out[-3000:]
+        outs.append(out)
+
+    seg = np.asarray(
+        zarr_lite.open_zarr(os.path.join(work, "segmentation.zarr"))[:]
+    )
+    assert seg.shape == (48, 44, 20)
+    names = set(zipfile.ZipFile(zip_p).namelist())
+    labels = np.unique(seg)
+    assert names == {f"{lab}.swc" for lab in labels if lab}
+
+    json_lines = [
+        ln for out in outs for ln in out.splitlines()
+        if ln.startswith("{")
+    ]
+    assert len(json_lines) == 1, json_lines
+    got = json.loads(json_lines[0])
+    assert got["run"] == zip_p
+    assert set(got["stages_s"]) == {"predict", "segment", "swc"}
+    assert [p["rank"] for p in got["segment_protocol"]] == [0, 1]
+    assert [p["rank"] for p in got["swc_protocol"]] == [0, 1]
+    for p in got["segment_protocol"]:
+        assert p["bytes_sent"] > 0 and "merge_local_s" in p
+    for p in got["swc_protocol"]:
+        assert "bbox_scan_s" in p and "crop_pass_s" in p
